@@ -1,0 +1,132 @@
+"""Core data-model tests: bitfields, unit cells, elements, system build."""
+
+import numpy as np
+import pytest
+
+from viamd_tpu.core.bitfield import Bitfield
+from viamd_tpu.core.unitcell import UnitCell
+from viamd_tpu.core import elements as E
+
+
+class TestBitfield:
+    def test_roundtrip_bools(self):
+        rng = np.random.RandomState(0)
+        mask = rng.rand(1000) < 0.3
+        bf = Bitfield.from_bools(mask)
+        assert bf.popcount() == mask.sum()
+        np.testing.assert_array_equal(bf.to_bools(), mask)
+
+    def test_indices(self):
+        bf = Bitfield.from_indices(100, [0, 5, 63, 64, 99])
+        assert bf.popcount() == 5
+        np.testing.assert_array_equal(bf.indices(), [0, 5, 63, 64, 99])
+        assert bf.test_bit(63) and bf.test_bit(64)
+        assert not bf.test_bit(62)
+
+    def test_algebra(self):
+        a = Bitfield.from_indices(130, [1, 2, 3, 128])
+        b = Bitfield.from_indices(130, [2, 3, 4, 129])
+        assert sorted((a & b).indices().tolist()) == [2, 3]
+        assert sorted((a | b).indices().tolist()) == [1, 2, 3, 4, 128, 129]
+        assert sorted(a.andnot(b).indices().tolist()) == [1, 128]
+        inv = ~a
+        assert inv.popcount() == 130 - 4
+        assert (~Bitfield(130)).popcount() == 130
+
+    def test_range_full(self):
+        bf = Bitfield.from_range(200, 10, 150)
+        assert bf.popcount() == 140
+        assert Bitfield.full(77).popcount() == 77
+
+    def test_base64_roundtrip(self):
+        rng = np.random.RandomState(1)
+        bf = Bitfield.from_bools(rng.rand(513) < 0.5)
+        bf2 = Bitfield.from_base64(bf.to_base64())
+        assert bf == bf2
+
+    def test_first_set(self):
+        assert Bitfield.from_indices(100, [77]).first_set() == 77
+        assert Bitfield(100).first_set() == -1
+
+
+class TestUnitCell:
+    def test_ortho(self):
+        c = UnitCell.orthorhombic(10, 20, 30)
+        assert c.is_orthorhombic and c.is_periodic
+        np.testing.assert_allclose(c.extent(), [10, 20, 30])
+        assert abs(c.volume() - 6000) < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(c.basis) @ np.asarray(c.inv_basis), np.eye(3), atol=1e-6
+        )
+
+    def test_none(self):
+        c = UnitCell.none()
+        assert not c.is_periodic
+
+    def test_triclinic_roundtrip(self):
+        c = UnitCell.from_lengths_angles(10, 12, 14, 80, 95, 100)
+        a, b, cc, al, be, ga = c.lengths_angles()
+        np.testing.assert_allclose(
+            [a, b, cc, al, be, ga], [10, 12, 14, 80, 95, 100], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(c.basis) @ np.asarray(c.inv_basis), np.eye(3), atol=1e-5
+        )
+
+    def test_pytree(self):
+        import jax
+
+        c = UnitCell.orthorhombic(5, 5, 5)
+        leaves, treedef = jax.tree_util.tree_flatten(c)
+        c2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert c2.kind == c.kind
+
+
+class TestElements:
+    def test_symbols(self):
+        assert E.symbol_to_z("C") == 6
+        assert E.symbol_to_z("ca") == 20
+        assert E.symbol_to_z("Fe") == 26
+        assert E.symbol_to_z("Xx") == 0
+
+    def test_infer_biomolecular(self):
+        assert E.infer_element("CA", "ALA") == 6  # alpha carbon, not calcium
+        assert E.infer_element("HG11", "VAL") == 1  # hydrogen, not mercury
+        assert E.infer_element("OW", "SOL") == 8
+        assert E.infer_element("FE", "HEM") == 26
+        assert E.infer_element("CL", "CL-") == 17
+
+    def test_tables(self):
+        assert abs(E.MASSES[6] - 12.011) < 1e-3
+        assert abs(E.VDW_RADII[1] - 1.10) < 1e-6
+        assert E.NUM_ELEMENTS == 119
+
+
+class TestSystemBuild:
+    def test_ala(self, ala_system):
+        s = ala_system
+        assert s.natoms == 20
+        assert s.nres == 4
+        assert s.nchains == 1
+        assert s.res_names[s.res_name_id[0]] == "ALA"
+        # elements inferred/parsed
+        assert s.element[0] == 7  # N
+        assert s.element[1] == 6  # CA
+        assert s.mass[0] > 14.0
+        # backbone detected: 4 residues with N/CA/C/O
+        assert s.backbone is not None
+        assert s.backbone.count == 4
+        assert len(s.backbone.ranges) == 1
+        # bonds inferred within residues (N-CA, CA-C, C-O at least)
+        assert s.nbonds >= 8
+
+    def test_water(self, water):
+        s, traj = water
+        assert s.natoms == 192
+        assert s.nres == 64
+        from viamd_tpu.core.system import FLAG_WATER
+
+        assert (s.flags & FLAG_WATER).all()
+        assert traj.num_frames == 5
+        # O-H bonds inferred: 2 per water
+        assert s.nbonds == 128
