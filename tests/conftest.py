@@ -6,12 +6,24 @@ host CPU devices, per SURVEY.md §4; real-TPU benchmarking happens in bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the surrounding environment pins JAX_PLATFORMS=axon (a real TPU
+# behind a slow tunnel), and a pytest plugin imports jax before this conftest
+# runs — so setting env vars alone is too late. jax.config.update works any
+# time before backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; backend was initialized too early"
+)
 
 import numpy as np
 import pytest

@@ -1,0 +1,428 @@
+"""Kernel unit tests against NumPy references (SURVEY.md §4 strategy)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from viamd_tpu.ops import pbc, com, geometry, covariance, histogram, rdf
+from viamd_tpu.ops import density, rmsd as rmsd_ops, interpolate, backbone
+
+
+def ortho_cell(L=10.0):
+    basis = jnp.eye(3) * L
+    inv = jnp.eye(3) / L
+    return basis.astype(jnp.float32), inv.astype(jnp.float32)
+
+
+def no_cell():
+    z = jnp.zeros((3, 3), jnp.float32)
+    return z, z
+
+
+class TestPBC:
+    def test_min_image_ortho(self):
+        basis, inv = ortho_cell(10.0)
+        d = jnp.array([[6.0, -7.0, 0.2]])
+        out = np.asarray(pbc.min_image(d, basis, inv))
+        np.testing.assert_allclose(out[0], [-4.0, 3.0, 0.2], atol=1e-5)
+
+    def test_min_image_nopbc(self):
+        basis, inv = no_cell()
+        d = jnp.array([[6.0, -7.0, 0.2]])
+        out = np.asarray(pbc.min_image(d, basis, inv))
+        np.testing.assert_allclose(out[0], [6.0, -7.0, 0.2], atol=1e-6)
+
+    def test_min_image_triclinic(self):
+        from viamd_tpu.core.unitcell import UnitCell
+
+        c = UnitCell.from_lengths_angles(10, 10, 10, 90, 90, 60)
+        basis = jnp.asarray(c.basis)
+        inv = jnp.asarray(c.inv_basis)
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(-5, 5, (50, 3)).astype(np.float32)
+        out_fast = np.asarray(pbc.min_image(jnp.asarray(pts), basis, inv))
+        out_exact = np.asarray(pbc.min_image_exact(jnp.asarray(pts), basis, inv))
+        B = np.asarray(c.basis)
+        shifts = np.array(
+            [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
+        ) @ B
+        invB = np.linalg.inv(B)
+        for p, of, oe in zip(pts, out_fast, out_exact):
+            best = min(np.linalg.norm(p + s) for s in shifts)
+            # exact variant finds the true minimum image
+            assert abs(np.linalg.norm(oe) - best) < 1e-3
+            # fast variant is lattice-equivalent to the input (whole shifts)
+            frac_shift = (of - p) @ invB
+            np.testing.assert_allclose(
+                frac_shift, np.round(frac_shift), atol=1e-3
+            )
+
+    def test_wrap(self):
+        basis, inv = ortho_cell(10.0)
+        x = jnp.array([[12.5, -0.5, 3.0]])
+        out = np.asarray(pbc.wrap(x, basis, inv))
+        np.testing.assert_allclose(out[0], [2.5, 9.5, 3.0], atol=1e-5)
+
+    def test_inv_basis_of(self):
+        b = jnp.eye(3) * 5.0
+        np.testing.assert_allclose(
+            np.asarray(pbc.inv_basis_of(b)), np.eye(3) / 5, atol=1e-6
+        )
+        z = jnp.zeros((3, 3))
+        np.testing.assert_allclose(np.asarray(pbc.inv_basis_of(z)), 0.0)
+
+    def test_unwrap_frames(self):
+        basis, inv = ortho_cell(10.0)
+        # atom crossing the boundary: 9.8 → 0.1 should unwrap to 10.1
+        coords = jnp.array([[[9.8, 5, 5]], [[0.1, 5, 5]], [[0.4, 5, 5]]])
+        out = np.asarray(pbc.unwrap_frames(coords, basis, inv))
+        np.testing.assert_allclose(out[:, 0, 0], [9.8, 10.1, 10.4], atol=1e-5)
+
+
+class TestCOM:
+    def test_aperiodic_weighted(self):
+        basis, inv = no_cell()
+        x = jnp.array([[0.0, 0, 0], [2.0, 0, 0]])
+        w = jnp.array([1.0, 3.0])
+        out = np.asarray(com.com(x, w, basis, inv))
+        np.testing.assert_allclose(out, [1.5, 0, 0], atol=1e-6)
+
+    def test_periodic_straddle(self):
+        # two atoms straddling the boundary: COM must be near the boundary,
+        # not the box center
+        basis, inv = ortho_cell(10.0)
+        x = jnp.array([[9.6, 1, 1], [0.4, 1, 1]])
+        w = jnp.ones(2)
+        out = np.asarray(com.com(x, w, basis, inv))
+        assert out[0] < 0.5 or out[0] > 9.5
+
+    def test_segments(self):
+        basis, inv = ortho_cell(10.0)
+        x = jnp.array([[1.0, 1, 1], [2.0, 1, 1], [5.0, 5, 5], [6.0, 5, 5]])
+        w = jnp.ones(4)
+        seg = jnp.array([0, 0, 1, 1])
+        out = np.asarray(com.com_segments(x, w, seg, 2, basis, inv))
+        np.testing.assert_allclose(out[0], [1.5, 1, 1], atol=1e-4)
+        np.testing.assert_allclose(out[1], [5.5, 5, 5], atol=1e-4)
+
+
+class TestEigen:
+    def test_vs_numpy(self):
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            M = rng.randn(3, 3)
+            A = (M + M.T).astype(np.float32)
+            vals, vecs = covariance.eigh3x3(jnp.asarray(A))
+            vals, vecs = np.asarray(vals), np.asarray(vecs)
+            ref = np.sort(np.linalg.eigvalsh(A))[::-1]
+            np.testing.assert_allclose(vals, ref, atol=1e-4 * max(1, abs(ref).max()))
+            for k in range(3):
+                v = vecs[:, k]
+                np.testing.assert_allclose(
+                    A @ v, vals[k] * v, atol=2e-3 * max(1, abs(ref).max())
+                )
+
+    def test_batched(self):
+        rng = np.random.RandomState(1)
+        M = rng.randn(7, 3, 3).astype(np.float32)
+        A = M + np.swapaxes(M, -1, -2)
+        vals, vecs = covariance.eigh3x3(jnp.asarray(A))
+        assert vals.shape == (7, 3) and vecs.shape == (7, 3, 3)
+        assert (np.diff(np.asarray(vals), axis=-1) <= 1e-4).all()
+
+    def test_degenerate_sphere(self):
+        vals, vecs = covariance.eigh3x3(jnp.eye(3) * 2.0)
+        np.testing.assert_allclose(np.asarray(vals), [2, 2, 2], atol=1e-5)
+        # eigenvectors orthonormal
+        V = np.asarray(vecs)
+        np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-4)
+
+
+class TestShapeWeights:
+    def _weights(self, pts):
+        basis, inv = no_cell()
+        w = jnp.ones(pts.shape[0])
+        return np.asarray(
+            covariance.shape_weights(jnp.asarray(pts, jnp.float32), w, basis, inv)
+        )
+
+    def test_linear(self):
+        pts = np.stack([np.linspace(0, 10, 50), np.zeros(50), np.zeros(50)], 1)
+        lin, pla, iso = self._weights(pts)
+        assert lin > 0.95 and iso < 0.05
+
+    def test_planar(self):
+        rng = np.random.RandomState(0)
+        pts = np.stack(
+            [rng.uniform(-5, 5, 500), rng.uniform(-5, 5, 500), np.zeros(500)], 1
+        )
+        lin, pla, iso = self._weights(pts)
+        assert pla > 0.6 and iso < 0.05
+
+    def test_isotropic(self):
+        rng = np.random.RandomState(0)
+        pts = rng.normal(size=(2000, 3))
+        lin, pla, iso = self._weights(pts)
+        assert iso > 0.8
+        np.testing.assert_allclose(lin + pla + iso, 1.0, atol=1e-5)
+
+
+class TestGeometry:
+    def test_distance_pbc(self):
+        basis, inv = ortho_cell(10.0)
+        x = jnp.array([[0.5, 0, 0], [9.5, 0, 0], [3.0, 4.0, 0]])
+        d = np.asarray(
+            geometry.distance(x, jnp.array([0]), jnp.array([1]), basis, inv)
+        )
+        np.testing.assert_allclose(d, [1.0], atol=1e-5)
+
+    def test_angle(self):
+        basis, inv = no_cell()
+        x = jnp.array([[1.0, 0, 0], [0.0, 0, 0], [0.0, 1.0, 0]])
+        a = np.asarray(
+            geometry.angle(
+                x, jnp.array([0]), jnp.array([1]), jnp.array([2]), basis, inv
+            )
+        )
+        np.testing.assert_allclose(a, [np.pi / 2], atol=1e-5)
+
+    def test_dihedral_signs(self):
+        basis, inv = no_cell()
+        # classic test: trans (180°) and +90° configurations
+        x_trans = jnp.array(
+            [[0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, -1, 0]]
+        )
+        d = np.asarray(
+            geometry.dihedral(
+                x_trans,
+                jnp.array([0]), jnp.array([1]), jnp.array([2]), jnp.array([3]),
+                basis, inv,
+            )
+        )
+        np.testing.assert_allclose(np.abs(d), [np.pi], atol=1e-4)
+        x_90 = jnp.array([[0.0, 1, 0], [0, 0, 0], [1, 0, 0], [1, 0, 1]])
+        d = np.asarray(
+            geometry.dihedral(
+                x_90,
+                jnp.array([0]), jnp.array([1]), jnp.array([2]), jnp.array([3]),
+                basis, inv,
+            )
+        )
+        np.testing.assert_allclose(np.abs(d), [np.pi / 2], atol=1e-4)
+
+    def test_distance_min_max(self):
+        basis, inv = no_cell()
+        x = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [5.0, 0, 0]])
+        ma = jnp.array([1.0, 0, 0])
+        mb = jnp.array([0.0, 1, 1])
+        dmin, dmax = geometry.distance_min_max(x, ma, mb, basis, inv)
+        np.testing.assert_allclose(float(dmin), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(dmax), 5.0, atol=1e-5)
+
+
+class TestHistogram:
+    def test_cdf_vs_numpy(self):
+        rng = np.random.RandomState(0)
+        v = rng.uniform(0, 10, 5000).astype(np.float32)
+        w = rng.uniform(0, 1, 5000).astype(np.float32)
+        h = np.asarray(histogram.histogram_cdf(jnp.asarray(v), jnp.asarray(w), 32, 0.0, 10.0))
+        ref, _ = np.histogram(v, bins=32, range=(0, 10), weights=w)
+        np.testing.assert_allclose(h, ref, rtol=1e-3, atol=1e-2)
+
+    def test_bins(self):
+        ids = jnp.array([0, 1, 1, 3, -1, 7])
+        w = jnp.ones(6)
+        h = np.asarray(histogram.histogram_bins(ids, w, 4))
+        np.testing.assert_allclose(h, [1, 2, 0, 1])
+
+    def test_segment(self):
+        ids = jnp.array([5, 5, 2, 0, 5])
+        w = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+        h = np.asarray(histogram.histogram_segment(ids, w, 6))
+        np.testing.assert_allclose(h, [4, 0, 3, 0, 0, 8])
+
+    def test_resample(self):
+        h = jnp.array([1.0, 3.0, 5.0, 7.0])
+        h2 = np.asarray(histogram.resample_histogram(h, 2))
+        np.testing.assert_allclose(h2, [4, 12], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(histogram.resample_histogram(h, 8)).sum(), 16, atol=1e-4)
+
+
+class TestRDF:
+    def test_vs_bruteforce(self):
+        rng = np.random.RandomState(2)
+        L = 8.0
+        x = rng.uniform(0, L, (40, 3)).astype(np.float32)
+        wa = (rng.rand(40) < 0.5).astype(np.float32)
+        wb = (rng.rand(40) < 0.5).astype(np.float32)
+        basis, inv = ortho_cell(L)
+        nbins, rmax = 16, 4.0
+        h = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, nbins, rmax, tile=16,
+            )
+        )
+        # brute force
+        ref = np.zeros(nbins)
+        for i in range(40):
+            for j in range(40):
+                if i == j or wa[i] == 0 or wb[j] == 0:
+                    continue
+                d = x[i] - x[j]
+                d -= L * np.round(d / L)
+                dist = np.linalg.norm(d)
+                if dist < rmax:
+                    ref[int(dist / rmax * nbins)] += 1
+        np.testing.assert_allclose(h, ref, atol=1e-2)
+
+    def test_ideal_gas_gr(self):
+        # uniform random points → g(r) ≈ 1
+        rng = np.random.RandomState(0)
+        L = 20.0
+        n = 400
+        x = rng.uniform(0, L, (5, n, 3)).astype(np.float32)
+        basis, inv = ortho_cell(L)
+        w = jnp.ones(n)
+        h = rdf.rdf_frames(jnp.asarray(x), w, w, basis, inv, 20, 8.0, tile=128)
+        g = np.asarray(
+            rdf.rdf_normalize(h, float(n), float(n), L**3, 8.0, 5)
+        )
+        # skip first bins (poor statistics); mean should be ~1
+        assert abs(np.mean(g[5:]) - 1.0) < 0.15
+
+
+class TestDensity:
+    def test_splat_conserves_mass(self):
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(1, 7, (100, 3)).astype(np.float32)
+        w = rng.uniform(0, 2, 100).astype(np.float32)
+        grid = np.asarray(
+            density.splat_trilinear(
+                jnp.asarray(pts), jnp.asarray(w), (8, 8, 8),
+                jnp.zeros(3), jnp.ones(3),
+            )
+        )
+        np.testing.assert_allclose(grid.sum(), w.sum(), rtol=1e-4)
+
+    def test_splat_location(self):
+        pts = jnp.array([[2.5, 3.5, 4.5]])  # exactly at voxel center (2,3,4)
+        grid = np.asarray(
+            density.splat_trilinear(
+                pts, jnp.ones(1), (8, 8, 8), jnp.zeros(3), jnp.ones(3)
+            )
+        )
+        assert grid[2, 3, 4] == pytest.approx(1.0, abs=1e-5)
+
+    def test_out_of_grid_dropped(self):
+        pts = jnp.array([[-5.0, 0, 0], [100.0, 0, 0]])
+        grid = np.asarray(
+            density.splat_trilinear(
+                pts, jnp.ones(2), (8, 8, 8), jnp.zeros(3), jnp.ones(3)
+            )
+        )
+        assert grid.sum() == pytest.approx(0.0, abs=1e-6)
+
+    def test_blur_preserves_mass(self):
+        g = jnp.zeros((16, 16, 16)).at[8, 8, 8].set(5.0)
+        out = np.asarray(density.gaussian_blur_3d(g, 1.5))
+        np.testing.assert_allclose(out.sum(), 5.0, rtol=1e-3)
+        assert out[8, 8, 8] < 5.0
+
+
+class TestKabschRMSD:
+    def test_recover_rotation(self):
+        rng = np.random.RandomState(0)
+        p = rng.randn(30, 3).astype(np.float32)
+        p -= p.mean(0)
+        # known rotation: 40° about z
+        th = np.radians(40)
+        R_true = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+            np.float32,
+        )
+        q = p @ R_true.T
+        R = np.asarray(
+            rmsd_ops.kabsch_rotation(jnp.asarray(p), jnp.asarray(q), jnp.ones(30))
+        )
+        np.testing.assert_allclose(R, R_true, atol=1e-4)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-4)
+
+    def test_rmsd_zero_after_align(self):
+        rng = np.random.RandomState(1)
+        p = rng.randn(20, 3).astype(np.float32)
+        th = np.radians(25)
+        R = np.array(
+            [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]],
+            np.float32,
+        )
+        q = (p - p.mean(0)) @ R.T + 5.0
+        val = float(
+            rmsd_ops.rmsd(jnp.asarray(p), jnp.asarray(q), jnp.ones(20), align=True)
+        )
+        assert val < 1e-3
+        val_noalign = float(
+            rmsd_ops.rmsd(jnp.asarray(p), jnp.asarray(q), jnp.ones(20), align=False)
+        )
+        assert val_noalign > 0.1
+
+
+class TestInterpolate:
+    def test_linear_endpoints(self):
+        basis, inv = ortho_cell(10.0)
+        x0 = jnp.array([[9.9, 0, 0]])
+        x1 = jnp.array([[0.3, 0, 0]])  # crossed the boundary
+        mid = np.asarray(interpolate.interpolate_linear(x0, x1, 0.5, basis, inv))
+        np.testing.assert_allclose(mid[0, 0], 10.1, atol=1e-4)
+        at0 = np.asarray(interpolate.interpolate_linear(x0, x1, 0.0, basis, inv))
+        np.testing.assert_allclose(at0, np.asarray(x0), atol=1e-6)
+
+    def test_cubic_endpoints(self):
+        basis, inv = no_cell()
+        f = [jnp.full((1, 3), v) for v in (0.0, 1.0, 2.0, 3.0)]
+        at0 = np.asarray(
+            interpolate.interpolate_cubic(f[0], f[1], f[2], f[3], 0.0, basis, inv)
+        )
+        at1 = np.asarray(
+            interpolate.interpolate_cubic(f[0], f[1], f[2], f[3], 1.0, basis, inv)
+        )
+        np.testing.assert_allclose(at0, 1.0, atol=1e-5)
+        np.testing.assert_allclose(at1, 2.0, atol=1e-5)
+
+
+class TestBackbone:
+    def test_phi_psi_helix(self, ala_system):
+        s = ala_system
+        bb = s.backbone
+        vp, vn = backbone.make_backbone_validity(bb.ranges, bb.count)
+        basis = jnp.zeros((3, 3))
+        phi, psi = backbone.backbone_angles(
+            jnp.asarray(s.coords()),
+            jnp.asarray(bb.atom_n), jnp.asarray(bb.atom_ca), jnp.asarray(bb.atom_c),
+            jnp.asarray(vp), jnp.asarray(vn), basis, basis,
+        )
+        assert phi.shape == (4,)
+        # first residue has no prev → phi 0; last has no next → psi 0
+        assert float(phi[0]) == 0.0
+        assert float(psi[-1]) == 0.0
+        assert np.isfinite(np.asarray(phi)).all()
+
+    def test_ss_classification(self):
+        deg = np.pi / 180
+        phi = jnp.array([-60 * deg, -120 * deg, 100 * deg])
+        psi = jnp.array([-45 * deg, 130 * deg, 100 * deg])
+        ss = np.asarray(
+            backbone.secondary_structure(phi, psi, jnp.array([True] * 3))
+        )
+        assert ss[0, 1] > 0.5  # helix
+        assert ss[1, 2] > 0.5  # sheet
+        assert ss[2, 0] > 0.5  # coil
+        np.testing.assert_allclose(ss.sum(-1), 1.0, atol=1e-5)
+
+    def test_denoise(self):
+        F = 9
+        ss = np.zeros((F, 2, 3), np.float32)
+        ss[:, :, 1] = 1.0  # all helix
+        ss[4, 0] = [1, 0, 0]  # one flicker frame
+        out = np.asarray(backbone.ss_denoise_temporal(jnp.asarray(ss), window=5))
+        assert out[4, 0, 1] > 0.5  # majority restores helix

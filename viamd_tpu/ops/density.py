@@ -1,0 +1,104 @@
+"""Density-volume accumulation: trilinear point splatting into 3D grids.
+
+Rebuild of the volume-property accumulation path (reference capability:
+script `Type_Volume` SDF/density properties uploaded as R16F/R32F 3D
+textures, /root/reference/src/components/density_volume/density_volume.cpp:
+272-285, and the gaussian point splat of
+src/shaders/volume/splat_color.comp).
+
+TPU formulation: each point contributes trilinearly to its 8 surrounding
+voxels; the 8 (flat-voxel-id, weight) pairs stream through the sorted
+segment-sum histogram (ops.histogram.histogram_segment), which is the
+scatter-free accumulation SURVEY.md §7 prescribes. Out-of-grid points get
+weight 0 via id clamping + masking, keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from viamd_tpu.ops.histogram import histogram_segment
+
+
+def splat_trilinear(
+    pts: jnp.ndarray,  # (n, 3) positions in grid space
+    weights: jnp.ndarray,  # (n,)
+    dims: tuple[int, int, int],
+    origin: jnp.ndarray,  # (3,) world position of voxel (0,0,0) corner
+    voxel: jnp.ndarray,  # (3,) voxel extent per axis
+) -> jnp.ndarray:
+    """Trilinear splat → (dx, dy, dz) float32 grid."""
+    dx, dy, dz = dims
+    g = (pts - origin) / voxel - 0.5  # voxel-center coordinates
+    g0 = jnp.floor(g)
+    f = g - g0  # fraction toward the +1 voxel
+    g0 = g0.astype(jnp.int32)
+
+    w = weights.astype(jnp.float32)
+    dims_arr = jnp.array([dx, dy, dz], jnp.int32)
+
+    ids_list = []
+    wts_list = []
+    for corner in range(8):
+        off = jnp.array(
+            [(corner >> 2) & 1, (corner >> 1) & 1, corner & 1], jnp.int32
+        )
+        idx3 = g0 + off
+        inb = jnp.all((idx3 >= 0) & (idx3 < dims_arr), axis=-1)
+        tri = jnp.prod(
+            jnp.where(off[None, :] == 1, f, 1.0 - f), axis=-1
+        )
+        idx3c = jnp.clip(idx3, 0, dims_arr - 1)
+        flat = (idx3c[:, 0] * dy + idx3c[:, 1]) * dz + idx3c[:, 2]
+        ids_list.append(flat)
+        wts_list.append(jnp.where(inb, tri * w, 0.0))
+
+    ids = jnp.concatenate(ids_list)
+    wts = jnp.concatenate(wts_list)
+    flatgrid = histogram_segment(ids, wts, dx * dy * dz)
+    return flatgrid.reshape(dx, dy, dz)
+
+
+def splat_nearest(
+    pts: jnp.ndarray,
+    weights: jnp.ndarray,
+    dims: tuple[int, int, int],
+    origin: jnp.ndarray,
+    voxel: jnp.ndarray,
+) -> jnp.ndarray:
+    """Nearest-voxel splat (cheaper; used for very large point counts)."""
+    dx, dy, dz = dims
+    dims_arr = jnp.array([dx, dy, dz], jnp.int32)
+    idx3 = jnp.floor((pts - origin) / voxel).astype(jnp.int32)
+    inb = jnp.all((idx3 >= 0) & (idx3 < dims_arr), axis=-1)
+    idx3c = jnp.clip(idx3, 0, dims_arr - 1)
+    flat = (idx3c[:, 0] * dy + idx3c[:, 1]) * dz + idx3c[:, 2]
+    w = jnp.where(inb, weights.astype(jnp.float32), 0.0)
+    return histogram_segment(flat, w, dx * dy * dz).reshape(dx, dy, dz)
+
+
+def gaussian_blur_3d(grid: jnp.ndarray, sigma_voxels: float, radius: int = 0) -> jnp.ndarray:
+    """Separable gaussian blur of a (dx,dy,dz) grid (splat_color.comp's
+    RDF-weighted Shepard smoothing analog; also used by Ramachandran density
+    smoothing)."""
+    if sigma_voxels <= 0:
+        return grid
+    r = radius or max(1, int(3.0 * sigma_voxels + 0.5))
+    t = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (t / sigma_voxels) ** 2)
+    k = k / jnp.sum(k)
+
+    def conv_axis(g, axis):
+        moved = jnp.moveaxis(g, axis, -1)
+        pad = [(0, 0)] * (moved.ndim - 1) + [(r, r)]
+        padded = jnp.pad(moved, pad)
+        win = jnp.stack(
+            [padded[..., i : i + moved.shape[-1]] for i in range(2 * r + 1)],
+            axis=-1,
+        )
+        out = jnp.sum(win * k, axis=-1)
+        return jnp.moveaxis(out, -1, axis)
+
+    for ax in range(grid.ndim):
+        grid = conv_axis(grid, ax)
+    return grid

@@ -1,0 +1,120 @@
+"""Radial distribution function (RDF) kernels.
+
+Rebuild of the `rdf(sel_a, sel_b, cutoff)` script builtin's accumulation
+(reference capability: md_script.h distribution properties, SURVEY.md §2.3;
+default script `r = rdf(element('C'), element('H'), 10.0)`,
+/root/reference/src/main.cpp:528).
+
+Strategy (TPU-first, SURVEY.md §7 "scatter-add histograms"):
+frames are vmapped/sharded; within a frame, pair distances are produced in
+row tiles whose distance→compare-CDF→reduce chain XLA fuses into a single
+VPU kernel — no (na, nb) distance matrix and no one-hot ever hits HBM.
+Self-pairs are excluded by global-index comparison. Accumulators add across
+frames and `psum` across shards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from viamd_tpu.ops.pbc import min_image
+
+
+def pair_dist_histogram(
+    x: jnp.ndarray,
+    w_a: jnp.ndarray,
+    w_b: jnp.ndarray,
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+    nbins: int,
+    r_max: float,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Weighted min-image pair-distance histogram over [0, r_max) → (nbins,).
+
+    w_a/w_b: dense (n,) 0/1 (or weighted) selection masks. Pair (i,j) weight
+    is w_a[i]·w_b[j]; i==j is excluded. Both (i,j) and (j,i) are counted when
+    both masks cover them — the symmetric convention the g(r) normalization
+    below assumes.
+    """
+    n = x.shape[0]
+    n_pad = -(-n // tile) * tile
+    pad = n_pad - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    wap = jnp.pad(w_a.astype(jnp.float32), (0, pad))
+    edges = (jnp.arange(1, nbins + 1, dtype=jnp.float32) / nbins) * r_max
+    idx_all = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+    wb = w_b.astype(jnp.float32)
+
+    def row_tile(carry, i0):
+        xa = jax.lax.dynamic_slice(xp, (i0, 0), (tile, 3))
+        wa = jax.lax.dynamic_slice(wap, (i0,), (tile,))
+        ia = jax.lax.dynamic_slice(idx_all, (i0,), (tile,))
+        d = xa[:, None, :] - x[None, :, :]
+        d = min_image(d, basis, inv_basis)
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+        w = wa[:, None] * wb[None, :]
+        w = jnp.where(ia[:, None] == idx_all[None, :n], 0.0, w)
+        below = (dist[:, :, None] < edges[None, None, :]).astype(jnp.float32)
+        cdf = jnp.sum(below * w[:, :, None], axis=(0, 1))
+        return carry + cdf, None
+
+    starts = jnp.arange(0, n_pad, tile, dtype=jnp.int32)
+    cdf, _ = jax.lax.scan(row_tile, jnp.zeros(nbins, jnp.float32), starts)
+    return jnp.concatenate([cdf[:1], jnp.diff(cdf)])
+
+
+def rdf_normalize(
+    hist: jnp.ndarray,
+    count_a: jnp.ndarray,
+    count_b: jnp.ndarray,
+    volume: jnp.ndarray,
+    r_max: float,
+    n_frames: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convert an accumulated pair histogram to g(r).
+
+    g(r_k) = H_k / (F · N_a · ρ_b · V_shell(k)) with ρ_b = N_b / V.
+    For aperiodic systems (volume 0) falls back to a shell-area-normalized
+    relative density (finite, shape-preserving), matching the reference's
+    behavior of still plotting rdf without a unit cell.
+    """
+    nbins = hist.shape[-1]
+    dr = r_max / nbins
+    r_lo = jnp.arange(nbins, dtype=jnp.float32) * dr
+    shell = 4.0 / 3.0 * jnp.pi * ((r_lo + dr) ** 3 - r_lo**3)
+    vol = jnp.maximum(volume, 0.0)
+    rho_b = jnp.where(vol > 0, count_b / jnp.maximum(vol, 1e-30), 1.0)
+    denom = (
+        jnp.maximum(n_frames, 1)
+        * jnp.maximum(count_a, 1e-30)
+        * rho_b
+        * shell
+    )
+    return hist / denom
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "tile"))
+def rdf_frames(
+    coords: jnp.ndarray,  # (F, n, 3)
+    w_a: jnp.ndarray,  # (n,)
+    w_b: jnp.ndarray,  # (n,)
+    basis: jnp.ndarray,  # (3,3) or (F,3,3)
+    inv_basis: jnp.ndarray,
+    nbins: int,
+    r_max: float,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Histogram accumulated over a frame batch (vmap + sum): (nbins,)."""
+    if basis.ndim == 2:
+        basis = jnp.broadcast_to(basis, (coords.shape[0], 3, 3))
+        inv_basis = jnp.broadcast_to(inv_basis, (coords.shape[0], 3, 3))
+    per_frame = jax.vmap(
+        lambda x, b, ib: pair_dist_histogram(
+            x, w_a, w_b, b, ib, nbins, r_max, tile
+        )
+    )(coords, basis, inv_basis)
+    return jnp.sum(per_frame, axis=0)

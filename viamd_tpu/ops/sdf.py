@@ -1,0 +1,123 @@
+"""Spatial distribution function (SDF) accumulation.
+
+Rebuild of the `sdf(ref_sel, target_sel, extent)` script builtin
+(reference capability: VOLUME-flagged script properties accumulated in the
+internal reference frame of each matched structure — SURVEY.md §3.5;
+consumed by density_volume.cpp:180-285 with per-structure world→reference
+matrices).
+
+Per frame and per reference structure S:
+1. deperiodize S about its PBC-aware COM and Kabsch-align to its static
+   reference coordinates → rotation R_s, center c_s (ops.rmsd.align_frame);
+2. map every target atom t into the reference frame:
+   p = R_s · min_image(x_t − c_s);
+3. trilinear-splat targets with |p|∞ ≤ extent into the (D,D,D) grid.
+
+Structures are padded to a common max atom count (static shapes) and vmapped;
+frames vmap/shard on top; grids sum across frames and psum across shards.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from viamd_tpu.ops.density import splat_trilinear
+from viamd_tpu.ops.pbc import min_image
+from viamd_tpu.ops.rmsd import align_frame
+
+
+def sdf_reference_frames(
+    x: jnp.ndarray,  # (n, 3) frame coords
+    struct_idx: jnp.ndarray,  # (S, K) padded atom indices per structure
+    struct_w: jnp.ndarray,  # (S, K) weights (0 for padding)
+    ref_centered: jnp.ndarray,  # (S, K, 3) static centered reference coords
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-structure (R (S,3,3), center (S,3)) world→reference transforms."""
+
+    def one(idx, w, ref):
+        return align_frame(x[idx], w, ref, basis, inv_basis)
+
+    return jax.vmap(one)(struct_idx, struct_w, ref_centered)
+
+
+def sdf_accumulate(
+    x: jnp.ndarray,  # (n, 3)
+    target_w: jnp.ndarray,  # (n,) dense target mask/weights
+    struct_idx: jnp.ndarray,  # (S, K)
+    struct_w: jnp.ndarray,  # (S, K)
+    ref_centered: jnp.ndarray,  # (S, K, 3)
+    extent: float,
+    dims: int,
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+) -> jnp.ndarray:
+    """One frame's SDF grid (dims, dims, dims), summed over structures."""
+    R, c = sdf_reference_frames(
+        x, struct_idx, struct_w, ref_centered, basis, inv_basis
+    )
+    origin = jnp.full((3,), -extent, jnp.float32)
+    voxel = jnp.full((3,), 2.0 * extent / dims, jnp.float32)
+
+    def one_structure(Rs, cs):
+        d = min_image(x - cs, basis, inv_basis)  # targets relative to S
+        p = d @ Rs.T  # into reference frame
+        return splat_trilinear(p, target_w, (dims, dims, dims), origin, voxel)
+
+    grids = jax.vmap(one_structure)(R, c)
+    return jnp.sum(grids, axis=0)
+
+
+def sdf_frames(
+    coords: jnp.ndarray,  # (F, n, 3)
+    target_w: jnp.ndarray,
+    struct_idx: jnp.ndarray,
+    struct_w: jnp.ndarray,
+    ref_centered: jnp.ndarray,
+    extent: float,
+    dims: int,
+    basis: jnp.ndarray,  # (3,3) or (F,3,3)
+    inv_basis: jnp.ndarray,
+) -> jnp.ndarray:
+    """SDF grid accumulated over a frame batch."""
+    if basis.ndim == 2:
+        basis = jnp.broadcast_to(basis, (coords.shape[0], 3, 3))
+        inv_basis = jnp.broadcast_to(inv_basis, (coords.shape[0], 3, 3))
+    per_frame = jax.vmap(
+        lambda xf, b, ib: sdf_accumulate(
+            xf, target_w, struct_idx, struct_w, ref_centered,
+            extent, dims, b, ib,
+        )
+    )(coords, basis, inv_basis)
+    return jnp.sum(per_frame, axis=0)
+
+
+def make_structure_inputs(
+    indices_per_structure: list,
+    masses: "jnp.ndarray | None",
+    ref_coords: jnp.ndarray,  # (n, 3) topology/frame-0 coords
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Host-side packing: list of index arrays → padded (S,K) inputs.
+
+    Returns (struct_idx, struct_w, ref_centered) with K = max structure size.
+    Padding entries reuse index 0 with weight 0 (gather-safe).
+    """
+    import numpy as np
+
+    S = len(indices_per_structure)
+    K = max(len(ix) for ix in indices_per_structure)
+    idx = np.zeros((S, K), np.int32)
+    w = np.zeros((S, K), np.float32)
+    for s, ix in enumerate(indices_per_structure):
+        idx[s, : len(ix)] = ix
+        if masses is not None:
+            w[s, : len(ix)] = np.asarray(masses)[ix]
+        else:
+            w[s, : len(ix)] = 1.0
+    ref = np.asarray(ref_coords, np.float32)[idx]  # (S,K,3)
+    wsum = np.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+    centers = (ref * w[..., None]).sum(axis=1, keepdims=True) / wsum[..., None]
+    ref_centered = (ref - centers) * (w[..., None] > 0)
+    return idx, w, ref_centered
