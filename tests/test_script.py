@@ -1,0 +1,241 @@
+"""Script language tests: parser, selections, compile, full eval pipeline."""
+
+import numpy as np
+import jax
+import pytest
+
+from tests.conftest import make_ala_pdb
+from viamd_tpu.script import parser as P
+from viamd_tpu.script.parser import ScriptError
+from viamd_tpu.script import compile_script, evaluate_filter
+from viamd_tpu.eval import evaluate
+
+
+class TestParser:
+    def test_default_script_parses(self):
+        src = (
+            's1 = resname("ALA")[2:8];\n'
+            "d1 = distance(10,30);\n"
+            'a1 = angle(2,1,3) in resname("ALA");\n'
+            "r = rdf(element('C'), element('H'), 10.0);\n"
+            "v = sdf(s1, element('H'), 10.0);\n"
+            "{lin,plan,iso} = shape_weights(all);\n"
+        )
+        stmts = P.parse(src)
+        assert len(stmts) == 6
+        assert stmts[0].targets == ["s1"]
+        assert stmts[5].targets == ["lin", "plan", "iso"]
+        assert isinstance(stmts[2].expr, P.InExpr)
+        assert isinstance(stmts[0].expr, P.Subscript)
+
+    def test_comments_and_ranges(self):
+        stmts = P.parse("# comment\nr = resid(2:8); // trailing\n")
+        assert len(stmts) == 1
+        call = stmts[0].expr
+        assert isinstance(call, P.Call)
+        assert isinstance(call.args[0], P.RangeLit)
+
+    def test_open_ranges(self):
+        stmts = P.parse("a = atom(5:); b = atom(:10);")
+        r1 = stmts[0].expr.args[0]
+        r2 = stmts[1].expr.args[0]
+        assert r1.end is None and r1.beg is not None
+        assert r2.beg is None and r2.end is not None
+
+    def test_errors_have_location(self):
+        with pytest.raises(ScriptError) as ei:
+            P.parse("d = distance(1,")
+        assert ei.value.line >= 1
+
+    def test_anonymous_expression(self):
+        stmts = P.parse("distance(1,2);")
+        assert stmts[0].targets[0].startswith("$")
+
+
+class TestSelections:
+    def test_filter_basic(self, ala_system):
+        mask, dyn = evaluate_filter("element('C')", ala_system)
+        # 3 carbons per residue (CA, C, CB) × 4 residues
+        assert mask.popcount() == 12
+        assert not dyn
+
+    def test_filter_logic(self, ala_system):
+        m1, _ = evaluate_filter("element('C') and backbone", ala_system)
+        assert m1.popcount() == 8  # CA + C per residue
+        m2, _ = evaluate_filter("element('C') or element('N')", ala_system)
+        assert m2.popcount() == 16
+        m3, _ = evaluate_filter("not element('H')", ala_system)
+        assert m3.popcount() == ala_system.natoms  # fixture has no H
+
+    def test_filter_name_resname(self, ala_system):
+        m, _ = evaluate_filter('name("CA")', ala_system)
+        assert m.popcount() == 4
+        m, _ = evaluate_filter('resname("ALA")', ala_system)
+        assert m.popcount() == 20
+        m, _ = evaluate_filter('resname("GLY")', ala_system)
+        assert m.popcount() == 0
+
+    def test_filter_resid_residue(self, ala_system):
+        m, _ = evaluate_filter("resid(2)", ala_system)
+        assert m.popcount() == 5
+        m, _ = evaluate_filter("residue(1:2)", ala_system)
+        assert m.popcount() == 10
+
+    def test_filter_within_dynamic(self, ala_system):
+        m, dyn = evaluate_filter("within(2.0, name('CA'))", ala_system)
+        assert dyn
+        assert m.popcount() >= 4  # at least the CAs themselves
+
+    def test_filter_wildcard(self, ala_system):
+        m, _ = evaluate_filter("name('C*')", ala_system)
+        assert m.popcount() == 12
+
+    def test_filter_water_flag(self, water):
+        s, _ = water
+        m, _ = evaluate_filter("water", s)
+        assert m.popcount() == s.natoms
+
+    def test_bad_filter_raises(self, ala_system):
+        with pytest.raises(ScriptError):
+            evaluate_filter("bogus('X')", ala_system)
+        with pytest.raises(ScriptError):
+            evaluate_filter("distance(1,2)", ala_system)  # not a selection
+
+
+class TestCompile:
+    def test_default_script_compiles(self, ala_traj_system):
+        sys, traj = ala_traj_system
+        src = (
+            's1 = resname("ALA")[2:4];\n'
+            "d1 = distance(1,6);\n"
+            'a1 = angle(2,1,3) in resname("ALA");\n'
+            "r = rdf(element('C'), element('O'), 8.0);\n"
+            "v = sdf(s1, element('O'), 6.0);\n"
+            "{lin,plan,iso} = shape_weights(all);\n"
+        )
+        cs = compile_script(src, sys)
+        names = [p.name for p in cs.properties]
+        assert set(names) == {"d1", "a1", "r", "v", "lin", "plan", "iso"}
+        assert cs.property("d1").kind == "temporal"
+        assert cs.property("a1").dim == 4  # one per ALA residue
+        assert cs.property("r").kind == "distribution"
+        assert cs.property("v").kind == "volume"
+        assert "s1" in cs.selections
+        assert cs.selections["s1"].n_structures == 3  # residues 2..4
+
+    def test_compile_errors(self, ala_system):
+        with pytest.raises(ScriptError):
+            compile_script("d = distance(1, 99999);", ala_system)
+        with pytest.raises(ScriptError):
+            compile_script("d = nonsense(1);", ala_system)
+        with pytest.raises(ScriptError):
+            compile_script("{a,b} = distance(1,2);", ala_system)
+
+    def test_math_and_arithmetic(self, ala_system):
+        cs = compile_script(
+            "d = distance(1,6); e = sqrt(d * d); f = d + 1.0;", ala_system
+        )
+        assert {p.name for p in cs.properties} == {"d", "e", "f"}
+
+    def test_injected_identifiers(self, ala_system):
+        from viamd_tpu.core.bitfield import Bitfield
+
+        stored = Bitfield.from_range(ala_system.natoms, 0, 5)
+        cs = compile_script(
+            "c = count(mysel);", ala_system, identifiers={"mysel": stored}
+        )
+        assert cs.property("c").kind == "temporal"
+
+
+class TestEvaluate:
+    def test_full_pipeline(self, ala_traj_system):
+        sys, traj = ala_traj_system
+        src = (
+            "d1 = distance(1,6);\n"
+            'a1 = angle(2,1,3) in resname("ALA");\n'
+            "r = rdf(element('C'), element('O'), 8.0);\n"
+            "{lin,plan,iso} = shape_weights(all);\n"
+        )
+        cs = compile_script(src, sys)
+        res = evaluate(cs, traj, chunk=4)
+        F = traj.num_frames
+        assert res.n_frames_done == F
+        assert res.temporal["d1"].shape == (F, 1)
+        assert res.temporal["a1"].shape == (F, 4)
+        assert np.isfinite(res.temporal["d1"]).all()
+        # distance should match direct computation on frame 0
+        xyz0, cell = traj.load_frame(0)
+        d0 = np.linalg.norm(xyz0[0] - xyz0[5])
+        np.testing.assert_allclose(res.temporal["d1"][0, 0], d0, rtol=1e-4)
+        assert res.distributions["r"].shape == (128,)
+        assert res.distributions["r"].sum() > 0
+        assert res.frame_mask.popcount() == F
+        agg = res.aggregate("a1")
+        assert agg["mean"].shape == (F,)
+
+    def test_frame_window(self, ala_traj_system):
+        sys, traj = ala_traj_system
+        cs = compile_script("d1 = distance(1,6);", sys)
+        res = evaluate(cs, traj, frame_range=range(2, 7), chunk=2)
+        assert res.n_frames_done == 5
+        assert res.frame_mask.popcount() == 5
+        assert res.frame_mask.test_bit(2) and not res.frame_mask.test_bit(0)
+
+    def test_interrupt(self, ala_traj_system):
+        sys, traj = ala_traj_system
+        cs = compile_script("d1 = distance(1,6);", sys)
+        calls = []
+
+        def interrupt():
+            calls.append(1)
+            return len(calls) > 1
+
+        res = evaluate(cs, traj, chunk=2, interrupt=interrupt)
+        assert res.interrupted
+        assert 0 < res.n_frames_done < traj.num_frames
+
+    def test_progress(self, ala_traj_system):
+        sys, traj = ala_traj_system
+        cs = compile_script("d1 = distance(1,6);", sys)
+        fractions = []
+        evaluate(cs, traj, chunk=4, progress=fractions.append)
+        assert fractions[-1] == 1.0
+        assert all(b >= a for a, b in zip(fractions, fractions[1:]))
+
+    def test_sdf_volume(self, water):
+        sys, traj = water
+        src = "v = sdf(residue(1:8), element('H'), 4.0);"
+        cs = compile_script(src, sys)
+        res = evaluate(cs, traj, chunk=5)
+        assert res.volumes["v"].shape == (64, 64, 64)
+        vol = res.normalized_volume("v")
+        assert np.isfinite(vol).all()
+        assert vol.sum() > 0
+
+    def test_rdf_normalization(self, water):
+        sys, traj = water
+        cs = compile_script(
+            "r = rdf(element('O'), element('O'), 9.0);", sys
+        )
+        res = evaluate(cs, traj)
+        g = res.normalized_distribution("r", sys.cell.volume())
+        assert np.isfinite(g).all()
+
+    def test_mesh_sharded_eval(self, ala_traj_system):
+        sys, traj = ala_traj_system
+        devs = jax.devices()
+        assert len(devs) == 8, "conftest must provide 8 virtual CPU devices"
+        mesh = jax.sharding.Mesh(np.array(devs), ("frames",))
+        cs = compile_script(
+            "d1 = distance(1,6); r = rdf(element('C'), element('O'), 8.0);", sys
+        )
+        res_sharded = evaluate(cs, traj, chunk=8, mesh=mesh)
+        res_single = evaluate(cs, traj, chunk=8)
+        np.testing.assert_allclose(
+            res_sharded.temporal["d1"], res_single.temporal["d1"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            res_sharded.distributions["r"],
+            res_single.distributions["r"],
+            rtol=1e-4,
+        )

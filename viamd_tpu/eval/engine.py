@@ -1,0 +1,235 @@
+"""Evaluation engine: drive a CompiledScript over a trajectory.
+
+Rebuild of the reference's eval pipeline (md_script_eval_create +
+md_script_eval_frame_range partitioned over a thread pool,
+/root/reference/src/main.cpp:959-1035) re-architected for TPU:
+
+- frames stream from the Trajectory in fixed-size batches (static shapes →
+  one XLA compilation), each batch jit+vmap-evaluated on device;
+- with a `jax.sharding.Mesh`, the batch axis is sharded over devices
+  ("frames" = the data-parallel axis per SURVEY.md §2.4); temporal results
+  gather back per shard, distribution/volume accumulators all-reduce via the
+  sharded-sum XLA emits for reductions over the sharded axis;
+- evaluation is chunk-interruptible with progress + a completed-frame mask —
+  the md_script_eval_frame_mask resume bookkeeping (main.cpp:1500), which
+  also makes preempted sweeps resumable (SURVEY.md §5.3);
+- filtered re-evaluation over a frame window (the timeline filter,
+  main.cpp:1000-1027) is just `run(frame_range=...)` on a second Evaluator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viamd_tpu.core.bitfield import Bitfield
+from viamd_tpu.io.trajectory import Trajectory
+from viamd_tpu.ops import pbc as pbc_ops
+from viamd_tpu.ops import rdf as rdf_ops
+from viamd_tpu.script.compiler import CompiledScript
+from viamd_tpu.script.values import PropertyMeta
+
+
+@dataclasses.dataclass
+class EvalResult:
+    """Evaluated properties over a frame range."""
+
+    frame_indices: np.ndarray  # (F,) evaluated frame indices
+    times: np.ndarray  # (F,) frame times
+    temporal: dict  # name -> (F, dim) float32
+    distributions: dict  # name -> (nbins,) accumulated histogram
+    volumes: dict  # name -> (D, D, D) accumulated grid
+    frame_mask: Bitfield  # completed frames (over the whole trajectory)
+    properties: list
+    n_frames_done: int = 0
+    interrupted: bool = False
+
+    def property(self, name: str) -> PropertyMeta:
+        for p in self.properties:
+            if p.name == name:
+                return p
+        raise KeyError(name)
+
+    # -- derived views (the DisplayProperty family, main.cpp:1247-1489) ------
+    def aggregate(self, name: str) -> dict:
+        """Population mean/var/min/max over the dim axis per frame."""
+        v = self.temporal[name]
+        return {
+            "mean": v.mean(axis=1),
+            "var": v.var(axis=1),
+            "min": v.min(axis=1),
+            "max": v.max(axis=1),
+        }
+
+    def histogram(
+        self, name: str, bins: int = 128, vrange: Optional[tuple] = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Distribution of a temporal property over evaluated frames
+        (the re-binning of update_display_properties, main.cpp:1490-1517)."""
+        v = self.temporal[name].reshape(-1)
+        lo, hi = vrange if vrange else (float(v.min()), float(v.max()))
+        if hi <= lo:
+            hi = lo + 1.0
+        hist, edges = np.histogram(v, bins=bins, range=(lo, hi))
+        return hist.astype(np.float32), edges
+
+    def normalized_distribution(self, name: str, volume: float) -> np.ndarray:
+        """g(r) for an rdf property."""
+        p = self.property(name)
+        h = self.distributions[name]
+        return np.asarray(
+            rdf_ops.rdf_normalize(
+                jnp.asarray(h),
+                p.spec.count_a,
+                p.spec.count_b,
+                volume,
+                p.spec.r_max,
+                max(self.n_frames_done, 1),
+            )
+        )
+
+    def normalized_volume(self, name: str) -> np.ndarray:
+        """Mean per-frame per-structure occupancy grid for an sdf property."""
+        p = self.property(name)
+        denom = max(self.n_frames_done, 1) * max(p.spec.n_structures, 1)
+        return self.volumes[name] / denom
+
+
+class Evaluator:
+    """Chunked, interruptible, optionally mesh-sharded script evaluation."""
+
+    def __init__(
+        self,
+        compiled: CompiledScript,
+        traj: Trajectory,
+        chunk: int = 16,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        frames_axis: str = "frames",
+    ):
+        self.compiled = compiled
+        self.traj = traj
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = mesh.devices.size
+            chunk = max(chunk, ndev)
+            chunk = (chunk // ndev) * ndev
+        self.chunk = chunk
+        self.frames_axis = frames_axis
+        self._batch_fn = self._build_batch_fn()
+
+    def _build_batch_fn(self):
+        frame_fn = self.compiled.frame_fn
+
+        def batch(coords, bases, valid):
+            invs = pbc_ops.inv_basis_of(bases)
+            temporal, accum = jax.vmap(frame_fn)(coords, bases, invs)
+            # weighted sum over the (possibly sharded) batch axis: padded
+            # frames carry valid=0 so they contribute nothing
+            accum_summed = {
+                k: jnp.tensordot(valid, v, axes=(0, 0)) for k, v in accum.items()
+            }
+            return temporal, accum_summed
+
+        if self.mesh is not None:
+            sh = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(self.frames_axis)
+            )
+            rep = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+            return jax.jit(
+                batch,
+                in_shardings=(sh, sh, sh),
+                out_shardings=(sh, rep),
+            )
+        return jax.jit(batch)
+
+    def run(
+        self,
+        frame_range: Optional[Iterable[int]] = None,
+        progress: Optional[Callable[[float], None]] = None,
+        interrupt: Optional[Callable[[], bool]] = None,
+    ) -> EvalResult:
+        traj = self.traj
+        indices = (
+            np.asarray(list(frame_range), np.int64)
+            if frame_range is not None
+            else np.arange(traj.num_frames, dtype=np.int64)
+        )
+        F = indices.size
+        B = self.chunk
+        props = self.compiled.properties
+        temporal_out = {
+            p.name: np.zeros((F, p.dim), np.float32)
+            for p in props
+            if p.kind == "temporal"
+        }
+        dist_acc: dict[str, np.ndarray] = {}
+        vol_acc: dict[str, np.ndarray] = {}
+        frame_mask = Bitfield(traj.num_frames)
+        done = 0
+        interrupted = False
+
+        for beg in range(0, F, B):
+            if interrupt is not None and interrupt():
+                interrupted = True
+                break
+            chunk_idx = indices[beg : beg + B]
+            nb = chunk_idx.size
+            if nb < B:  # pad to static shape
+                chunk_idx = np.concatenate(
+                    [chunk_idx, np.repeat(chunk_idx[-1:], B - nb)]
+                )
+            coords, cells = traj.load_frames(chunk_idx)
+            valid = np.zeros(B, np.float32)
+            valid[:nb] = 1.0
+            t_out, a_out = self._batch_fn(
+                jnp.asarray(coords), jnp.asarray(cells), jnp.asarray(valid)
+            )
+            for k, v in t_out.items():
+                arr = np.asarray(v)[:nb]
+                temporal_out[k][beg : beg + nb] = arr.reshape(nb, -1)
+            for k, v in a_out.items():
+                acc = dist_acc if v.ndim == 1 else vol_acc
+                vnp = np.asarray(v)
+                if k in acc:
+                    acc[k] += vnp
+                else:
+                    acc[k] = vnp.copy()
+            for fi in indices[beg : beg + nb]:
+                frame_mask.set_bit(int(fi))
+            done += nb
+            if progress is not None:
+                progress(done / F)
+
+        times = np.asarray(traj.frame_times)[indices[:done]]
+        return EvalResult(
+            frame_indices=indices[:done],
+            times=times,
+            temporal={k: v[:done] for k, v in temporal_out.items()},
+            distributions=dist_acc,
+            volumes=vol_acc,
+            frame_mask=frame_mask,
+            properties=props,
+            n_frames_done=done,
+            interrupted=interrupted,
+        )
+
+
+def evaluate(
+    compiled: CompiledScript,
+    traj: Trajectory,
+    frame_range: Optional[Iterable[int]] = None,
+    chunk: int = 16,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress: Optional[Callable[[float], None]] = None,
+    interrupt: Optional[Callable[[], bool]] = None,
+) -> EvalResult:
+    """One-shot evaluation (the Shift+Enter path, main.cpp:949-985)."""
+    return Evaluator(compiled, traj, chunk=chunk, mesh=mesh).run(
+        frame_range, progress, interrupt
+    )

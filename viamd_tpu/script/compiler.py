@@ -1,0 +1,1110 @@
+"""VIAMD script → typed IR → per-frame JAX function.
+
+Rebuild of md_script_ir_compile_from_source + md_script_eval_* (reference
+capability: /root/reference/src/main.cpp:866,959-1035 — compile with
+system+trajectory context, injected identifiers, per-frame evaluation of
+temporal/distribution/volume properties with aggregates).
+
+Compilation strategy (SURVEY.md §7 "hard parts"):
+- All frame-independent subexpressions — selections, structure contexts,
+  literals, table imports — are evaluated ONCE on the host at compile time
+  (`Selection` values with static gather index lists / dense masks).
+- The remaining dynamic graph is captured as `frame_fn(x, basis, inv_basis)
+  → (temporal: dict, accum: dict)`, a pure jittable function built from
+  viamd_tpu.ops kernels. The engine vmaps it over frame batches and
+  shard_maps it over the device mesh; distribution (rdf) and volume (sdf)
+  contributions are summed across frames / psummed across shards.
+- A compile-time dry run over the reference frame (frame 0) type-checks the
+  script by example and produces PropertyMeta (the DisplayProperty analog).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viamd_tpu.core import elements as E
+from viamd_tpu.core import system as S
+from viamd_tpu.core.bitfield import Bitfield
+from viamd_tpu.ops import com as com_ops
+from viamd_tpu.ops import covariance as cov_ops
+from viamd_tpu.ops import geometry as geom_ops
+from viamd_tpu.ops import pbc as pbc_ops
+from viamd_tpu.ops import rdf as rdf_ops
+from viamd_tpu.ops import rmsd as rmsd_ops
+from viamd_tpu.ops import sdf as sdf_ops
+from viamd_tpu.script import parser as P
+from viamd_tpu.script.parser import ScriptError
+from viamd_tpu.script.values import (
+    AccumSpec,
+    AccumValue,
+    DynValue,
+    FRange,
+    IRange,
+    PropertyMeta,
+    Selection,
+)
+
+RAD2DEG = 57.29577951308232
+
+# Default resolutions (display side upsamples, as the reference does with its
+# 512²-accumulate / 1024²-display split, ramachandran.cpp:43-44)
+RDF_BINS = 128
+SDF_DIMS = 64
+
+
+@dataclass
+class CompiledScript:
+    """Result of compiling a script against a system."""
+
+    frame_fn: Callable  # (x, basis, inv_basis) -> (temporal, accum) dicts
+    properties: list[PropertyMeta]
+    selections: dict[str, Selection]  # named selections (vis payload source)
+    source: str
+    warnings: list[str] = field(default_factory=list)
+
+    def property(self, name: str) -> PropertyMeta:
+        for p in self.properties:
+            if p.name == name:
+                return p
+        raise KeyError(name)
+
+
+def compile_script(
+    src: str,
+    system: S.System,
+    identifiers: Optional[dict[str, Bitfield]] = None,
+) -> CompiledScript:
+    """Compile script text against a system (reference frame = system coords).
+
+    `identifiers` injects stored selections as script identifiers, mirroring
+    main.cpp:860-863.
+    """
+    stmts = P.parse(src)
+    comp = _Compiler(system, identifiers or {})
+    return comp.compile(stmts, src)
+
+
+class _Compiler:
+    def __init__(self, system: S.System, identifiers: dict[str, Bitfield]):
+        self.sys = system
+        self.n = system.natoms
+        self.x0 = np.ascontiguousarray(system.coords(), dtype=np.float32)
+        self.masses = system.mass.astype(np.float32)
+        basis = np.asarray(system.cell.basis, np.float32)
+        self.basis0 = basis
+        self.inv_basis0 = np.asarray(system.cell.inv_basis, np.float32)
+        self.injected = identifiers
+        # state during a walk
+        self.env: dict[str, Any] = {}
+        self.context: Optional[Selection] = None
+        self.static_cache: dict[int, Any] = {}
+        self.tracing = False
+        self._trace_x = None
+        self._trace_basis = None
+        self._trace_inv = None
+        self.warnings: list[str] = []
+
+    # -- public -------------------------------------------------------------
+    def compile(self, stmts: list[P.Assign], src: str) -> CompiledScript:
+        # Dry run on the reference frame to type-check + collect metadata.
+        temporal0, accum0, selections = self._run(
+            stmts,
+            jnp.asarray(self.x0),
+            jnp.asarray(self.basis0),
+            jnp.asarray(self.inv_basis0),
+            collect_meta=True,
+        )
+        props: list[PropertyMeta] = []
+        for name, val in temporal0.items():
+            dim = int(np.prod(val.data.shape)) if val.data.shape else 1
+            props.append(
+                PropertyMeta(name=name, kind="temporal", dim=dim, unit=val.unit)
+            )
+        for name, av in accum0.items():
+            props.append(
+                PropertyMeta(
+                    name=name,
+                    kind=av.spec.kind,
+                    dim=av.spec.nbins or av.spec.dims,
+                    unit=av.spec.x_unit,
+                    spec=av.spec,
+                )
+            )
+
+        def frame_fn(x, basis, inv_basis):
+            temporal, accum, _ = self._run(stmts, x, basis, inv_basis)
+            t_out = {
+                k: jnp.atleast_1d(v.data).reshape(-1).astype(jnp.float32)
+                for k, v in temporal.items()
+            }
+            a_out = {k: v.data for k, v in accum.items()}
+            return t_out, a_out
+
+        return CompiledScript(
+            frame_fn=frame_fn,
+            properties=props,
+            selections=selections,
+            source=src,
+            warnings=list(self.warnings),
+        )
+
+    # -- walking ------------------------------------------------------------
+    def _run(self, stmts, x, basis, inv_basis, collect_meta: bool = False):
+        self.env = {}
+        for name, bf in self.injected.items():
+            self.env[name] = Selection(bf, [bf.indices()], "atom")
+        self.context = None
+        self._trace_x = x
+        self._trace_basis = basis
+        self._trace_inv = inv_basis
+        temporal: dict[str, DynValue] = {}
+        accum: dict[str, AccumValue] = {}
+        selections: dict[str, Selection] = {}
+        for stmt in stmts:
+            val = self.eval(stmt.expr)
+            names = stmt.targets
+            parts = self._destructure(val, names, stmt)
+            for nm, v in zip(names, parts):
+                self.env[nm] = v
+                if nm.startswith("$"):
+                    continue
+                if isinstance(v, Selection):
+                    selections[nm] = v
+                elif isinstance(v, DynValue):
+                    temporal[nm] = v
+                elif isinstance(v, AccumValue):
+                    accum[nm] = v
+                elif isinstance(v, (int, float)):
+                    temporal[nm] = DynValue(jnp.float32(v))
+                elif isinstance(v, np.ndarray):
+                    temporal[nm] = DynValue(jnp.asarray(v, jnp.float32))
+        return temporal, accum, selections
+
+    def _destructure(self, val, names, stmt):
+        if len(names) == 1:
+            return [val]
+        if isinstance(val, DynValue):
+            d = val.data
+            if d.shape and d.shape[-1] == len(names):
+                return [
+                    DynValue(d[..., i], val.unit) for i in range(len(names))
+                ]
+        raise ScriptError(
+            f"cannot destructure value into {len(names)} names",
+            stmt.line,
+            stmt.col,
+        )
+
+    def eval(self, node: P.Node):
+        method = getattr(self, f"_eval_{type(node).__name__}")
+        return method(node)
+
+    # -- literals / identifiers ---------------------------------------------
+    def _eval_Num(self, node: P.Num):
+        return node.value
+
+    def _eval_Str(self, node: P.Str):
+        return node.value
+
+    def _eval_Ident(self, node: P.Ident):
+        name = node.name
+        if name in self.env:
+            return self.env[name]
+        fn = NULLARY.get(name)
+        if fn is not None:
+            return fn(self, node)
+        if name in BUILTINS:
+            raise ScriptError(
+                f"'{name}' requires arguments", node.line, node.col
+            )
+        raise ScriptError(f"undefined identifier '{name}'", node.line, node.col)
+
+    def _eval_RangeLit(self, node: P.RangeLit):
+        beg = self.eval(node.beg) if node.beg is not None else None
+        end = self.eval(node.end) if node.end is not None else None
+        if isinstance(beg, float) or isinstance(end, float):
+            return FRange(beg, end)
+        return IRange(beg, end)
+
+    def _eval_ArrayLit(self, node: P.ArrayLit):
+        items = [self.eval(i) for i in node.items]
+        if all(isinstance(i, (int, float)) for i in items):
+            return np.asarray(items, np.float32)
+        if all(isinstance(i, DynValue) for i in items):
+            return DynValue(jnp.stack([i.data for i in items], -1))
+        raise ScriptError("mixed array literal", node.line, node.col)
+
+    # -- operators -----------------------------------------------------------
+    def _eval_UnOp(self, node: P.UnOp):
+        v = self.eval(node.operand)
+        if node.op == "-":
+            if isinstance(v, (int, float, np.ndarray)):
+                return -v
+            if isinstance(v, DynValue):
+                return DynValue(-v.data, v.unit)
+        if node.op == "not":
+            sel = self._as_selection(v, node)
+            inv = ~sel.mask
+            if self.context is not None:
+                inv = inv & self.context.mask
+            return self._regroup(inv, dynamic=sel.dynamic)
+        raise ScriptError(f"bad operand for {node.op}", node.line, node.col)
+
+    def _eval_BinOp(self, node: P.BinOp):
+        op = node.op
+        lhs = self.eval(node.lhs)
+        rhs = self.eval(node.rhs)
+        if op in ("and", "or"):
+            a = self._as_selection(lhs, node)
+            b = self._as_selection(rhs, node)
+            m = a.mask & b.mask if op == "and" else a.mask | b.mask
+            return self._regroup(m, dynamic=a.dynamic or b.dynamic)
+        # arithmetic / comparisons on numbers + dyn values
+        def as_data(v):
+            if isinstance(v, DynValue):
+                return v.data
+            if isinstance(v, (int, float, np.ndarray)):
+                return v
+            raise ScriptError(
+                f"operator '{op}' not applicable", node.line, node.col
+            )
+
+        a, b = as_data(lhs), as_data(rhs)
+        fns = {
+            "+": lambda: a + b,
+            "-": lambda: a - b,
+            "*": lambda: a * b,
+            "/": lambda: a / b,
+            "<": lambda: a < b,
+            ">": lambda: a > b,
+            "<=": lambda: a <= b,
+            ">=": lambda: a >= b,
+            "==": lambda: a == b,
+            "!=": lambda: a != b,
+        }
+        out = fns[op]()
+        if isinstance(lhs, DynValue) or isinstance(rhs, DynValue):
+            unit = lhs.unit if isinstance(lhs, DynValue) else (
+                rhs.unit if isinstance(rhs, DynValue) else ""
+            )
+            return DynValue(jnp.asarray(out, jnp.float32), unit)
+        return out
+
+    def _eval_InExpr(self, node: P.InExpr):
+        ctx = self.eval(node.context)
+        ctx = self._as_selection(ctx, node)
+        if ctx.n_structures == 0:
+            raise ScriptError("'in' context matches nothing", node.line, node.col)
+        prev = self.context
+        self.context = ctx
+        try:
+            return self.eval(node.expr)
+        finally:
+            self.context = prev
+
+    def _eval_Subscript(self, node: P.Subscript):
+        base = self.eval(node.base)
+        idx = self.eval(node.index)
+        if isinstance(base, Selection):
+            s = base.structures
+            if isinstance(idx, IRange):
+                beg = (idx.beg or 1) - 1
+                end = idx.end if idx.end is not None else len(s)
+                sub = s[beg:end]
+            elif isinstance(idx, int):
+                if not (1 <= idx <= len(s)):
+                    raise ScriptError(
+                        f"index {idx} out of range [1,{len(s)}]",
+                        node.line, node.col,
+                    )
+                sub = [s[idx - 1]]
+            else:
+                raise ScriptError("bad selection index", node.line, node.col)
+            if not sub:
+                raise ScriptError("empty selection slice", node.line, node.col)
+            mask = Bitfield.from_indices(
+                self.n, np.concatenate(sub) if sub else []
+            )
+            return Selection(mask, sub, base.level, base.dynamic)
+        if isinstance(base, DynValue):
+            if isinstance(idx, int):
+                return DynValue(base.data[..., idx - 1], base.unit)
+            if isinstance(idx, IRange):
+                beg = (idx.beg or 1) - 1
+                end = idx.end if idx.end is not None else base.data.shape[-1]
+                return DynValue(base.data[..., beg:end], base.unit)
+        if isinstance(base, np.ndarray):
+            if isinstance(idx, int):
+                return base[..., idx - 1]
+            if isinstance(idx, IRange):
+                beg = (idx.beg or 1) - 1
+                end = idx.end if idx.end is not None else base.shape[-1]
+                return base[..., beg:end]
+        raise ScriptError("subscript not supported here", node.line, node.col)
+
+    def _eval_Call(self, node: P.Call):
+        fn = BUILTINS.get(node.func)
+        if fn is None:
+            raise ScriptError(
+                f"unknown function '{node.func}'", node.line, node.col
+            )
+        args = [self.eval(a) for a in node.args]
+        try:
+            return fn(self, node, args)
+        except ScriptError:
+            raise
+        except (TypeError, ValueError, IndexError) as e:
+            raise ScriptError(
+                f"{node.func}: {e}", node.line, node.col
+            ) from e
+
+    # -- helpers -------------------------------------------------------------
+    def _as_selection(self, v, node) -> Selection:
+        if isinstance(v, Selection):
+            return v
+        raise ScriptError(
+            "expected an atom selection", getattr(node, "line", 0),
+            getattr(node, "col", 0),
+        )
+
+    def _regroup(self, mask: Bitfield, dynamic=False) -> Selection:
+        """Selection from a raw mask: structures grouped by residue when the
+        mask spans whole residues, else a single flat structure."""
+        idx = mask.indices()
+        return Selection(mask, [idx] if idx.size else [], "atom", dynamic)
+
+    def residue_selection(self, res_mask: np.ndarray, dynamic=False) -> Selection:
+        """Selection at residue granularity from a per-residue bool mask."""
+        structures = []
+        all_idx = []
+        offs = self.sys.res_offsets
+        for r in np.nonzero(res_mask)[0]:
+            ats = np.arange(offs[r], offs[r + 1], dtype=np.int32)
+            structures.append(ats)
+            all_idx.append(ats)
+        mask = Bitfield.from_indices(
+            self.n, np.concatenate(all_idx) if all_idx else []
+        )
+        sel = Selection(mask, structures, "residue", dynamic)
+        return self._clip_to_context(sel)
+
+    def atom_selection(self, atom_mask: np.ndarray, dynamic=False) -> Selection:
+        bf = Bitfield.from_bools(atom_mask)
+        sel = Selection(bf, [bf.indices()] if bf.any() else [], "atom", dynamic)
+        return self._clip_to_context(sel)
+
+    def _clip_to_context(self, sel: Selection) -> Selection:
+        """Inside an `in` context, selections restrict to the context mask
+        (per-structure intersection when the context drives a mapped eval)."""
+        if self.context is None:
+            return sel
+        m = sel.mask & self.context.mask
+        if sel.level == "residue":
+            structures = [
+                s[np.isin(s, m.indices())] for s in sel.structures
+            ]
+            structures = [s for s in structures if s.size]
+            return Selection(m, structures, sel.level, sel.dynamic)
+        idx = m.indices()
+        return Selection(m, [idx] if idx.size else [], sel.level, sel.dynamic)
+
+    def position_of(self, v, node) -> Any:
+        """Coerce an argument to a (3,) position (traced).
+
+        int → 1-based global atom index (or context-relative inside `in`);
+        Selection → mass-weighted COM; DynValue coord passes through.
+        """
+        x = self._trace_x
+        if isinstance(v, int):
+            gi = self._resolve_atom_index(v, node)
+            return x[gi]
+        if isinstance(v, Selection):
+            idx = v.mask.indices()
+            w = np.zeros(self.n, np.float32)
+            w[idx] = self.masses[idx]
+            return com_ops.com(
+                x, jnp.asarray(w), self._trace_basis, self._trace_inv
+            )
+        if isinstance(v, DynValue) and v.is_coord:
+            return v.data
+        raise ScriptError(
+            "expected an atom index, selection, or position",
+            node.line, node.col,
+        )
+
+    def _resolve_atom_index(self, i: int, node) -> int:
+        if self.context is not None:
+            # relative 1-based index within each context structure is handled
+            # by mapped builtins; a bare resolve uses the first structure
+            raise ScriptError(
+                "atom-index arguments inside 'in' must be used by a mappable "
+                "function (distance/angle/dihedral)",
+                node.line, node.col,
+            )
+        if not (1 <= i <= self.n):
+            raise ScriptError(
+                f"atom index {i} out of range [1,{self.n}]", node.line, node.col
+            )
+        return i - 1
+
+    def context_structures(self) -> list[np.ndarray]:
+        if self.context is None:
+            return [np.arange(self.n, dtype=np.int32)]
+        return self.context.structures
+
+    def dense_weights(self, sel: Selection, masses=True) -> np.ndarray:
+        w = np.zeros(self.n, np.float32)
+        idx = sel.mask.indices()
+        w[idx] = self.masses[idx] if masses else 1.0
+        return w
+
+
+# ---------------------------------------------------------------------------
+# builtin registry
+# ---------------------------------------------------------------------------
+
+BUILTINS: dict[str, Callable] = {}
+NULLARY: dict[str, Callable] = {}
+
+
+def builtin(name):
+    def deco(fn):
+        BUILTINS[name] = fn
+        return fn
+
+    return deco
+
+
+def nullary(name):
+    def deco(fn):
+        NULLARY[name] = fn
+        return fn
+
+    return deco
+
+
+# -- nullary selections ------------------------------------------------------
+
+
+@nullary("all")
+def _all(c: _Compiler, node):
+    if c.context is not None:
+        return c.context
+    return Selection(
+        Bitfield.full(c.n), [np.arange(c.n, dtype=np.int32)], "system"
+    )
+
+
+@nullary("atoms")
+def _atoms(c: _Compiler, node):
+    base = c.context.mask.indices() if c.context else np.arange(c.n)
+    return Selection(
+        Bitfield.from_indices(c.n, base),
+        [np.asarray([i], np.int32) for i in base],
+        "atom",
+    )
+
+
+@nullary("residues")
+def _residues(c: _Compiler, node):
+    return c.residue_selection(np.ones(c.sys.nres, bool))
+
+
+@nullary("chains")
+def _chains(c: _Compiler, node):
+    structures = []
+    offs = c.sys.chain_offsets
+    for ci in range(c.sys.nchains):
+        structures.append(np.arange(offs[ci], offs[ci + 1], dtype=np.int32))
+    mask = Bitfield.full(c.n)
+    sel = Selection(mask, structures, "chain")
+    return c._clip_to_context(sel)
+
+
+def _flag_nullary(flag):
+    def fn(c: _Compiler, node):
+        return c.atom_selection((c.sys.flags & flag) != 0)
+
+    return fn
+
+
+NULLARY["water"] = _flag_nullary(S.FLAG_WATER)
+NULLARY["ion"] = _flag_nullary(S.FLAG_ION)
+NULLARY["protein"] = _flag_nullary(S.FLAG_AMINO)
+NULLARY["nucleic"] = _flag_nullary(S.FLAG_NUCLEIC)
+NULLARY["backbone"] = _flag_nullary(S.FLAG_BACKBONE)
+NULLARY["sidechain"] = _flag_nullary(S.FLAG_SIDECHAIN)
+NULLARY["hetero"] = _flag_nullary(S.FLAG_HETERO)
+
+
+# -- selection functions -----------------------------------------------------
+
+
+def _match_labels(table, patterns) -> set[int]:
+    """Label-table ids matching any of the (glob-capable) string patterns."""
+    out = set()
+    for pat in patterns:
+        if not isinstance(pat, str):
+            raise TypeError(f"expected string, got {pat!r}")
+        for i, lab in enumerate(table.labels):
+            if lab == pat or fnmatch.fnmatchcase(lab.upper(), pat.upper()):
+                out.add(i)
+    return out
+
+
+@builtin("element")
+def _element(c: _Compiler, node, args):
+    zs = set()
+    for a in args:
+        if isinstance(a, str):
+            z = E.symbol_to_z(a) or E.name_to_z(a)
+            if not z:
+                raise ScriptError(
+                    f"unknown element '{a}'", node.line, node.col
+                )
+            zs.add(z)
+        elif isinstance(a, int):
+            zs.add(a)
+        else:
+            raise ScriptError("element: expects symbols", node.line, node.col)
+    mask = np.isin(c.sys.element, list(zs))
+    return c.atom_selection(mask)
+
+
+@builtin("name")
+def _name(c: _Compiler, node, args):
+    ids = _match_labels(c.sys.atom_names, args)
+    return c.atom_selection(np.isin(c.sys.atom_name_id, list(ids)))
+
+
+BUILTINS["type"] = _name
+BUILTINS["label"] = _name
+
+
+@builtin("resname")
+def _resname(c: _Compiler, node, args):
+    ids = _match_labels(c.sys.res_names, args)
+    res_mask = np.isin(c.sys.res_name_id, list(ids))
+    return c.residue_selection(res_mask)
+
+
+@builtin("resid")
+def _resid(c: _Compiler, node, args):
+    res_mask = np.zeros(c.sys.nres, bool)
+    rid = c.sys.res_id
+    for a in args:
+        if isinstance(a, int):
+            res_mask |= rid == a
+        elif isinstance(a, IRange):
+            beg = a.beg if a.beg is not None else int(rid.min())
+            end = a.end if a.end is not None else int(rid.max())
+            res_mask |= (rid >= beg) & (rid <= end)
+        else:
+            raise ScriptError("resid: expects ints/ranges", node.line, node.col)
+    return c.residue_selection(res_mask)
+
+
+@builtin("residue")
+def _residue(c: _Compiler, node, args):
+    """1-based residue *sequence* indices (not author resid)."""
+    res_mask = np.zeros(c.sys.nres, bool)
+    for a in args:
+        if isinstance(a, int):
+            if not (1 <= a <= c.sys.nres):
+                raise ScriptError(
+                    f"residue index {a} out of range", node.line, node.col
+                )
+            res_mask[a - 1] = True
+        elif isinstance(a, IRange):
+            beg = (a.beg or 1) - 1
+            end = a.end if a.end is not None else c.sys.nres
+            res_mask[beg:end] = True
+        else:
+            raise ScriptError("residue: expects ints/ranges", node.line, node.col)
+    return c.residue_selection(res_mask)
+
+
+@builtin("chain")
+def _chain(c: _Compiler, node, args):
+    structures = []
+    offs = c.sys.chain_offsets
+    chosen = np.zeros(c.sys.nchains, bool)
+    for a in args:
+        if isinstance(a, str):
+            ids = _match_labels(c.sys.chain_labels, [a])
+            chosen |= np.isin(c.sys.chain_id, list(ids))
+        elif isinstance(a, int):
+            if 1 <= a <= c.sys.nchains:
+                chosen[a - 1] = True
+        elif isinstance(a, IRange):
+            beg = (a.beg or 1) - 1
+            end = a.end if a.end is not None else c.sys.nchains
+            chosen[beg:end] = True
+    all_idx = []
+    for ci in np.nonzero(chosen)[0]:
+        ats = np.arange(offs[ci], offs[ci + 1], dtype=np.int32)
+        structures.append(ats)
+        all_idx.append(ats)
+    mask = Bitfield.from_indices(
+        c.n, np.concatenate(all_idx) if all_idx else []
+    )
+    return c._clip_to_context(Selection(mask, structures, "chain"))
+
+
+@builtin("atom")
+def _atom(c: _Compiler, node, args):
+    """1-based atom indices/ranges (context-relative inside `in`)."""
+    ctx_structs = c.context.structures if c.context else None
+    mask = np.zeros(c.n, bool)
+    if ctx_structs is None:
+        for a in args:
+            if isinstance(a, int):
+                mask[c._resolve_atom_index(a, node)] = True
+            elif isinstance(a, IRange):
+                beg = (a.beg or 1) - 1
+                end = a.end if a.end is not None else c.n
+                mask[beg:end] = True
+    else:
+        for s in ctx_structs:
+            for a in args:
+                if isinstance(a, int):
+                    if 1 <= a <= len(s):
+                        mask[s[a - 1]] = True
+                elif isinstance(a, IRange):
+                    beg = (a.beg or 1) - 1
+                    end = a.end if a.end is not None else len(s)
+                    mask[s[beg:end]] = True
+    bf = Bitfield.from_bools(mask)
+    return Selection(bf, [bf.indices()] if bf.any() else [], "atom")
+
+
+@builtin("within")
+def _within(c: _Compiler, node, args):
+    """within(cutoff, sel): atoms within cutoff Å of sel (reference frame).
+
+    Marked dynamic: the reference re-evaluates such selections per frame when
+    used as display filters (viamd.cpp:1510 is_dynamic); as a *structure
+    context* it must be static, so we evaluate on the reference frame and
+    warn.
+    """
+    if len(args) != 2:
+        raise ScriptError("within(cutoff, selection)", node.line, node.col)
+    cutoff, sel = args
+    if isinstance(sel, (int, float)) and isinstance(cutoff, Selection):
+        cutoff, sel = sel, cutoff
+    if not isinstance(sel, Selection) or not isinstance(cutoff, (int, float)):
+        raise ScriptError("within(cutoff, selection)", node.line, node.col)
+    idx = sel.mask.indices()
+    if not idx.size:
+        return c.atom_selection(np.zeros(c.n, bool), dynamic=True)
+    # host-side distance check on the reference frame
+    from viamd_tpu.ops.pbc import min_image
+
+    x = c.x0
+    d = x[:, None, :] - x[None, idx, :]
+    dd = np.asarray(
+        min_image(
+            jnp.asarray(d.reshape(-1, 3)),
+            jnp.asarray(c.basis0),
+            jnp.asarray(c.inv_basis0),
+        )
+    ).reshape(d.shape)
+    dist2 = (dd * dd).sum(-1)
+    mask = (dist2 <= float(cutoff) ** 2).any(axis=1)
+    c.warnings.append(
+        "within(): evaluated on the reference frame (static selection)"
+    )
+    return c.atom_selection(mask, dynamic=True)
+
+
+def _axis_sel(axis):
+    def fn(c: _Compiler, node, args):
+        if len(args) != 1 or not isinstance(args[0], (IRange, FRange)):
+            raise ScriptError(
+                f"{'xyz'[axis]}(min:max) expects a range", node.line, node.col
+            )
+        r = args[0]
+        v = c.x0[:, axis]
+        lo = r.beg if r.beg is not None else -np.inf
+        hi = r.end if r.end is not None else np.inf
+        return c.atom_selection((v >= lo) & (v <= hi), dynamic=True)
+
+    return fn
+
+
+BUILTINS["x"] = _axis_sel(0)
+BUILTINS["y"] = _axis_sel(1)
+BUILTINS["z"] = _axis_sel(2)
+
+
+@builtin("count")
+def _count(c: _Compiler, node, args):
+    sel = c._as_selection(args[0] if args else None, node)
+    return DynValue(jnp.float32(sel.mask.popcount()))
+
+
+# -- geometry ----------------------------------------------------------------
+
+
+def _mapped_indices(c: _Compiler, raw_args, node, arity):
+    """Resolve atom-index args to (S,) global index arrays (context-mapped)."""
+    structs = c.context_structures() if c.context else None
+    cols = []
+    for a in raw_args:
+        if not isinstance(a, int):
+            return None  # not the pure-index form
+        cols.append(a)
+    if len(cols) != arity:
+        raise ScriptError(
+            f"expected {arity} atom indices", node.line, node.col
+        )
+    if c.context is None:
+        idx = [np.asarray([c._resolve_atom_index(a, node)], np.int32) for a in cols]
+        return idx
+    out = [[] for _ in range(arity)]
+    for s in structs:
+        for k, a in enumerate(cols):
+            if not (1 <= a <= len(s)):
+                raise ScriptError(
+                    f"relative atom index {a} out of range for a structure "
+                    f"of {len(s)} atoms",
+                    node.line, node.col,
+                )
+            out[k].append(s[a - 1])
+    return [np.asarray(o, np.int32) for o in out]
+
+
+@builtin("distance")
+def _distance(c: _Compiler, node, args):
+    if len(args) != 2:
+        raise ScriptError("distance(a, b)", node.line, node.col)
+    idx = _mapped_indices(c, args, node, 2)
+    x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
+    if idx is not None:
+        d = geom_ops.distance(x, jnp.asarray(idx[0]), jnp.asarray(idx[1]), b, ib)
+        return DynValue(d[0] if d.shape[0] == 1 else d, unit="Å")
+    pa = c.position_of(args[0], node)
+    pb = c.position_of(args[1], node)
+    dv = pbc_ops.min_image(pa - pb, b, ib)
+    return DynValue(jnp.sqrt(jnp.maximum(jnp.sum(dv * dv), 0.0)), unit="Å")
+
+
+@builtin("distance_min")
+def _distance_min(c: _Compiler, node, args):
+    a = c._as_selection(args[0], node)
+    bsel = c._as_selection(args[1], node)
+    dmin, _ = geom_ops.distance_min_max(
+        c._trace_x,
+        jnp.asarray(c.dense_weights(a, masses=False)),
+        jnp.asarray(c.dense_weights(bsel, masses=False)),
+        c._trace_basis, c._trace_inv,
+    )
+    return DynValue(dmin, unit="Å")
+
+
+@builtin("distance_max")
+def _distance_max(c: _Compiler, node, args):
+    a = c._as_selection(args[0], node)
+    bsel = c._as_selection(args[1], node)
+    _, dmax = geom_ops.distance_min_max(
+        c._trace_x,
+        jnp.asarray(c.dense_weights(a, masses=False)),
+        jnp.asarray(c.dense_weights(bsel, masses=False)),
+        c._trace_basis, c._trace_inv,
+    )
+    return DynValue(dmax, unit="Å")
+
+
+@builtin("distance_pair")
+def _distance_pair(c: _Compiler, node, args):
+    a = c._as_selection(args[0], node)
+    bsel = c._as_selection(args[1], node)
+    ia = a.mask.indices()
+    ib_ = bsel.mask.indices()
+    if ia.size * ib_.size > 65536:
+        raise ScriptError(
+            f"distance_pair: {ia.size}×{ib_.size} pairs is too many for a "
+            "temporal property (cap 65536)",
+            node.line, node.col,
+        )
+    x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
+    d = pbc_ops.pair_distances(x[jnp.asarray(ia)], x[jnp.asarray(ib_)], b, ib)
+    return DynValue(d.reshape(-1), unit="Å")
+
+
+@builtin("angle")
+def _angle(c: _Compiler, node, args):
+    idx = _mapped_indices(c, args, node, 3)
+    if idx is None:
+        pos = [c.position_of(a, node) for a in args]
+        x = jnp.stack(pos)
+        a = geom_ops.angle(
+            x, jnp.asarray([0]), jnp.asarray([1]), jnp.asarray([2]),
+            c._trace_basis, c._trace_inv,
+        )[0]
+        return DynValue(a * RAD2DEG, unit="deg")
+    a = geom_ops.angle(
+        c._trace_x,
+        jnp.asarray(idx[0]), jnp.asarray(idx[1]), jnp.asarray(idx[2]),
+        c._trace_basis, c._trace_inv,
+    )
+    a = a * RAD2DEG
+    return DynValue(a[0] if a.shape[0] == 1 else a, unit="deg")
+
+
+@builtin("dihedral")
+def _dihedral(c: _Compiler, node, args):
+    idx = _mapped_indices(c, args, node, 4)
+    if idx is None:
+        pos = [c.position_of(a, node) for a in args]
+        x = jnp.stack(pos)
+        d = geom_ops.dihedral(
+            x, jnp.asarray([0]), jnp.asarray([1]), jnp.asarray([2]),
+            jnp.asarray([3]), c._trace_basis, c._trace_inv,
+        )[0]
+        return DynValue(d * RAD2DEG, unit="deg")
+    d = geom_ops.dihedral(
+        c._trace_x,
+        jnp.asarray(idx[0]), jnp.asarray(idx[1]),
+        jnp.asarray(idx[2]), jnp.asarray(idx[3]),
+        c._trace_basis, c._trace_inv,
+    )
+    d = d * RAD2DEG
+    return DynValue(d[0] if d.shape[0] == 1 else d, unit="deg")
+
+
+@builtin("com")
+def _com(c: _Compiler, node, args):
+    sel = c._as_selection(args[0] if args else NULLARY["all"](c, node), node)
+    if c.context is not None and c.context.n_structures > 1:
+        idx, w = Selection(
+            sel.mask, c.context.structures, "atom"
+        ).packed(c.masses)
+        # per context structure: COM of (structure ∩ sel)
+        selb = sel.mask.to_bools()
+        w = w * selb[idx]
+        coms = jax.vmap(
+            lambda ii, ww: com_ops.com(
+                c._trace_x[ii], ww, c._trace_basis, c._trace_inv
+            )
+        )(jnp.asarray(idx), jnp.asarray(w))
+        return DynValue(coms, unit="Å", is_coord=True)
+    w = c.dense_weights(sel)
+    p = com_ops.com(
+        c._trace_x, jnp.asarray(w), c._trace_basis, c._trace_inv
+    )
+    return DynValue(p, unit="Å", is_coord=True)
+
+
+@builtin("plane")
+def _plane(c: _Compiler, node, args):
+    """Best-fit plane of a selection → (nx, ny, nz, d) coefficients."""
+    sel = c._as_selection(args[0], node)
+    w = jnp.asarray(c.dense_weights(sel))
+    x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
+    cm, vals, vecs = cov_ops.principal_axes(x, w, b, ib)
+    normal = vecs[:, 2]  # smallest-eigenvalue axis
+    d = -jnp.sum(normal * cm)
+    return DynValue(jnp.concatenate([normal, d[None]]), unit="")
+
+
+@builtin("rmsd")
+def _rmsd(c: _Compiler, node, args):
+    sel = c._as_selection(args[0], node)
+    structs = (
+        c.context.structures
+        if c.context is not None and c.context.n_structures > 1
+        else [sel.mask.indices()]
+    )
+    ref = c.x0
+    outs = []
+    for s in structs:
+        idx = s if len(structs) > 1 else sel.mask.indices()
+        w = c.masses[idx]
+        p = c._trace_x[jnp.asarray(idx)]
+        q = jnp.asarray(ref[idx])
+        outs.append(rmsd_ops.rmsd(p, q, jnp.asarray(w), align=True))
+    v = jnp.stack(outs) if len(outs) > 1 else outs[0]
+    return DynValue(v, unit="Å")
+
+
+@builtin("shape_weights")
+def _shape_weights(c: _Compiler, node, args):
+    sel = c._as_selection(args[0], node)
+    structs = sel.structures if sel.n_structures > 1 else None
+    if c.context is not None and c.context.n_structures > 1:
+        structs = c.context.structures
+    x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
+    if structs is None:
+        w = jnp.asarray(c.dense_weights(sel))
+        sw = cov_ops.shape_weights(x, w, b, ib)
+        return DynValue(sw, unit="")
+    packed = Selection(sel.mask, structs, sel.level).packed(c.masses)
+    idx, w = packed
+    sw = jax.vmap(
+        lambda ii, ww: cov_ops.shape_weights(x[ii], ww, b, ib)
+    )(jnp.asarray(idx), jnp.asarray(w))
+    return DynValue(sw, unit="")
+
+
+@builtin("rdf")
+def _rdf(c: _Compiler, node, args):
+    if len(args) != 3:
+        raise ScriptError("rdf(sel_a, sel_b, cutoff)", node.line, node.col)
+    a = c._as_selection(args[0], node)
+    bsel = c._as_selection(args[1], node)
+    cutoff = float(args[2])
+    wa = c.dense_weights(a, masses=False)
+    wb = c.dense_weights(bsel, masses=False)
+    hist = rdf_ops.pair_dist_histogram(
+        c._trace_x, jnp.asarray(wa), jnp.asarray(wb),
+        c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
+    )
+    spec = AccumSpec(
+        kind="distribution",
+        nbins=RDF_BINS,
+        r_min=0.0,
+        r_max=cutoff,
+        x_unit="Å",
+        count_a=float(wa.sum()),
+        count_b=float(wb.sum()),
+    )
+    return AccumValue(hist, spec)
+
+
+@builtin("sdf")
+def _sdf(c: _Compiler, node, args):
+    if len(args) != 3:
+        raise ScriptError("sdf(ref_sel, target_sel, extent)", node.line, node.col)
+    ref_sel = c._as_selection(args[0], node)
+    target = c._as_selection(args[1], node)
+    extent = float(args[2])
+    structs = ref_sel.structures
+    idx, w, refc = sdf_ops.make_structure_inputs(
+        [np.asarray(s) for s in structs], c.masses, c.x0
+    )
+    tw = c.dense_weights(target, masses=False)
+    grid = sdf_ops.sdf_accumulate(
+        c._trace_x, jnp.asarray(tw),
+        jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+        extent, SDF_DIMS, c._trace_basis, c._trace_inv,
+    )
+    spec = AccumSpec(
+        kind="volume",
+        dims=SDF_DIMS,
+        extent=extent,
+        x_unit="Å",
+        n_structures=len(structs),
+    )
+    return AccumValue(grid, spec)
+
+
+# -- math --------------------------------------------------------------------
+
+
+def _math1(jfn, nfn):
+    def fn(c: _Compiler, node, args):
+        (v,) = args
+        if isinstance(v, (int, float, np.ndarray)):
+            return nfn(v)
+        if isinstance(v, DynValue):
+            return DynValue(jfn(v.data), v.unit)
+        raise ScriptError("expected numeric argument", node.line, node.col)
+
+    return fn
+
+
+for _nm, _jf, _nf in [
+    ("sqrt", jnp.sqrt, np.sqrt),
+    ("cbrt", jnp.cbrt, np.cbrt),
+    ("abs", jnp.abs, np.abs),
+    ("floor", jnp.floor, np.floor),
+    ("ceil", jnp.ceil, np.ceil),
+    ("cos", jnp.cos, np.cos),
+    ("sin", jnp.sin, np.sin),
+    ("tan", jnp.tan, np.tan),
+    ("asin", jnp.arcsin, np.arcsin),
+    ("acos", jnp.arccos, np.arccos),
+    ("atan", jnp.arctan, np.arctan),
+    ("log", jnp.log, np.log),
+    ("exp", jnp.exp, np.exp),
+    ("log2", jnp.log2, np.log2),
+    ("exp2", jnp.exp2, np.exp2),
+    ("log10", jnp.log10, np.log10),
+]:
+    BUILTINS[_nm] = _math1(_jf, _nf)
+
+
+def _math2(jfn, nfn):
+    def fn(c: _Compiler, node, args):
+        a, b = args
+        if isinstance(a, DynValue) or isinstance(b, DynValue):
+            av = a.data if isinstance(a, DynValue) else a
+            bv = b.data if isinstance(b, DynValue) else b
+            return DynValue(jfn(av, bv))
+        return nfn(a, b)
+
+    return fn
+
+
+BUILTINS["pow"] = _math2(jnp.power, np.power)
+BUILTINS["atan2"] = _math2(jnp.arctan2, np.arctan2)
+
+
+@builtin("dot")
+def _dot(c, node, args):
+    a, b = args
+    av = a.data if isinstance(a, DynValue) else jnp.asarray(a)
+    bv = b.data if isinstance(b, DynValue) else jnp.asarray(b)
+    return DynValue(jnp.sum(av * bv, axis=-1))
+
+
+@builtin("cross")
+def _cross(c, node, args):
+    a, b = args
+    av = a.data if isinstance(a, DynValue) else jnp.asarray(a)
+    bv = b.data if isinstance(b, DynValue) else jnp.asarray(b)
+    return DynValue(jnp.cross(av, bv))
+
+
+def _vecn(n):
+    def fn(c, node, args):
+        if len(args) != n:
+            raise ScriptError(f"vec{n} expects {n} args", node.line, node.col)
+        vals = [
+            a.data if isinstance(a, DynValue) else jnp.float32(a) for a in args
+        ]
+        return DynValue(jnp.stack(vals, axis=-1), is_coord=(n == 3))
+
+    return fn
+
+
+BUILTINS["vec2"] = _vecn(2)
+BUILTINS["vec3"] = _vecn(3)
+BUILTINS["vec4"] = _vecn(4)
+BUILTINS["mul"] = _math2(jnp.multiply, np.multiply)
+
+
+@builtin("import")
+def _import(c: _Compiler, node, args):
+    """import("table.xvg"/".csv") → static column array (main.cpp:2850-2858)."""
+    (path,) = args
+    if not isinstance(path, str):
+        raise ScriptError("import(path)", node.line, node.col)
+    if path.endswith(".xvg"):
+        from viamd_tpu.io.xvg import read_xvg
+
+        cols, _meta = read_xvg(path)
+    elif path.endswith(".csv"):
+        from viamd_tpu.io.csv import read_csv
+
+        cols, _hdr = read_csv(path)
+    else:
+        raise ScriptError(f"import: unsupported file '{path}'", node.line, node.col)
+    return np.asarray(cols, np.float32)
