@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: the BASELINE.json headline metric on real TPU hardware.
+
+Config (BASELINE.md configs #3/#4 composite): a 100k-atom periodic water box;
+the analysis script runs RDF (O–O, 10 Å cutoff, cell-list kernel), SDF
+(64 reference structures, internal-reference-frame alignment, trilinear
+density volume), and whole-system shape weights per frame — the
+RDF+SDF+density pipeline of the north star ("≥5k frames/s RDF+SDF analysis
+@ 100k atoms on v5p-8"). This script runs on whatever jax.devices() offers
+(the driver: one real chip) and reports frames/second.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/5000}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_WATERS = 33_334  # 100,002 atoms
+N_FRAMES = 64
+CHUNK = 8
+BASELINE_FRAMES_PER_S = 5000.0
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: the tunneled-TPU XLA compiles are slow
+    # (minutes); cache hits bring bench warmup to seconds on reruns
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from viamd_tpu.datagen import water_box
+    from viamd_tpu.eval import Evaluator
+    from viamd_tpu.script import compile_script
+
+    t0 = time.time()
+    sys_, traj = water_box(N_WATERS, n_frames=N_FRAMES, seed=3)
+    t_gen = time.time() - t0
+
+    src = (
+        "r = rdf(element('O'), element('O'), 10.0);\n"
+        "v = sdf(residue(1:64), element('H'), 5.0);\n"
+        "{lin, plan, iso} = shape_weights(all);\n"
+    )
+    t0 = time.time()
+    compiled = compile_script(src, sys_)
+    t_compile = time.time() - t0
+
+    ev = Evaluator(compiled, traj, chunk=CHUNK)
+    # warmup: one chunk (XLA compile)
+    t0 = time.time()
+    ev.run(frame_range=range(CHUNK))
+    t_warm = time.time() - t0
+
+    t0 = time.time()
+    res = ev.run()
+    elapsed = time.time() - t0
+    fps = res.n_frames_done / elapsed
+
+    print(
+        f"# gen={t_gen:.1f}s script-compile={t_compile:.1f}s "
+        f"xla-warmup={t_warm:.1f}s run={elapsed:.2f}s "
+        f"frames={res.n_frames_done} atoms={sys_.natoms} "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rdf_sdf_shape_analysis_frames_per_sec_100k_atoms",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

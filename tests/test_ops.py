@@ -276,6 +276,36 @@ class TestRDF:
                     ref[int(dist / rmax * nbins)] += 1
         np.testing.assert_allclose(h, ref, atol=1e-2)
 
+    def test_celllist_matches_dense(self):
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(5)
+        L = 30.0
+        n = 300
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        wa = (rng.rand(n) < 0.6).astype(np.float32)
+        wb = (rng.rand(n) < 0.6).astype(np.float32)
+        basis, inv = ortho_cell(L)
+        nbins, rmax = 24, 6.0
+        dense = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, nbins, rmax, tile=64,
+            )
+        )
+        idx_a = np.nonzero(wa)[0].astype(np.int32)
+        idx_b = np.nonzero(wb)[0].astype(np.int32)
+        dims, cap_a = choose_grid(np.array([L, L, L]), rmax, idx_a.size)
+        _, cap_b = choose_grid(np.array([L, L, L]), rmax, idx_b.size)
+        cl_hist = np.asarray(
+            rdf.pair_dist_histogram_cl(
+                jnp.asarray(x), jnp.asarray(idx_a), jnp.asarray(idx_b),
+                jnp.asarray([L, L, L], jnp.float32), nbins, rmax,
+                dims, cap_a, cap_b, block=16,
+            )
+        )
+        np.testing.assert_allclose(cl_hist, dense, atol=1e-2)
+
     def test_ideal_gas_gr(self):
         # uniform random points → g(r) ≈ 1
         rng = np.random.RandomState(0)
@@ -328,6 +358,47 @@ class TestDensity:
         out = np.asarray(density.gaussian_blur_3d(g, 1.5))
         np.testing.assert_allclose(out.sum(), 5.0, rtol=1e-3)
         assert out[8, 8, 8] < 5.0
+
+
+class TestSDF:
+    def test_celllist_matches_dense(self):
+        from viamd_tpu.ops import sdf as sdf_ops
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(4)
+        L = 24.0
+        n = 600
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        # 4 structures of 5 atoms each
+        structs = [np.arange(i * 5, i * 5 + 5, dtype=np.int32) for i in range(4)]
+        masses = np.ones(n, np.float32)
+        idx, w, refc = sdf_ops.make_structure_inputs(structs, masses, x)
+        tw = (rng.rand(n) < 0.5).astype(np.float32)
+        extent, dims = 5.0, 16
+        basis = jnp.eye(3) * L
+        inv = jnp.eye(3) / L
+        dense = np.asarray(
+            sdf_ops.sdf_accumulate(
+                jnp.asarray(x), jnp.asarray(tw),
+                jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                extent, dims, basis, inv,
+            )
+        )
+        box = np.array([L, L, L])
+        cl_dims, cl_cap = choose_grid(box, 1.7320508 * extent, n)
+        stencil = sdf_ops.make_sdf_stencil(extent, box / np.array(cl_dims))
+        span = int(stencil.max() - stencil.min()) + 1
+        if span > min(cl_dims):
+            pytest.skip("box too small for pruned stencil")
+        cl = np.asarray(
+            sdf_ops.sdf_accumulate_cl(
+                jnp.asarray(x), jnp.asarray(tw),
+                jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                extent, dims, jnp.asarray(box, jnp.float32),
+                cl_dims, cl_cap, stencil,
+            )
+        )
+        np.testing.assert_allclose(cl, dense, atol=1e-3, rtol=1e-3)
 
 
 class TestKabschRMSD:
@@ -426,3 +497,36 @@ class TestBackbone:
         ss[4, 0] = [1, 0, 0]  # one flicker frame
         out = np.asarray(backbone.ss_denoise_temporal(jnp.asarray(ss), window=5))
         assert out[4, 0, 1] > 0.5  # majority restores helix
+
+
+class TestPallasRDF:
+    def test_matches_dense_interpret(self):
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(9)
+        L = 30.0
+        n = 200
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        wa = (rng.rand(n) < 0.6).astype(np.float32)
+        wb = (rng.rand(n) < 0.6).astype(np.float32)
+        basis, inv = ortho_cell(L)
+        nbins, rmax = 128, 6.0
+        dense = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, nbins, rmax, tile=64,
+            )
+        )
+        idx_a = np.nonzero(wa)[0].astype(np.int32)
+        idx_b = np.nonzero(wb)[0].astype(np.int32)
+        dims, cap_a = choose_grid(np.array([L, L, L]), rmax, idx_a.size)
+        _, cap_b = choose_grid(np.array([L, L, L]), rmax, idx_b.size)
+        h = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), jnp.asarray(idx_a), jnp.asarray(idx_b),
+                jnp.asarray([L, L, L], jnp.float32), nbins, rmax,
+                dims, cap_a, cap_b, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(h, dense, atol=1e-2)

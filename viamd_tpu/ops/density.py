@@ -15,7 +15,9 @@ weight 0 via id clamping + masking, keeping shapes static.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from viamd_tpu.ops.histogram import histogram_segment
 
@@ -27,36 +29,46 @@ def splat_trilinear(
     origin: jnp.ndarray,  # (3,) world position of voxel (0,0,0) corner
     voxel: jnp.ndarray,  # (3,) voxel extent per axis
 ) -> jnp.ndarray:
-    """Trilinear splat → (dx, dy, dz) float32 grid."""
-    dx, dy, dz = dims
-    g = (pts - origin) / voxel - 0.5  # voxel-center coordinates
-    g0 = jnp.floor(g)
-    f = g - g0  # fraction toward the +1 voxel
-    g0 = g0.astype(jnp.int32)
+    """Trilinear splat → (dx, dy, dz) float32 grid.
 
+    Sort-once formulation: points sort by their BASE voxel's flat id (one
+    TPU bitonic sort of n elements, not 8n); each of the 8 corner
+    contributions is then a segment-sum over `sorted_base + corner_const`,
+    which is still sorted because a trilinear corner offset is a constant
+    in flattened index space ((ox·dy+oy)·dz+oz). Out-of-grid corners get
+    weight 0 with ids clamped (clamping preserves sortedness).
+    """
+    dx, dy, dz = dims
+    nvox = dx * dy * dz
+    g = (pts - origin) / voxel - 0.5  # voxel-center coordinates
+    g0f = jnp.floor(g)
+    f = g - g0f  # fraction toward the +1 voxel
+    g0 = g0f.astype(jnp.int32)
     w = weights.astype(jnp.float32)
     dims_arr = jnp.array([dx, dy, dz], jnp.int32)
 
-    ids_list = []
-    wts_list = []
+    flat_base = (g0[:, 0] * dy + g0[:, 1]) * dz + g0[:, 2]
+    order = jnp.argsort(flat_base)
+    fb_s = flat_base[order]
+    g0_s = g0[order]
+    f_s = f[order]
+    w_s = w[order]
+
+    grid = jnp.zeros(nvox, jnp.float32)
     for corner in range(8):
-        off = jnp.array(
-            [(corner >> 2) & 1, (corner >> 1) & 1, corner & 1], jnp.int32
-        )
-        idx3 = g0 + off
+        off = np.array([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1])
+        const = int((off[0] * dy + off[1]) * dz + off[2])
+        idx3 = g0_s + jnp.asarray(off, jnp.int32)
         inb = jnp.all((idx3 >= 0) & (idx3 < dims_arr), axis=-1)
         tri = jnp.prod(
-            jnp.where(off[None, :] == 1, f, 1.0 - f), axis=-1
+            jnp.where(jnp.asarray(off)[None, :] == 1, f_s, 1.0 - f_s), axis=-1
         )
-        idx3c = jnp.clip(idx3, 0, dims_arr - 1)
-        flat = (idx3c[:, 0] * dy + idx3c[:, 1]) * dz + idx3c[:, 2]
-        ids_list.append(flat)
-        wts_list.append(jnp.where(inb, tri * w, 0.0))
-
-    ids = jnp.concatenate(ids_list)
-    wts = jnp.concatenate(wts_list)
-    flatgrid = histogram_segment(ids, wts, dx * dy * dz)
-    return flatgrid.reshape(dx, dy, dz)
+        ids = jnp.clip(fb_s + const, 0, nvox - 1)
+        wts = jnp.where(inb, tri * w_s, 0.0)
+        grid = grid + jax.ops.segment_sum(
+            wts, ids, num_segments=nvox, indices_are_sorted=True
+        )
+    return grid.reshape(dx, dy, dz)
 
 
 def splat_nearest(

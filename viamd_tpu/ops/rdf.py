@@ -67,6 +67,114 @@ def pair_dist_histogram(
     return jnp.concatenate([cdf[:1], jnp.diff(cdf)])
 
 
+def _neighbor_cell_ids(dims: tuple, radius: int) -> jnp.ndarray:
+    """(ncells, S) wrapped neighbor cell ids (S = (2r+1)³), computed on
+    device from iota — no host table."""
+    dx, dy, dz = dims
+    ncells = dx * dy * dz
+    cid = jnp.arange(ncells, dtype=jnp.int32)
+    c3 = jnp.stack([cid // (dy * dz), (cid // dz) % dy, cid % dz], axis=1)
+    import numpy as np
+
+    offs = np.array(
+        [
+            (i, j, k)
+            for i in range(-radius, radius + 1)
+            for j in range(-radius, radius + 1)
+            for k in range(-radius, radius + 1)
+        ],
+        np.int32,
+    )
+    c = jnp.mod(c3[:, None, :] + jnp.asarray(offs)[None], jnp.asarray([dx, dy, dz], jnp.int32))
+    return (c[..., 0] * dy + c[..., 1]) * dz + c[..., 2]
+
+
+def pair_dist_histogram_cl(
+    x: jnp.ndarray,
+    idx_a: jnp.ndarray,  # (na,) static global indices of the A selection
+    idx_b: jnp.ndarray,  # (nb,) static global indices of the B selection
+    box: jnp.ndarray,  # (3,) orthorhombic extents
+    nbins: int,
+    r_max: float,
+    dims: tuple,
+    cap_a: int,
+    cap_b: int,
+    block: int = 64,
+    radius: int = 2,
+) -> jnp.ndarray:
+    """Cell-list pair-distance histogram (orthorhombic) → (nbins,).
+
+    Cell-major packed-tile formulation (the TPU-fast shape): each selection
+    subset gets its own cell list; coordinates pack into dense per-cell
+    tiles (ncells, K, 3), and the B side additionally into per-cell
+    neighborhoods (ncells, S·Kb, 3) — ONE moderate gather per frame instead
+    of a per-query-atom gather (which is ~n·k random accesses and dominated
+    the naive formulation). The compare-CDF histogram then runs as a scan
+    over cell blocks with everything fused.
+
+    Both (i,j) and (j,i) count when both selections cover them (the
+    symmetric convention of the dense kernel). Self pairs excluded by
+    global-id comparison. Atoms beyond a cell's capacity are dropped —
+    capacities are sized host-side with headroom (ops.neighbors.choose_grid).
+    """
+    from viamd_tpu.ops.neighbors import build_cell_list
+
+    xa = x[idx_a]
+    xb = x[idx_b]
+    cl_a = build_cell_list(xa, box, dims, cap_a)
+    cl_b = build_cell_list(xb, box, dims, cap_b)
+    dx, dy, dz = dims
+    ncells = dx * dy * dz
+
+    # dense per-cell tiles
+    a_x = xa[cl_a.table]  # (ncells, Ka, 3)
+    a_w = cl_a.valid.astype(jnp.float32)
+    a_gid = jnp.where(cl_a.valid, idx_a[cl_a.table], -1)
+    b_x = xb[cl_b.table]
+    b_w = cl_b.valid.astype(jnp.float32)
+    b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
+
+    nbr = _neighbor_cell_ids(dims, radius)  # (ncells, S)
+    S = nbr.shape[1]
+    C = S * cap_b
+    # B neighborhoods: (ncells, C, 3) — the one big gather
+    nb_x = b_x[nbr].reshape(ncells, C, 3)
+    nb_w = b_w[nbr].reshape(ncells, C)
+    nb_gid = b_gid[nbr].reshape(ncells, C)
+
+    edges = (jnp.arange(1, nbins + 1, dtype=jnp.float32) / nbins) * r_max
+    nc_pad = -(-ncells // block) * block
+    pad = nc_pad - ncells
+    if pad:
+        a_x = jnp.pad(a_x, ((0, pad), (0, 0), (0, 0)))
+        a_w = jnp.pad(a_w, ((0, pad), (0, 0)))
+        a_gid = jnp.pad(a_gid, ((0, pad), (0, 0)), constant_values=-1)
+        nb_x = jnp.pad(nb_x, ((0, pad), (0, 0), (0, 0)))
+        nb_w = jnp.pad(nb_w, ((0, pad), (0, 0)))
+        nb_gid = jnp.pad(nb_gid, ((0, pad), (0, 0)), constant_values=-2)
+
+    def cell_block(carry, c0):
+        ax = jax.lax.dynamic_slice(a_x, (c0, 0, 0), (block, a_x.shape[1], 3))
+        aw = jax.lax.dynamic_slice(a_w, (c0, 0), (block, a_w.shape[1]))
+        aid = jax.lax.dynamic_slice(a_gid, (c0, 0), (block, a_gid.shape[1]))
+        bx = jax.lax.dynamic_slice(nb_x, (c0, 0, 0), (block, C, 3))
+        bw = jax.lax.dynamic_slice(nb_w, (c0, 0), (block, C))
+        bid = jax.lax.dynamic_slice(nb_gid, (c0, 0), (block, C))
+        d = ax[:, :, None, :] - bx[:, None, :, :]  # (CB, Ka, C, 3)
+        d = d - box * jnp.round(d / box)
+        dist2 = jnp.sum(d * d, axis=-1)
+        w = aw[:, :, None] * bw[:, None, :]
+        w = jnp.where(aid[:, :, None] == bid[:, None, :], 0.0, w)
+        dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+        below = (dist[..., None] < edges).astype(jnp.float32)
+        cdf = jnp.sum(below * w[..., None], axis=(0, 1, 2))
+        return carry + cdf, None
+
+    starts = jnp.arange(0, nc_pad, block, dtype=jnp.int32)
+    cdf, _ = jax.lax.scan(cell_block, jnp.zeros(nbins, jnp.float32), starts)
+    return jnp.concatenate([cdf[:1], jnp.diff(cdf)])
+
+
 def rdf_normalize(
     hist: jnp.ndarray,
     count_a: jnp.ndarray,

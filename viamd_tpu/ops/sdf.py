@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from viamd_tpu.ops.density import splat_trilinear
 from viamd_tpu.ops.pbc import min_image
@@ -68,6 +69,73 @@ def sdf_accumulate(
 
     grids = jax.vmap(one_structure)(R, c)
     return jnp.sum(grids, axis=0)
+
+
+def sdf_accumulate_cl(
+    x: jnp.ndarray,
+    target_w: jnp.ndarray,
+    struct_idx: jnp.ndarray,
+    struct_w: jnp.ndarray,
+    ref_centered: jnp.ndarray,
+    extent: float,
+    dims: int,
+    box: jnp.ndarray,  # (3,) orthorhombic extents
+    cl_dims: tuple,
+    cl_capacity: int,
+    stencil: "np.ndarray",  # (S3,3) pruned cell offsets (host-computed)
+) -> jnp.ndarray:
+    """Cell-list SDF for large systems: only targets near each structure.
+
+    Coverage: any atom mapping into the ±extent reference cube lies within
+    √3·extent of the structure COM; the pruned stencil (make_sdf_stencil)
+    covers that ball. All structures splat into ONE grid through a single
+    sorted segment-sum (ops.density.splat_trilinear on the concatenated
+    candidate set).
+    """
+    from viamd_tpu.ops.density import splat_trilinear
+    from viamd_tpu.ops.neighbors import build_cell_list, cell3_of_points
+
+    cl = build_cell_list(x, box, cl_dims, cl_capacity)
+    R, c = sdf_reference_frames(
+        x, struct_idx, struct_w, ref_centered,
+        jnp.diag(box), jnp.diag(1.0 / box),
+    )
+    # candidate targets per structure from the pruned stencil
+    c3 = cell3_of_points(c, box, cl.dims)  # (S,3)
+    offs = jnp.asarray(stencil, jnp.int32)  # (S3,3)
+    dims_arr = jnp.array(cl.dims, jnp.int32)
+    dxc, dyc, dzc = cl.dims
+    cells = jnp.mod(c3[:, None, :] + offs[None, :, :], dims_arr)
+    cell_ids = (cells[..., 0] * dyc + cells[..., 1]) * dzc + cells[..., 2]
+    cand = cl.table[cell_ids].reshape(c.shape[0], -1)  # (S, C)
+    ok = cl.valid[cell_ids].reshape(c.shape[0], -1)
+
+    d = x[cand] - c[:, None, :]  # (S, C, 3)
+    d = d - box * jnp.round(d / box)
+    p = jnp.einsum(
+        "sij,scj->sci", R, d, precision=jax.lax.Precision.HIGHEST
+    )
+    w = target_w[cand] * ok.astype(jnp.float32)
+    origin = jnp.full((3,), -extent, jnp.float32)
+    voxel = jnp.full((3,), 2.0 * extent / dims, jnp.float32)
+    return splat_trilinear(
+        p.reshape(-1, 3), w.reshape(-1), (dims, dims, dims), origin, voxel
+    )
+
+
+def make_sdf_stencil(extent: float, cell_w: np.ndarray) -> "np.ndarray":
+    """Host-side pruned cell-offset stencil covering the √3·extent ball."""
+    w = float(np.min(cell_w))
+    D = 1.7320508 * extent
+    rc = int(np.ceil(D / w)) + 1
+    offs = []
+    for i in range(-rc, rc + 1):
+        for j in range(-rc, rc + 1):
+            for k in range(-rc, rc + 1):
+                md = sum(max(abs(o) - 1, 0) ** 2 for o in (i, j, k))
+                if md * w * w <= D * D:
+                    offs.append((i, j, k))
+    return np.asarray(offs, np.int32)
 
 
 def sdf_frames(

@@ -112,31 +112,6 @@ class _Compiler:
 
     # -- public -------------------------------------------------------------
     def compile(self, stmts: list[P.Assign], src: str) -> CompiledScript:
-        # Dry run on the reference frame to type-check + collect metadata.
-        temporal0, accum0, selections = self._run(
-            stmts,
-            jnp.asarray(self.x0),
-            jnp.asarray(self.basis0),
-            jnp.asarray(self.inv_basis0),
-            collect_meta=True,
-        )
-        props: list[PropertyMeta] = []
-        for name, val in temporal0.items():
-            dim = int(np.prod(val.data.shape)) if val.data.shape else 1
-            props.append(
-                PropertyMeta(name=name, kind="temporal", dim=dim, unit=val.unit)
-            )
-        for name, av in accum0.items():
-            props.append(
-                PropertyMeta(
-                    name=name,
-                    kind=av.spec.kind,
-                    dim=av.spec.nbins or av.spec.dims,
-                    unit=av.spec.x_unit,
-                    spec=av.spec,
-                )
-            )
-
         def frame_fn(x, basis, inv_basis):
             temporal, accum, _ = self._run(stmts, x, basis, inv_basis)
             t_out = {
@@ -145,6 +120,51 @@ class _Compiler:
             }
             a_out = {k: v.data for k, v in accum.items()}
             return t_out, a_out
+
+        # Abstract dry run (no device execution): type-checks the script by
+        # example shapes + captures units/specs/selections via side effects
+        # of the trace.
+        meta: dict[str, Any] = {}
+
+        def probe(x, basis, inv_basis):
+            temporal, accum, selections = self._run(stmts, x, basis, inv_basis)
+            meta["units"] = {k: v.unit for k, v in temporal.items()}
+            meta["specs"] = {k: v.spec for k, v in accum.items()}
+            meta["selections"] = selections
+            t_out = {
+                k: jnp.atleast_1d(v.data).reshape(-1).astype(jnp.float32)
+                for k, v in temporal.items()
+            }
+            a_out = {k: v.data for k, v in accum.items()}
+            return t_out, a_out
+
+        t_shapes, _a_shapes = jax.eval_shape(
+            probe,
+            jax.ShapeDtypeStruct((self.n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3), jnp.float32),
+        )
+        props: list[PropertyMeta] = []
+        for name, sh in t_shapes.items():
+            props.append(
+                PropertyMeta(
+                    name=name,
+                    kind="temporal",
+                    dim=int(np.prod(sh.shape)) if sh.shape else 1,
+                    unit=meta["units"][name],
+                )
+            )
+        for name, spec in meta["specs"].items():
+            props.append(
+                PropertyMeta(
+                    name=name,
+                    kind=spec.kind,
+                    dim=spec.nbins or spec.dims,
+                    unit=spec.x_unit,
+                    spec=spec,
+                )
+            )
+        selections = meta["selections"]
 
         return CompiledScript(
             frame_fn=frame_fn,
@@ -962,10 +982,43 @@ def _rdf(c: _Compiler, node, args):
     cutoff = float(args[2])
     wa = c.dense_weights(a, masses=False)
     wb = c.dense_weights(bsel, masses=False)
-    hist = rdf_ops.pair_dist_histogram(
-        c._trace_x, jnp.asarray(wa), jnp.asarray(wb),
-        c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
-    )
+    # Large orthorhombic systems route through the O(n·k) cell-list kernel
+    # (ops.neighbors); small or triclinic/aperiodic ones use the tiled dense
+    # path (where the single-round min-image is exact or PBC is off).
+    use_cl = False
+    idx_a = a.mask.indices()
+    idx_b = bsel.mask.indices()
+    if c.sys.cell.is_orthorhombic and c.n >= 4096:
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        box_np = c.sys.cell.extent()
+        dims, cap_a = choose_grid(box_np, cutoff, idx_a.size)
+        _, cap_b = choose_grid(box_np, cutoff, idx_b.size)
+        use_cl = min(dims) >= 5
+    if use_cl:
+        box = jnp.diagonal(c._trace_basis)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and cap_a <= 16
+            and RDF_BINS % 128 == 0
+        )
+        if use_pallas:
+            from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
+
+            hist = pair_dist_histogram_pl(
+                c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
+                box, RDF_BINS, cutoff, dims, cap_a, cap_b,
+            )
+        else:
+            hist = rdf_ops.pair_dist_histogram_cl(
+                c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
+                box, RDF_BINS, cutoff, dims, cap_a, cap_b,
+            )
+    else:
+        hist = rdf_ops.pair_dist_histogram(
+            c._trace_x, jnp.asarray(wa), jnp.asarray(wb),
+            c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
+        )
     spec = AccumSpec(
         kind="distribution",
         nbins=RDF_BINS,
@@ -990,11 +1043,31 @@ def _sdf(c: _Compiler, node, args):
         [np.asarray(s) for s in structs], c.masses, c.x0
     )
     tw = c.dense_weights(target, masses=False)
-    grid = sdf_ops.sdf_accumulate(
-        c._trace_x, jnp.asarray(tw),
-        jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
-        extent, SDF_DIMS, c._trace_basis, c._trace_inv,
-    )
+    # Large orthorhombic systems gather only candidate targets around each
+    # structure from a cell list (√3·extent coverage ball).
+    use_cl = False
+    if c.sys.cell.is_orthorhombic and c.n >= 8192:
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        box_np = c.sys.cell.extent()
+        # cell width ≈ (√3·extent)/2 ⇒ the coverage ball spans ~2 cells
+        cl_dims, cl_cap = choose_grid(box_np, 1.7320508 * extent, c.n)
+        stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
+        span = int(stencil.max() - stencil.min()) + 1
+        use_cl = span <= min(cl_dims)
+    if use_cl:
+        grid = sdf_ops.sdf_accumulate_cl(
+            c._trace_x, jnp.asarray(tw),
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+            extent, SDF_DIMS, jnp.diagonal(c._trace_basis),
+            cl_dims, cl_cap, stencil,
+        )
+    else:
+        grid = sdf_ops.sdf_accumulate(
+            c._trace_x, jnp.asarray(tw),
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+            extent, SDF_DIMS, c._trace_basis, c._trace_inv,
+        )
     spec = AccumSpec(
         kind="volume",
         dims=SDF_DIMS,
