@@ -51,18 +51,31 @@ def main() -> None:
     t_compile = time.time() - t0
 
     ev = Evaluator(compiled, traj, chunk=CHUNK)
-    # warmup: one chunk (XLA compile)
+    # warmup: one chunk (XLA compile). No result readback before/into the
+    # timed region: the first device->host transfer drops the tunneled
+    # backend out of its pipelined fast mode for the rest of the session.
     t0 = time.time()
-    ev.run(frame_range=range(CHUNK))
+    ev.run(frame_range=range(CHUNK)).block_until_ready()
     t_warm = time.time() - t0
 
     t0 = time.time()
-    res = ev.run()
+    res = ev.run().block_until_ready()
     elapsed = time.time() - t0
     fps = res.n_frames_done / elapsed
 
+    # post-timing sanity (readbacks allowed now): results must be real
+    assert res.n_frames_done == N_FRAMES, res.n_frames_done
+    import numpy as np
+
+    r_sum = float(np.sum(res.distributions["r"]))
+    v_sum = float(np.sum(res.volumes["v"]))
+    lin = res.temporal["lin"]
+    assert r_sum > 0 and v_sum > 0, (r_sum, v_sum)
+    assert np.isfinite(lin).all()
+
     print(
-        f"# gen={t_gen:.1f}s script-compile={t_compile:.1f}s "
+        f"# rdf-sum={r_sum:.0f} sdf-sum={v_sum:.0f} "
+        f"gen={t_gen:.1f}s script-compile={t_compile:.1f}s "
         f"xla-warmup={t_warm:.1f}s run={elapsed:.2f}s "
         f"frames={res.n_frames_done} atoms={sys_.natoms} "
         f"device={jax.devices()[0].device_kind}",

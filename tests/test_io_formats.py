@@ -1,0 +1,233 @@
+"""Format tests: DCD/TRR/XTC roundtrips, mmCIF, LAMMPS, packed cache."""
+
+import numpy as np
+import pytest
+
+from viamd_tpu.core.unitcell import UnitCell
+
+
+def _frames(F=5, n=40, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(0, 30, (F, n, 3)).astype(np.float32)
+
+
+class TestDCD:
+    def test_roundtrip(self, tmp_path):
+        from viamd_tpu.io.dcd import DCDTrajectory, write_dcd
+
+        coords = _frames()
+        cell = UnitCell.orthorhombic(30, 30, 30)
+        p = str(tmp_path / "t.dcd")
+        write_dcd(p, coords, cell)
+        traj = DCDTrajectory(p)
+        assert traj.num_frames == 5
+        assert traj.num_atoms == 40
+        xyz, c = traj.load_frame(2)
+        np.testing.assert_allclose(xyz, coords[2], atol=1e-5)
+        np.testing.assert_allclose(c.extent(), [30, 30, 30], atol=1e-4)
+        batch, cells = traj.load_frames([0, 4])
+        np.testing.assert_allclose(batch[1], coords[4], atol=1e-5)
+
+    def test_no_cell(self, tmp_path):
+        from viamd_tpu.io.dcd import DCDTrajectory, write_dcd
+
+        coords = _frames()
+        p = str(tmp_path / "t.dcd")
+        write_dcd(p, coords, None)
+        traj = DCDTrajectory(p)
+        xyz, c = traj.load_frame(0)
+        assert not c.is_periodic
+        np.testing.assert_allclose(xyz, coords[0], atol=1e-5)
+
+
+class TestTRR:
+    def test_roundtrip(self, tmp_path):
+        from viamd_tpu.io.trr import TRRTrajectory, write_trr
+
+        coords = _frames()
+        cell = UnitCell.orthorhombic(30, 30, 30)
+        p = str(tmp_path / "t.trr")
+        write_trr(p, coords, cell, times=np.arange(5) * 2.0)
+        traj = TRRTrajectory(p)
+        assert traj.num_frames == 5
+        assert traj.num_atoms == 40
+        np.testing.assert_allclose(traj.frame_times, [0, 2, 4, 6, 8])
+        xyz, c = traj.load_frame(3)
+        np.testing.assert_allclose(xyz, coords[3], atol=1e-3)
+        np.testing.assert_allclose(c.extent(), [30, 30, 30], rtol=1e-5)
+
+
+class TestXTC:
+    def test_roundtrip(self, tmp_path):
+        from viamd_tpu.io.xtc import XTCTrajectory, write_xtc
+
+        coords = _frames(F=4, n=200, seed=1)
+        cell = UnitCell.orthorhombic(30, 30, 30)
+        p = str(tmp_path / "t.xtc")
+        write_xtc(p, coords, cell, precision=1000.0)
+        traj = XTCTrajectory(p)
+        assert traj.num_frames == 4
+        assert traj.num_atoms == 200
+        xyz, c = traj.load_frame(2)
+        # xtc quantizes to 0.001 nm = 0.01 Å
+        np.testing.assert_allclose(xyz, coords[2], atol=0.02)
+        np.testing.assert_allclose(c.extent(), [30, 30, 30], rtol=1e-5)
+
+    def test_small_system_plain(self, tmp_path):
+        from viamd_tpu.io.xtc import XTCTrajectory, write_xtc
+
+        coords = _frames(F=3, n=5, seed=2)  # ≤9 atoms: uncompressed path
+        p = str(tmp_path / "s.xtc")
+        write_xtc(p, coords)
+        traj = XTCTrajectory(p)
+        xyz, _ = traj.load_frame(1)
+        np.testing.assert_allclose(xyz, coords[1], atol=1e-4)
+
+    def test_large_spread(self, tmp_path):
+        # coordinates spanning > 2^24 quantized units exercise the
+        # big-sizeint (bitsize==0) path
+        from viamd_tpu.io.xtc import XTCTrajectory, write_xtc
+
+        rng = np.random.RandomState(3)
+        coords = rng.uniform(0, 20000.0, (2, 50, 3)).astype(np.float32)
+        p = "/tmp/big.xtc"
+        write_xtc(p, coords, precision=1000.0)
+        traj = XTCTrajectory(p)
+        xyz, _ = traj.load_frame(0)
+        np.testing.assert_allclose(xyz, coords[0], atol=0.05, rtol=1e-5)
+
+
+class TestMMCIF:
+    def test_parse(self):
+        from viamd_tpu.io.mmcif import parse_mmcif
+
+        text = """data_test
+_cell.length_a   20.000
+_cell.length_b   20.000
+_cell.length_c   20.000
+_cell.angle_alpha 90.00
+_cell.angle_beta  90.00
+_cell.angle_gamma 90.00
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.occupancy
+_atom_site.B_iso_or_equiv
+ATOM 1 N N ALA A 1 1.000 2.000 3.000 1.00 10.0
+ATOM 2 C CA ALA A 1 2.000 2.500 3.000 1.00 11.0
+ATOM 3 C C ALA A 1 3.000 2.000 3.500 1.00 12.0
+ATOM 4 O O ALA A 1 3.500 1.200 3.100 1.00 13.0
+ATOM 5 N N GLY A 2 4.000 2.600 4.000 1.00 14.0
+#
+"""
+        sys = parse_mmcif(text)
+        assert sys.natoms == 5
+        assert sys.nres == 2
+        assert sys.res_names[sys.res_name_id[0]] == "ALA"
+        assert sys.element[0] == 7
+        assert sys.cell.is_orthorhombic
+        np.testing.assert_allclose(sys.x[1], 2.0, atol=1e-5)
+        np.testing.assert_allclose(sys.bfactor[2], 12.0, atol=1e-5)
+
+
+class TestLAMMPS:
+    def test_data_full(self, tmp_path):
+        from viamd_tpu.io.lammps import load_lammps_data
+
+        text = """LAMMPS data file via viamd_tpu test
+
+4 atoms
+2 atom types
+
+0.0 20.0 xlo xhi
+0.0 20.0 ylo yhi
+0.0 20.0 zlo zhi
+
+Masses
+
+1 15.999
+2 1.008
+
+Atoms # full
+
+1 1 1 -0.8 5.0 5.0 5.0
+2 1 2 0.4 5.96 5.0 5.0
+3 1 2 0.4 4.76 5.93 5.0
+4 2 1 -0.8 10.0 10.0 10.0
+"""
+        p = tmp_path / "w.data"
+        p.write_text(text)
+        sys = load_lammps_data(str(p))
+        assert sys.natoms == 4
+        assert sys.element.tolist() == [8, 1, 1, 8]
+        assert sys.nres == 2  # two molecules
+        np.testing.assert_allclose(sys.cell.extent(), [20, 20, 20])
+
+    def test_dump_trajectory(self, tmp_path):
+        from viamd_tpu.io.lammps import load_lammps_trajectory
+
+        frames = []
+        for step in (0, 100):
+            frames.append(
+                f"""ITEM: TIMESTEP
+{step}
+ITEM: NUMBER OF ATOMS
+3
+ITEM: BOX BOUNDS pp pp pp
+0.0 10.0
+0.0 10.0
+0.0 10.0
+ITEM: ATOMS id type x y z
+2 1 2.0 2.0 {2.0 + step / 100}
+1 1 1.0 1.0 1.0
+3 1 3.0 3.0 3.0
+"""
+            )
+        p = tmp_path / "d.lammpstrj"
+        p.write_text("".join(frames))
+        traj = load_lammps_trajectory(str(p))
+        assert traj.num_frames == 2
+        assert traj.num_atoms == 3
+        xyz, cell = traj.load_frame(1)
+        # sorted by id: atom 1 first
+        np.testing.assert_allclose(xyz[0], [1, 1, 1], atol=1e-5)
+        np.testing.assert_allclose(xyz[1, 2], 3.0, atol=1e-5)
+        np.testing.assert_allclose(cell.extent(), [10, 10, 10])
+
+
+class TestPackedCache:
+    def test_transcode_roundtrip(self, tmp_path, water):
+        from viamd_tpu.io.cache import PackedTrajectory, transcode
+
+        sys, traj = water
+        p = str(tmp_path / "t.vtraj")
+        transcode(traj, p, chunk=2)
+        packed = PackedTrajectory(p)
+        assert packed.num_frames == traj.num_frames
+        assert packed.num_atoms == traj.num_atoms
+        for i in (0, 3):
+            a, ca = traj.load_frame(i)
+            b, cb = packed.load_frame(i)
+            np.testing.assert_allclose(a, b, atol=1e-6)
+            assert ca == cb
+        batch, cells = packed.load_frames([1, 4])
+        ref, _ = traj.load_frames([1, 4])
+        np.testing.assert_allclose(batch, ref, atol=1e-6)
+
+    def test_loader_dispatch(self, tmp_path, water):
+        from viamd_tpu.io import load_file
+        from viamd_tpu.io.cache import transcode
+
+        sys, traj = water
+        p = str(tmp_path / "t.vtraj")
+        transcode(traj, p)
+        res = load_file(p)
+        assert res.trajectory.num_frames == traj.num_frames

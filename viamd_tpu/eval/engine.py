@@ -20,7 +20,7 @@ md_script_eval_frame_range partitioned over a thread pool,
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, Optional
+from typing import Any, Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,17 +36,69 @@ from viamd_tpu.script.values import PropertyMeta
 
 @dataclasses.dataclass
 class EvalResult:
-    """Evaluated properties over a frame range."""
+    """Evaluated properties over a frame range.
+
+    Results stay on device until first access: device→host readback is
+    deferred because (a) it serializes the dispatch pipeline and (b) on the
+    tunneled axon TPU backend the first readback permanently degrades every
+    subsequent dispatch in the session (measured 0.03 ms → ~30-180 ms).
+    `temporal` / `distributions` / `volumes` convert lazily and cache.
+    """
 
     frame_indices: np.ndarray  # (F,) evaluated frame indices
     times: np.ndarray  # (F,) frame times
-    temporal: dict  # name -> (F, dim) float32
-    distributions: dict  # name -> (nbins,) accumulated histogram
-    volumes: dict  # name -> (D, D, D) accumulated grid
     frame_mask: Bitfield  # completed frames (over the whole trajectory)
     properties: list
     n_frames_done: int = 0
     interrupted: bool = False
+    # device-side payloads (filled by Evaluator.run)
+    _temporal_dev: Any = None  # list of per-frame dicts OR dict of chunks
+    _dist_dev: Optional[dict] = None
+    _vol_dev: Optional[dict] = None
+    _temporal_np: Optional[dict] = None
+    _dist_np: Optional[dict] = None
+    _vol_np: Optional[dict] = None
+
+    def block_until_ready(self):
+        """Wait for all device work without any host readback."""
+        if self._dist_dev:
+            jax.block_until_ready(self._dist_dev)
+        if self._vol_dev:
+            jax.block_until_ready(self._vol_dev)
+        if self._temporal_dev:
+            jax.block_until_ready(self._temporal_dev)
+        return self
+
+    @property
+    def temporal(self) -> dict:
+        if self._temporal_np is None:
+            out: dict = {}
+            rows = self._temporal_dev or []
+            if isinstance(rows, list) and rows and isinstance(rows[0], dict):
+                names = rows[0].keys()
+                for k in names:
+                    stacked = np.stack(
+                        [np.asarray(r[k]).reshape(-1) for r in rows]
+                    )
+                    out[k] = stacked.astype(np.float32)
+            self._temporal_np = out
+        return self._temporal_np
+
+    @property
+    def distributions(self) -> dict:
+        if self._dist_np is None:
+            self._dist_np = {
+                k: np.asarray(v) for k, v in (self._dist_dev or {}).items()
+            }
+        return self._dist_np
+
+    @property
+    def volumes(self) -> dict:
+        if self._vol_np is None:
+            self._vol_np = {
+                k: np.asarray(v) for k, v in (self._vol_dev or {}).items()
+            }
+        return self._vol_np
 
     def property(self, name: str) -> PropertyMeta:
         for p in self.properties:
@@ -148,12 +200,27 @@ class Evaluator:
     def _build_frame_fn(self):
         frame_fn = self.compiled.frame_fn
 
-        @jax.jit
         def one(coords, basis):
             inv = pbc_ops.inv_basis_of(basis)
             return frame_fn(coords, basis, inv)
 
-        return one
+        # Hoist the selection masks / index tables / reference coords that
+        # frame_fn closes over into explicit arguments: embedded device-array
+        # constants cost ~25 ms per dispatch on the tunneled TPU backend
+        # (apparently re-shipped per call) and bloat compiles to minutes.
+        n = self.traj.num_atoms
+        converted, consts = jax.closure_convert(
+            one,
+            jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3), jnp.float32),
+        )
+        consts_dev = [jax.device_put(jnp.asarray(c)) for c in consts]
+        jitted = jax.jit(converted)
+
+        def call(coords, basis):
+            return jitted(coords, basis, *consts_dev)
+
+        return call
 
     def _build_batch_fn(self):
         frame_fn = self.compiled.frame_fn
@@ -214,22 +281,18 @@ class Evaluator:
         F = indices.size
         B = self.chunk
         props = self.compiled.properties
-        temporal_out = {
-            p.name: np.zeros((F, p.dim), np.float32)
-            for p in props
-            if p.kind == "temporal"
-        }
-        dist_acc: dict[str, np.ndarray] = {}
-        vol_acc: dict[str, np.ndarray] = {}
+        dist_dev: dict = {}
+        vol_dev: dict = {}
+        t_rows: list = []
         frame_mask = Bitfield(traj.num_frames)
         done = 0
         interrupted = False
+        acc_dev = None
 
         if self.batch_mode == "dispatch":
             # per-frame async dispatch: device work pipelines behind the
-            # python loop; accumulators stay on device until the end
-            acc_dev = None
-            t_rows: list = []
+            # python loop; results stay on device (no readback — see
+            # EvalResult docstring)
             for beg in range(0, F, B):
                 if interrupt is not None and interrupt():
                     interrupted = True
@@ -251,13 +314,6 @@ class Evaluator:
                 done += chunk_idx.size
                 if progress is not None:
                     progress(done / F)
-            for i, t in enumerate(t_rows):
-                for k, v in t.items():
-                    temporal_out[k][i] = np.asarray(v).reshape(-1)
-            if acc_dev is not None:
-                for k, v in acc_dev.items():
-                    vnp = np.asarray(v)
-                    (dist_acc if vnp.ndim == 1 else vol_acc)[k] = vnp
         else:
             for beg in range(0, F, B):
                 if interrupt is not None and interrupt():
@@ -275,33 +331,34 @@ class Evaluator:
                 t_out, a_out = self._batch_fn(
                     jnp.asarray(coords), jnp.asarray(cells), jnp.asarray(valid)
                 )
-                for k, v in t_out.items():
-                    arr = np.asarray(v)[:nb]
-                    temporal_out[k][beg : beg + nb] = arr.reshape(nb, -1)
-                for k, v in a_out.items():
-                    acc = dist_acc if v.ndim == 1 else vol_acc
-                    vnp = np.asarray(v)
-                    if k in acc:
-                        acc[k] += vnp
-                    else:
-                        acc[k] = vnp.copy()
+                for k in range(nb):
+                    t_rows.append({nm: v[k] for nm, v in t_out.items()})
+                acc_dev = (
+                    a_out
+                    if acc_dev is None
+                    else jax.tree.map(jnp.add, acc_dev, a_out)
+                )
                 for fi in indices[beg : beg + nb]:
                     frame_mask.set_bit(int(fi))
                 done += nb
                 if progress is not None:
                     progress(done / F)
 
+        if acc_dev is not None:
+            for k, v in acc_dev.items():
+                (dist_dev if v.ndim == 1 else vol_dev)[k] = v
+
         times = np.asarray(traj.frame_times)[indices[:done]]
         return EvalResult(
             frame_indices=indices[:done],
             times=times,
-            temporal={k: v[:done] for k, v in temporal_out.items()},
-            distributions=dist_acc,
-            volumes=vol_acc,
             frame_mask=frame_mask,
             properties=props,
             n_frames_done=done,
             interrupted=interrupted,
+            _temporal_dev=t_rows,
+            _dist_dev=dist_dev,
+            _vol_dev=vol_dev,
         )
 
 

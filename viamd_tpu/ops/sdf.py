@@ -64,7 +64,15 @@ def sdf_accumulate(
 
     def one_structure(Rs, cs):
         d = min_image(x - cs, basis, inv_basis)  # targets relative to S
-        p = d @ Rs.T  # into reference frame
+        d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+        p = jnp.stack(
+            [
+                Rs[0, 0] * d0 + Rs[0, 1] * d1 + Rs[0, 2] * d2,
+                Rs[1, 0] * d0 + Rs[1, 1] * d1 + Rs[1, 2] * d2,
+                Rs[2, 0] * d0 + Rs[2, 1] * d1 + Rs[2, 2] * d2,
+            ],
+            axis=-1,
+        )  # into reference frame (expanded 3x3 apply)
         return splat_trilinear(p, target_w, (dims, dims, dims), origin, voxel)
 
     grids = jax.vmap(one_structure)(R, c)
@@ -112,8 +120,15 @@ def sdf_accumulate_cl(
 
     d = x[cand] - c[:, None, :]  # (S, C, 3)
     d = d - box * jnp.round(d / box)
-    p = jnp.einsum(
-        "sij,scj->sci", R, d, precision=jax.lax.Precision.HIGHEST
+    # p_i = sum_j R_ij d_j, expanded (K=3 einsums are pathological on TPU)
+    d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+    p = jnp.stack(
+        [
+            R[:, 0, 0, None] * d0 + R[:, 0, 1, None] * d1 + R[:, 0, 2, None] * d2,
+            R[:, 1, 0, None] * d0 + R[:, 1, 1, None] * d1 + R[:, 1, 2, None] * d2,
+            R[:, 2, 0, None] * d0 + R[:, 2, 1, None] * d1 + R[:, 2, 2, None] * d2,
+        ],
+        axis=-1,
     )
     w = target_w[cand] * ok.astype(jnp.float32)
     origin = jnp.full((3,), -extent, jnp.float32)

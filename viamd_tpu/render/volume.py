@@ -82,6 +82,18 @@ def _sample_tf(tf: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return tf[i0] * (1 - f) + tf[i1] * f
 
 
+def _apply44(m: jnp.ndarray, p: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous transform of (P,3) points (+w column), expanded
+    elementwise — (P,4)@(4,4) matmuls are pathological on the TPU backend
+    (tiny-K MXU dispatch). Returns (P,3) after perspective divide."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    out = [
+        m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3] * w
+        for i in range(4)
+    ]
+    return jnp.stack(out[:3], axis=1) / out[3][:, None]
+
+
 def ray_box(
     orig: jnp.ndarray, direc: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -114,19 +126,14 @@ def _render_impl(
     )  # (P, 2)
 
     def unproject(z):
-        clip = jnp.concatenate(
-            [ndc, jnp.full((P, 1), z), jnp.ones((P, 1))], axis=1
-        )
-        wpos = clip @ inv_vp.T
-        return wpos[:, :3] / wpos[:, 3:4]
+        clip = jnp.concatenate([ndc, jnp.full((P, 1), z)], axis=1)
+        return _apply44(inv_vp, clip, jnp.ones(P))
 
     p_near = unproject(-1.0)
     p_far = unproject(1.0)
     # into model (texture) space
     def to_model(p):
-        ph = jnp.concatenate([p, jnp.ones((P, 1))], axis=1)
-        m = ph @ inv_model.T
-        return m[:, :3] / m[:, 3:4]
+        return _apply44(inv_model, p, jnp.ones(P))
 
     o = to_model(p_near)
     e = to_model(p_far)
