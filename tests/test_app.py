@@ -1,0 +1,341 @@
+"""Application-layer tests: session, events, tasks, workspace, exports,
+components, CLI."""
+
+import io
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_ala_pdb
+
+
+@pytest.fixture
+def ala_session(tmp_path):
+    from viamd_tpu.app import Session
+
+    p = tmp_path / "ala.pdb"
+    p.write_text(make_ala_pdb(6, n_models=10))
+    s = Session(num_workers=2)
+    s.load(str(p))
+    yield s
+    s.shutdown()
+
+
+class TestEvents:
+    def test_broadcast_and_queue(self):
+        from viamd_tpu.app.events import EventBus
+
+        bus = EventBus()
+        got = []
+        bus.subscribe("ping", lambda ev: got.append(ev.payload))
+        bus.broadcast("ping", 1)
+        assert got == [1]
+        bus.enqueue("ping", 2)
+        bus.enqueue("ping", 3, delay=999)
+        bus.process_queue()
+        assert got == [1, 2]  # delayed one not yet due
+
+    def test_unsubscribe(self):
+        from viamd_tpu.app.events import EventBus
+
+        bus = EventBus()
+        got = []
+        h = bus.subscribe("x", lambda ev: got.append(1))
+        bus.unsubscribe("x", h)
+        bus.broadcast("x")
+        assert got == []
+
+
+class TestTasks:
+    def test_pool_task_progress(self):
+        from viamd_tpu.app.tasks import TaskSystem
+
+        ts = TaskSystem(2)
+        h = ts.enqueue_range("count", lambda b, e, t: e - b, total=100, grain=10)
+        assert sum(h.wait()) == 100
+        assert h.progress == 1.0
+        ts.shutdown()
+
+    def test_interrupt(self):
+        from viamd_tpu.app.tasks import TaskSystem
+
+        ts = TaskSystem(2)
+
+        def slow(beg, end, task):
+            time.sleep(0.05)
+            return 1
+
+        h = ts.enqueue_range("slow", slow, total=100, grain=1)
+        time.sleep(0.1)
+        h.interrupt_and_wait()
+        assert len(h.wait()) < 100
+        ts.shutdown()
+
+    def test_dependency_and_main_queue(self):
+        from viamd_tpu.app.tasks import TaskSystem
+
+        ts = TaskSystem(2)
+        order = []
+        a = ts.enqueue("a", lambda t: order.append("a"))
+        b = ts.enqueue("b", lambda t: order.append("b"), dependency=a)
+        b.wait()
+        assert order == ["a", "b"]
+        ts.enqueue_main(lambda: order.append("main"))
+        assert ts.run_main_queue() == 1
+        assert order[-1] == "main"
+        ts.shutdown()
+
+
+class TestSession:
+    def test_load_and_select(self, ala_session):
+        s = ala_session
+        assert s.system.natoms == 30
+        assert s.num_frames == 10
+        mask = s.select("element('C')")
+        assert mask.popcount() == 18
+        s.store_selection("carbons")
+        assert "carbons" in s.stored_selections
+
+    def test_script_eval(self, ala_session):
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);\nc = count(carbons);", compile=False)
+        s.store_selection("carbons", s.select("element('C')"))
+        assert s.compile_script()
+        res = s.evaluate(chunk=4)
+        assert res.n_frames_done == 10
+        assert "d1" in res.temporal
+
+    def test_script_error_reported(self, ala_session):
+        s = ala_session
+        s.set_script("d1 = distance(1, 99999);")
+        assert not s.compile_script()
+        assert s.script_errors
+
+    def test_interpolated_coords(self, ala_session):
+        s = ala_session
+        s.set_frame(0.5)
+        x_half = s.current_coords()
+        x0, _ = s.trajectory.load_frame(0)
+        x1, _ = s.trajectory.load_frame(1)
+        np.testing.assert_allclose(x_half, (x0 + x1) / 2, atol=1e-3)
+
+    def test_render_and_pick(self, ala_session):
+        s = ala_session
+        img, depth, pick = s.render(64, 64)
+        assert img.shape == (64, 64, 4)
+        assert img[..., 3].sum() > 0  # something visible
+        hits = pick[pick >= 0]
+        assert hits.size > 0
+
+    def test_async_eval(self, ala_session):
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);")
+        h = s.evaluate_async(chunk=4)
+        res = h.wait()
+        assert res.n_frames_done == 10
+
+    def test_tick(self, ala_session):
+        got = []
+        from viamd_tpu.app.events import EventType
+
+        ala_session.events.subscribe(
+            EventType.FRAME_TICK, lambda ev: got.append(1)
+        )
+        ala_session.tick()
+        assert got == [1]
+
+
+class TestWorkspace:
+    def test_roundtrip(self, ala_session, tmp_path):
+        from viamd_tpu.app import Session
+
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);")
+        s.store_selection("first5", s.select("atom(1:5)"))
+        s.add_representation(
+            name="lico", filter="element('C')", type="licorice"
+        )
+        s.frame = 3.0
+        ws = str(tmp_path / "test.via")
+        s.save_workspace(ws)
+
+        s2 = Session(num_workers=2)
+        s2.load_workspace(ws)
+        try:
+            assert s2.system.natoms == s.system.natoms
+            assert s2.num_frames == 10
+            assert s2.frame == 3.0
+            assert s2.script_text == s.script_text
+            assert s2.stored_selections["first5"].popcount() == 5
+            assert len(s2.representations) == 2
+            assert s2.representations[1].type == "licorice"
+            assert s2.compiled is not None
+        finally:
+            s2.shutdown()
+
+
+class TestComponents:
+    def test_dataset_summary(self, ala_session):
+        summary = ala_session.components["dataset"].summary()
+        assert summary["atoms"] == 30
+        assert summary["residues"] == 6
+        assert summary["frames"] == 10
+        assert summary["elements"]["C"] == 18
+
+    def test_dataset_remap(self, ala_session):
+        ds = ala_session.components["dataset"]
+        n = ds.remap_element("name('CB')", "S")
+        assert n == 6
+        assert (ala_session.system.element == 16).sum() == 6
+
+    def test_ramachandran(self, ala_session):
+        rama = ala_session.components["ramachandran"]
+        phi, psi = rama.compute_angles()
+        assert phi.shape == (10, 6)
+        dens = rama.density("general", blur_sigma=1.0)
+        assert dens.shape == (128, 128)
+        assert abs(dens.sum() - 1.0) < 1e-3
+        levels = rama.iso_levels(dens)
+        # larger enclosed mass ⇒ lower density threshold
+        assert levels[0] <= levels[1] <= levels[2]
+
+    def test_shapespace(self, ala_session):
+        ss = ala_session.components["shapespace"]
+        w = ss.evaluate("residues")
+        assert w.shape == (10, 6, 3)
+        np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-4)
+        pts = ss.scatter_points()
+        assert pts.shape == (60, 2)
+        buf = io.StringIO()
+        ss.export_csv(buf)
+        assert "lin" in buf.getvalue().splitlines()[0]
+
+    def test_density_volume(self, water, tmp_path):
+        from viamd_tpu.app import Session
+        from viamd_tpu.io.pdb import write_pdb
+
+        sys_, traj = water
+        p = tmp_path / "w.pdb"
+        p.write_text(write_pdb(sys_))
+        s = Session(num_workers=2)
+        s.load(str(p))
+        s.set_trajectory(traj)
+        s.set_script("v = sdf(residue(1:4), element('H'), 4.0);")
+        s.evaluate(chunk=5)
+        try:
+            dv = s.components["density_volume"]
+            assert dv.volume_properties() == ["v"]
+            img, depth = dv.render(width=48, height=48)
+            assert img.shape == (48, 48, 4)
+            assert np.isfinite(img).all()
+        finally:
+            s.shutdown()
+
+
+class TestExports:
+    def test_temporal_csv_xvg(self, ala_session):
+        from viamd_tpu.app import export as ex
+        from viamd_tpu.io.csv import read_csv
+        from viamd_tpu.io.xvg import read_xvg
+
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);")
+        res = s.evaluate(chunk=4)
+        buf = io.StringIO()
+        ex.export_temporal_csv(res, buf)
+        assert "d1" in buf.getvalue().splitlines()[0]
+
+    def test_cube_roundtrip(self, tmp_path):
+        from viamd_tpu.app.export import export_cube, read_cube
+
+        rng = np.random.RandomState(0)
+        grid = rng.rand(6, 5, 4).astype(np.float32)
+        p = str(tmp_path / "t.cube")
+        export_cube(
+            p, grid, origin=[-1, -1, -1], voxel=[0.5, 0.5, 0.5],
+            atoms_z=[8, 1], atoms_xyz=[[0, 0, 0], [1, 0, 0]],
+        )
+        g2, origin, voxel, zs, xyz = read_cube(p)
+        np.testing.assert_allclose(g2, grid, rtol=1e-4)
+        np.testing.assert_allclose(origin, [-1, -1, -1], atol=1e-5)
+        np.testing.assert_allclose(voxel, 0.5, atol=1e-6)
+        assert zs.tolist() == [8, 1]
+
+    def test_structure_export(self, ala_session, tmp_path):
+        from viamd_tpu.app.export import export_structure
+        from viamd_tpu.io.pdb import parse_pdb
+        from viamd_tpu.io.xyz import parse_xyz
+
+        p = str(tmp_path / "sub.pdb")
+        export_structure(ala_session, p, "element('C')", frames="current")
+        sub, _ = parse_pdb(open(p).read())
+        assert sub.natoms == 18
+        p2 = str(tmp_path / "sub.xyz")
+        export_structure(ala_session, p2, "all", frames=[0, 2])
+        sys2, traj2 = parse_xyz(open(p2).read())
+        assert traj2.num_frames == 2
+
+    def test_image_roundtrip(self, tmp_path):
+        from viamd_tpu.app.export import load_image, save_image
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(16, 16, 4).astype(np.float32)
+        p = str(tmp_path / "t.png")
+        save_image(p, img)
+        back = load_image(p)
+        np.testing.assert_allclose(back, img, atol=0.01)
+
+
+class TestCLI:
+    def test_info(self, tmp_path, capsys):
+        from viamd_tpu.app.cli import main
+
+        p = tmp_path / "a.pdb"
+        p.write_text(make_ala_pdb(3))
+        assert main(["info", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert '"atoms": 15' in out
+
+    def test_eval_csv(self, tmp_path):
+        from viamd_tpu.app.cli import main
+
+        p = tmp_path / "a.pdb"
+        p.write_text(make_ala_pdb(4, n_models=5))
+        out = tmp_path / "props.csv"
+        rc = main(
+            ["eval", str(p), "-s", "d1 = distance(1, 6);", "-o", str(out), "-q"]
+        )
+        assert rc == 0
+        from viamd_tpu.io.csv import read_csv
+
+        cols, header = read_csv(str(out))
+        assert header == ["time", "d1"]
+        assert cols.shape == (2, 5)
+
+    def test_render_png(self, tmp_path):
+        from viamd_tpu.app.cli import main
+
+        p = tmp_path / "a.pdb"
+        p.write_text(make_ala_pdb(4))
+        out = tmp_path / "img.png"
+        rc = main(
+            ["render", str(p), "-o", str(out), "--width", "64", "--height", "48"]
+        )
+        assert rc == 0
+        from viamd_tpu.app.export import load_image
+
+        img = load_image(str(out))
+        assert img.shape == (48, 64, 4)
+        assert img[..., :3].sum() > 0
+
+    def test_transcode(self, tmp_path):
+        from viamd_tpu.app.cli import main
+
+        p = tmp_path / "a.pdb"
+        p.write_text(make_ala_pdb(4, n_models=6))
+        out = tmp_path / "a.vtraj"
+        assert main(["transcode", str(p), "-o", str(out)]) == 0
+        from viamd_tpu.io.cache import PackedTrajectory
+
+        assert PackedTrajectory(str(out)).num_frames == 6

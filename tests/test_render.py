@@ -111,3 +111,117 @@ class TestVolumeRender:
         t0, t1 = V.ray_box(o, d)
         assert float(t1[0]) > float(t0[0])  # ray 0 hits
         assert float(t1[1]) < float(t0[1])  # ray 1 misses
+
+
+class TestColor:
+    def test_hsv_roundtrip(self):
+        from viamd_tpu.render import color as C
+
+        rng = np.random.RandomState(0)
+        rgb = rng.rand(50, 3)
+        back = C.hsv_to_rgb(*C.rgb_to_hsv(rgb).T.reshape(3, -1))
+        np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+    def test_oklab_roundtrip(self):
+        from viamd_tpu.render import color as C
+
+        rng = np.random.RandomState(1)
+        rgb = rng.rand(30, 3)
+        np.testing.assert_allclose(C.oklab_to_rgb(C.rgb_to_oklab(rgb)), rgb, atol=1e-4)
+
+    def test_pack_unpack(self):
+        from viamd_tpu.render import color as C
+
+        rgba = np.array([[1.0, 0.5, 0.25, 1.0]])
+        np.testing.assert_allclose(C.unpack_u32(C.pack_u32(rgba)), rgba, atol=0.01)
+
+    def test_atom_coloring(self, ala_system):
+        from viamd_tpu.render import color as C
+
+        cols = C.color_atoms_cpk(ala_system)
+        assert cols.shape == (20, 4)
+        # nitrogen is blue-ish
+        assert cols[0, 2] > cols[0, 0]
+        cols2 = C.color_atoms_residue(ala_system)
+        assert not np.allclose(cols2[0], cols2[5])  # different residues differ
+
+    def test_masked_ops(self, ala_system):
+        from viamd_tpu.render import color as C
+        from viamd_tpu.core.bitfield import Bitfield
+
+        cols = C.color_atoms_cpk(ala_system)
+        m = Bitfield.from_range(20, 0, 5)
+        f = C.filter_colors(cols, m)
+        assert (f[5:, 3] == 0).all() and (f[:5, 3] == 1).all()
+        d = C.desaturate_colors(cols, ~m)
+        np.testing.assert_allclose(d[:5], cols[:5])
+
+
+class TestColormap:
+    def test_maps(self):
+        from viamd_tpu.render import colormap as CM
+
+        for name in CM.colormap_names():
+            m = CM.colormap(name, 64)
+            assert m.shape == (64, 3)
+            assert (m >= 0).all() and (m <= 1).all()
+        tf = CM.transfer_function("viridis", 128, alpha_ramp="quadratic")
+        assert tf.shape == (128, 4)
+        assert tf[0, 3] == 0 and tf[-1, 3] > 0.9
+
+
+class TestRaster:
+    def test_spheres_visible(self):
+        from viamd_tpu.render import raster as R
+
+        cam = C.Camera(
+            eye=np.array([0.0, 0, 10.0]), center=np.zeros(3),
+            up=np.array([0.0, 1, 0]),
+        )
+        pos = np.array([[0.0, 0, 0], [3.0, 0, 0]], np.float32)
+        radii = np.array([1.0, 0.5], np.float32)
+        cols = np.array([[1, 0, 0, 1], [0, 1, 0, 1]], np.float32)
+        s = R.RasterSettings(width=64, height=64)
+        img, depth, pick = R.render_molecules(
+            pos, radii, cols, cam.view_matrix(), cam.proj_matrix(64, 64), s
+        )
+        assert img.shape == (64, 64, 4)
+        c = img[32, 32]
+        assert c[3] == 1.0 and c[0] > c[1]  # red sphere at center
+        assert pick[32, 32] == 0
+        assert np.isfinite(depth[32, 32])
+        # corner empty
+        assert img[0, 0, 3] == 0.0 and pick[0, 0] == -1
+
+    def test_depth_ordering(self):
+        from viamd_tpu.render import raster as R
+
+        cam = C.Camera(
+            eye=np.array([0.0, 0, 10.0]), center=np.zeros(3),
+            up=np.array([0.0, 1, 0]),
+        )
+        # green sphere in front of red, both on axis
+        pos = np.array([[0.0, 0, 0], [0.0, 0, 3.0]], np.float32)
+        radii = np.array([1.0, 0.5], np.float32)
+        cols = np.array([[1, 0, 0, 1], [0, 1, 0, 1]], np.float32)
+        s = R.RasterSettings(width=32, height=32, jitter=False) if False else R.RasterSettings(width=32, height=32)
+        img, depth, pick = R.render_molecules(
+            pos, radii, cols, cam.view_matrix(), cam.proj_matrix(32, 32), s
+        )
+        assert pick[16, 16] == 1  # nearer sphere wins
+
+    def test_licorice_bonds(self, ala_system):
+        from viamd_tpu.render import raster as R
+        from viamd_tpu.render import color as CL
+
+        sys = ala_system
+        cam = C.compute_optimal_view(*sys.aabb())
+        cols = CL.color_atoms_cpk(sys)
+        s = R.RasterSettings(width=96, height=96, rep="licorice")
+        img, depth, pick = R.render_molecules(
+            sys.coords(), sys.radius, cols,
+            cam.view_matrix(), cam.proj_matrix(96, 96), s, bonds=sys.bonds,
+        )
+        assert img[..., 3].sum() > 10  # something rendered
+        hit_ids = np.unique(pick[pick >= 0])
+        assert hit_ids.size >= 3  # several atoms visible & pickable

@@ -1,0 +1,360 @@
+"""Session: the headless application core.
+
+Rebuild of the reference's ApplicationState + app logic
+(/root/reference/src/viamd.h:1026-1423, src/viamd.cpp — data load/free,
+frame interpolation + cache, stored selections, representations, script
+compile/eval orchestration with debounce-free explicit calls, recenter,
+picking, workspace persistence) as a programmatic API: the GUI main loop
+becomes method calls; components subscribe to the same event vocabulary.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from viamd_tpu.app.events import EventBus, EventType
+from viamd_tpu.app.tasks import TaskSystem
+from viamd_tpu.core.bitfield import Bitfield
+from viamd_tpu.core.system import System
+from viamd_tpu.core.unitcell import UnitCell
+from viamd_tpu.eval import EvalResult, Evaluator
+from viamd_tpu.io import load_file
+from viamd_tpu.io.trajectory import CachedTrajectory, Trajectory
+from viamd_tpu.render import camera as cam_mod
+from viamd_tpu.script import ScriptError, compile_script, evaluate_filter
+from viamd_tpu.script.compiler import CompiledScript
+
+
+@dataclass
+class Representation:
+    """A draw representation (viamd.h Representation analog)."""
+
+    name: str = "rep"
+    filter: str = "all"
+    type: str = "spacefill"  # spacefill | licorice | ballstick
+    color_mapping: str = "cpk"
+    uniform_color: tuple = (0.6, 0.6, 0.9, 1.0)
+    radius_scale: float = 1.0
+    enabled: bool = True
+    # derived
+    mask: Optional[Bitfield] = None
+    dynamic: bool = False
+    error: str = ""
+
+
+class Session:
+    """Headless VIAMD session: load → select → script → eval → render."""
+
+    def __init__(self, num_workers: int = 4):
+        self.events = EventBus()
+        self.tasks = TaskSystem(num_workers)
+        self.system: Optional[System] = None
+        self.trajectory: Optional[Trajectory] = None
+        self.files: dict = {"system": None, "trajectory": None}
+        # selections
+        self.stored_selections: dict[str, Bitfield] = {}
+        self.selection: Optional[Bitfield] = None
+        self.highlight: Optional[Bitfield] = None
+        # representations
+        self.representations: list[Representation] = []
+        # script
+        self.script_text: str = ""
+        self.compiled: Optional[CompiledScript] = None
+        self.script_errors: list[str] = []
+        self.eval_result: Optional[EvalResult] = None
+        self.filtered_result: Optional[EvalResult] = None
+        # playback
+        self.frame: float = 0.0
+        self.camera: Optional[cam_mod.Camera] = None
+        # component registry
+        self.components: dict[str, object] = {}
+        self._register_builtin_components()
+        self.events.broadcast(EventType.INITIALIZE, self)
+
+    # -- components ----------------------------------------------------------
+    def _register_builtin_components(self):
+        """Self-registering components (the static-instance pattern of
+        ramachandran.cpp:1508 etc.)."""
+        from viamd_tpu.components import builtin_components
+
+        for cls in builtin_components():
+            comp = cls(self)
+            self.components[comp.name] = comp
+
+    # -- data loading --------------------------------------------------------
+    def load(self, path: str, **kw) -> "Session":
+        """Load a system and/or trajectory file (file_queue/load_data_from_file
+        analog, viamd.cpp:667)."""
+        res = load_file(path, system=self.system, **kw)
+        if res.system is not None:
+            self.system = res.system
+            self.files["system"] = os.path.abspath(path)
+            if self.system.natoms:
+                lo, hi = self.system.aabb()
+                self.camera = cam_mod.compute_optimal_view(lo, hi)
+            self.selection = Bitfield(self.system.natoms)
+            self.highlight = Bitfield(self.system.natoms)
+            if not self.representations:
+                self.representations.append(Representation())
+            self._update_representations()
+            self.events.broadcast(EventType.SYSTEM_INIT, self)
+        if res.trajectory is not None:
+            if self.system is None:
+                raise ValueError(
+                    "load a system before attaching a trajectory"
+                )
+            self.trajectory = CachedTrajectory(res.trajectory)
+            self.files["trajectory"] = os.path.abspath(path)
+            self.events.broadcast(EventType.TRAJECTORY_INIT, self)
+        return self
+
+    def set_trajectory(self, traj: Trajectory):
+        self.trajectory = CachedTrajectory(traj)
+        self.events.broadcast(EventType.TRAJECTORY_INIT, self)
+
+    # -- frames --------------------------------------------------------------
+    @property
+    def num_frames(self) -> int:
+        return self.trajectory.num_frames if self.trajectory else 0
+
+    def current_coords(self) -> np.ndarray:
+        """Coordinates at the (possibly fractional) playback frame, with the
+        PBC-aware interpolation of the reference's hot loop
+        (viamd.cpp:1846-1885)."""
+        if self.trajectory is None or self.num_frames == 0:
+            return self.system.coords()
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops import interpolate as interp
+        from viamd_tpu.ops.pbc import inv_basis_of
+
+        f = float(np.clip(self.frame, 0, self.num_frames - 1))
+        i0 = int(np.floor(f))
+        t = f - i0
+        if t < 1e-6:
+            return self.trajectory.load_frame(i0)[0]
+        i1 = min(i0 + 1, self.num_frames - 1)
+        x0, cell = self.trajectory.load_frame(i0)
+        x1, _ = self.trajectory.load_frame(i1)
+        basis = jnp.asarray(cell.basis)
+        out = interp.interpolate_linear(
+            jnp.asarray(x0), jnp.asarray(x1), t, basis, inv_basis_of(basis)
+        )
+        return np.asarray(out)
+
+    def current_cell(self) -> UnitCell:
+        if self.trajectory is None or self.num_frames == 0:
+            return self.system.cell
+        return self.trajectory.load_frame(int(self.frame))[1]
+
+    def set_frame(self, frame: float):
+        self.frame = frame
+        self.events.broadcast(EventType.SYSTEM_STATE_CHANGED, self)
+
+    # -- selections ----------------------------------------------------------
+    def select(self, expr: str) -> Bitfield:
+        """Evaluate a filter query into the active selection
+        (the selection query path, main.cpp:3171)."""
+        mask, dynamic = evaluate_filter(
+            expr, self.system, self.stored_selections
+        )
+        self.selection = mask
+        self.events.broadcast(EventType.SELECTION_CHANGED, self)
+        return mask
+
+    def store_selection(self, name: str, mask: Optional[Bitfield] = None):
+        """Stored selections inject into scripts as identifiers
+        (main.cpp:860-863)."""
+        self.stored_selections[name] = (
+            mask if mask is not None else self.selection
+        )
+
+    # -- representations -----------------------------------------------------
+    def add_representation(self, **kw) -> Representation:
+        rep = Representation(**kw)
+        self.representations.append(rep)
+        self._update_representations()
+        self.events.broadcast(EventType.REPRESENTATION_CHANGED, self)
+        return rep
+
+    def _update_representations(self):
+        """Re-evaluate rep filters (update_representation, viamd.cpp:1316)."""
+        if self.system is None:
+            return
+        for rep in self.representations:
+            try:
+                rep.mask, rep.dynamic = evaluate_filter(
+                    rep.filter, self.system, self.stored_selections
+                )
+                rep.error = ""
+            except ScriptError as e:
+                rep.mask = Bitfield(self.system.natoms)
+                rep.error = str(e)
+
+    # -- script --------------------------------------------------------------
+    def set_script(self, text: str, compile: bool = True):
+        self.script_text = text
+        if compile:
+            self.compile_script()
+
+    def compile_script(self) -> bool:
+        """Compile the script (md_script_ir_compile_from_source path,
+        main.cpp:866); errors land in script_errors."""
+        self.script_errors = []
+        if self.system is None:
+            self.script_errors = ["no system loaded"]
+            return False
+        try:
+            self.compiled = compile_script(
+                self.script_text, self.system,
+                identifiers=self.stored_selections,
+            )
+            self.events.broadcast(EventType.SCRIPT_COMPILED, self)
+            return True
+        except ScriptError as e:
+            self.compiled = None
+            self.script_errors = [str(e)]
+            return False
+
+    def evaluate(
+        self,
+        frame_range=None,
+        chunk: int = 16,
+        mesh=None,
+        progress=None,
+        interrupt=None,
+        filtered: bool = False,
+    ) -> EvalResult:
+        """Run the compiled script over the trajectory (the Eval Full /
+        filtered-eval pair, main.cpp:981-1027)."""
+        if self.compiled is None:
+            if not self.compile_script():
+                raise ScriptError(self.script_errors[0])
+        traj = self.trajectory
+        if traj is None:
+            from viamd_tpu.io.trajectory import InMemoryTrajectory
+
+            traj = InMemoryTrajectory(
+                self.system.coords()[None], cell=self.system.cell
+            )
+        self.events.broadcast(EventType.EVAL_STARTED, self)
+
+        def prog(f):
+            self.events.broadcast(EventType.EVAL_PROGRESS, f)
+            if progress:
+                progress(f)
+
+        ev = Evaluator(self.compiled, traj, chunk=chunk, mesh=mesh)
+        res = ev.run(frame_range=frame_range, progress=prog, interrupt=interrupt)
+        if filtered:
+            self.filtered_result = res
+        else:
+            self.eval_result = res
+        self.events.broadcast(EventType.EVAL_COMPLETE, res)
+        return res
+
+    def evaluate_async(self, **kw):
+        """Background evaluation with interruption (the interactive pattern:
+        interrupt-then-wait + progress overlay)."""
+        interrupted = {"flag": False}
+
+        def work(handle):
+            return self.evaluate(
+                progress=handle.set_progress,
+                interrupt=lambda: handle.interrupted,
+                **kw,
+            )
+
+        return self.tasks.enqueue("Eval Full", work)
+
+    # -- view ----------------------------------------------------------------
+    def reset_view(self):
+        lo, hi = self.system.aabb()
+        self.camera = cam_mod.compute_optimal_view(lo, hi)
+
+    def render(
+        self,
+        width: int = 512,
+        height: int = 512,
+        rep_index: Optional[int] = None,
+    ):
+        """Render enabled representations → (rgba, depth, picking).
+
+        The md_gl_draw path (main.cpp:6991) as one call; picking output is
+        the per-pixel atom id surface (viamd.h picking capability)."""
+        from viamd_tpu.render import color as color_mod
+        from viamd_tpu.render import raster
+
+        sys = self.system
+        coords = self.current_coords()
+        cam = self.camera or cam_mod.compute_optimal_view(*sys.aabb())
+        img = None
+        depth = None
+        pick = None
+        reps = (
+            [self.representations[rep_index]]
+            if rep_index is not None
+            else [r for r in self.representations if r.enabled]
+        )
+        for rep in reps:
+            mapping = color_mod.COLOR_MAPPINGS.get(rep.color_mapping)
+            cols = (
+                mapping(sys)
+                if mapping
+                else color_mod.color_atoms_uniform(sys, rep.uniform_color)
+            )
+            if rep.mask is not None:
+                cols = color_mod.filter_colors(cols, rep.mask)
+            # visibility: zero-alpha atoms are culled by radius 0
+            radii = np.where(cols[:, 3] > 0, sys.radius, 0.0).astype(np.float32)
+            settings = raster.RasterSettings(
+                width=width, height=height, rep=rep.type,
+                radius_scale=rep.radius_scale,
+            )
+            rgba, d, p = raster.render_molecules(
+                coords, radii, cols, cam.view_matrix(),
+                cam.proj_matrix(width, height), settings,
+                bonds=sys.bonds if rep.type != "spacefill" else None,
+            )
+            if img is None:
+                img, depth, pick = rgba, d, p
+            else:  # depth-composite subsequent reps
+                closer = d < depth
+                img = np.where(closer[..., None], rgba, img)
+                pick = np.where(closer, p, pick)
+                depth = np.minimum(depth, d)
+        self.events.broadcast(EventType.RENDER, self)
+        return img, depth, pick
+
+    def pick(self, x: int, y: int, width: int = 512, height: int = 512) -> int:
+        """Atom index under a pixel (the async PBO picking readback,
+        viamd.cpp:2359-2545, as a direct query)."""
+        _, _, picking = self.render(width, height)
+        return int(picking[y, x])
+
+    # -- tick (main-loop analog) ---------------------------------------------
+    def tick(self):
+        """Process queued events + pinned tasks (one main-loop iteration's
+        bookkeeping, main.cpp:1186-1187)."""
+        self.events.broadcast(EventType.FRAME_TICK, self)
+        self.events.process_queue()
+        self.tasks.run_main_queue()
+
+    # -- workspace -----------------------------------------------------------
+    def save_workspace(self, path: str):
+        from viamd_tpu.app.workspace import save_workspace
+
+        save_workspace(self, path)
+
+    def load_workspace(self, path: str):
+        from viamd_tpu.app.workspace import load_workspace
+
+        load_workspace(self, path)
+
+    def shutdown(self):
+        self.events.broadcast(EventType.SHUTDOWN, self)
+        self.tasks.shutdown()

@@ -1,0 +1,102 @@
+"""Density-volume component: render script volume properties.
+
+Rebuild of src/components/density_volume/density_volume.cpp (reference: the
+window for Type_Volume script properties — 3D texture upload of the SDF
+grid (:276-283), transfer-function DVR + up to 8 isosurfaces, model matrix
+from ±extent (:193-197), per-structure reference representations, its own
+camera/GBuffer).
+
+Headless surface: pick a volume property from the session's EvalResult and
+produce framebuffers via the Pallas/JAX ray-marcher.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from viamd_tpu.app.events import EventType
+from viamd_tpu.render import camera as cam_mod
+from viamd_tpu.render import colormap as cmap_mod
+from viamd_tpu.render import volume as vol_mod
+
+MAX_ISO = 8  # reference cap
+
+
+class DensityVolumeComponent:
+    name = "density_volume"
+
+    def __init__(self, session):
+        self.session = session
+        self.colormap = "viridis"
+        self.alpha_scale = 1.0
+        self.iso_values: tuple = ()
+        self.iso_colors: tuple = ()
+        session.events.subscribe(EventType.EVAL_COMPLETE, self._on_eval)
+        self._last_result = None
+
+    def _on_eval(self, ev):
+        self._last_result = ev.payload
+
+    def volume_properties(self) -> list[str]:
+        res = self._last_result or self.session.eval_result
+        if res is None:
+            return []
+        return [p.name for p in res.properties if p.kind == "volume"]
+
+    def set_isosurfaces(self, values, colors=None):
+        values = tuple(values)[:MAX_ISO]
+        if colors is None:
+            base = cmap_mod.colormap("plasma", max(len(values), 2))
+            colors = tuple(
+                (float(r), float(g), float(b), 0.8) for r, g, b in base[: len(values)]
+            )
+        self.iso_values = values
+        self.iso_colors = tuple(colors)[: len(values)]
+
+    def render(
+        self,
+        prop_name: Optional[str] = None,
+        width: int = 512,
+        height: int = 512,
+        camera: Optional[cam_mod.Camera] = None,
+        normalized: bool = True,
+    ):
+        """Render a volume property → ((H,W,4) RGBA, (H,W) depth)."""
+        res = self._last_result or self.session.eval_result
+        if res is None:
+            raise ValueError("no evaluation result — run session.evaluate()")
+        names = self.volume_properties()
+        if not names:
+            raise ValueError("no volume properties in the evaluation")
+        prop_name = prop_name or names[0]
+        meta = res.property(prop_name)
+        grid = (
+            res.normalized_volume(prop_name)
+            if normalized
+            else res.volumes[prop_name]
+        )
+        vmax = float(grid.max()) or 1.0
+        extent = meta.spec.extent
+        model = vol_mod.model_matrix_from_extent(extent)
+        if camera is None:
+            camera = cam_mod.compute_optimal_view(
+                [-extent] * 3, [extent] * 3
+            )
+        tf = cmap_mod.transfer_function(
+            self.colormap, 256, alpha_scale=self.alpha_scale
+        )
+        settings = vol_mod.VolumeRenderSettings(
+            width=width,
+            height=height,
+            value_range=(0.0, vmax),
+            enable_iso=bool(self.iso_values),
+            iso_values=tuple(v * vmax for v in self.iso_values),
+            iso_colors=self.iso_colors,
+        )
+        img, depth = vol_mod.render_volume(
+            grid, tf, model, camera.view_matrix(),
+            camera.proj_matrix(width, height), settings,
+        )
+        return np.asarray(img), np.asarray(depth)

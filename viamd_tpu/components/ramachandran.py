@@ -1,0 +1,147 @@
+"""Ramachandran component: φ/ψ backbone-angle densities per residue class.
+
+Rebuild of src/components/ramachandran/ramachandran.cpp (reference: per-frame
+φ/ψ scatter into a 512² accumulation texture per residue class
+(general/glycine/proline/pre-proline), separable gaussian blur
+(boxes_for_gauss 3-box approximation, :333-368), upsampled display maps,
+plus reference iso-density contours from embedded tables).
+
+TPU formulation: angles for ALL frames batch through the jitted backbone
+kernel (the trajectory-precompute task of viamd.cpp:487-525); density
+accumulation is a 2D histogram via the scatter-free sorted segment-sum,
+blurred with the separable gaussian of ops.density. Reference (favored /
+allowed region) maps are computed from the data itself rather than shipped
+tables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from viamd_tpu.app.events import EventType
+
+ACC_RES = 128  # accumulation resolution (reference: 512² at display 1024²)
+CLASSES = ("general", "glycine", "proline", "preproline")
+
+
+class RamachandranComponent:
+    name = "ramachandran"
+
+    def __init__(self, session):
+        self.session = session
+        self._angles: Optional[tuple] = None  # (phi (F,nbb), psi (F,nbb))
+        self._class_of: Optional[np.ndarray] = None  # (nbb,) class index
+        session.events.subscribe(EventType.TRAJECTORY_INIT, self._invalidate)
+        session.events.subscribe(EventType.SYSTEM_INIT, self._invalidate)
+
+    def _invalidate(self, _ev=None):
+        self._angles = None
+        self._class_of = None
+
+    # -- residue classes -----------------------------------------------------
+    def _classify(self):
+        sys = self.session.system
+        bb = sys.backbone
+        cls = np.zeros(bb.count, np.int32)
+        names = [sys.res_names[sys.res_name_id[r]].upper() for r in bb.res_idx]
+        for k, nm in enumerate(names):
+            if nm == "GLY":
+                cls[k] = 1
+            elif nm == "PRO":
+                cls[k] = 2
+            elif k + 1 < len(names) and names[k + 1] == "PRO":
+                cls[k] = 3
+        self._class_of = cls
+
+    # -- angles over the whole trajectory ------------------------------------
+    def compute_angles(self, frame_range=None) -> tuple[np.ndarray, np.ndarray]:
+        """(φ, ψ) in radians, shape (F, nbb) — the backbone precompute."""
+        session = self.session
+        sys = session.system
+        if sys is None or sys.backbone is None:
+            raise ValueError("no protein backbone in the loaded system")
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops import backbone as bb_ops
+        from viamd_tpu.ops.pbc import inv_basis_of
+
+        bb = sys.backbone
+        vp, vn = bb_ops.make_backbone_validity(bb.ranges, bb.count)
+        traj = session.trajectory
+        if traj is None:
+            coords = sys.coords()[None]
+            cells = np.asarray(sys.cell.basis)[None]
+        else:
+            idx = (
+                list(frame_range)
+                if frame_range is not None
+                else list(range(traj.num_frames))
+            )
+            coords, cells = traj.load_frames(idx)
+        phi, psi = bb_ops.backbone_angles_frames(
+            jnp.asarray(coords),
+            jnp.asarray(bb.atom_n), jnp.asarray(bb.atom_ca),
+            jnp.asarray(bb.atom_c),
+            jnp.asarray(vp), jnp.asarray(vn),
+            jnp.asarray(cells[0]),
+            inv_basis_of(jnp.asarray(cells[0])),
+        )
+        self._angles = (np.asarray(phi), np.asarray(psi))
+        if self._class_of is None:
+            self._classify()
+        return self._angles
+
+    def angles(self):
+        if self._angles is None:
+            self.compute_angles()
+        return self._angles
+
+    # -- density maps --------------------------------------------------------
+    def density(
+        self, res_class: str = "general", blur_sigma: float = 1.5
+    ) -> np.ndarray:
+        """(ACC_RES, ACC_RES) φ/ψ density for a residue class — the
+        rama_rep_compute_density scatter + gaussian blur (:1277,:368)."""
+        phi, psi = self.angles()
+        cls = CLASSES.index(res_class)
+        sel = self._class_of == cls
+        # valid angles only (unset ends are exactly 0,0)
+        p = phi[:, sel].reshape(-1)
+        s = psi[:, sel].reshape(-1)
+        ok = (p != 0.0) | (s != 0.0)
+        p, s = p[ok], s[ok]
+        if p.size == 0:
+            return np.zeros((ACC_RES, ACC_RES), np.float32)
+        ix = np.clip(
+            ((p + np.pi) / (2 * np.pi) * ACC_RES).astype(np.int64), 0, ACC_RES - 1
+        )
+        iy = np.clip(
+            ((s + np.pi) / (2 * np.pi) * ACC_RES).astype(np.int64), 0, ACC_RES - 1
+        )
+        grid = np.bincount(
+            iy * ACC_RES + ix, minlength=ACC_RES * ACC_RES
+        ).reshape(ACC_RES, ACC_RES).astype(np.float32)
+        if blur_sigma > 0:
+            import jax.numpy as jnp
+
+            from viamd_tpu.ops.density import gaussian_blur_3d
+
+            grid = np.asarray(gaussian_blur_3d(jnp.asarray(grid), blur_sigma))
+        tot = grid.sum()
+        return grid / tot if tot > 0 else grid
+
+    def iso_levels(
+        self, density: np.ndarray, fractions=(0.85, 0.5, 0.15)
+    ) -> list[float]:
+        """Density levels enclosing the given probability mass (the
+        iso-contour lines of the reference plots)."""
+        flat = np.sort(density.reshape(-1))[::-1]
+        csum = np.cumsum(flat)
+        total = csum[-1] if csum.size else 0.0
+        out = []
+        for f in fractions:
+            k = np.searchsorted(csum, f * total)
+            out.append(float(flat[min(k, flat.size - 1)]))
+        return out
