@@ -339,3 +339,28 @@ class TestCLI:
         from viamd_tpu.io.cache import PackedTrajectory
 
         assert PackedTrajectory(str(out)).num_frames == 6
+
+
+class TestBackboneReps:
+    def test_tube_and_cartoon_render(self, ala_session):
+        s = ala_session
+        for t in ("tube", "cartoon"):
+            s.representations[0].type = t
+            s.representations[0].color_mapping = "secondary_structure"
+            img, depth, pick = s.render(64, 64)
+            assert img[..., 3].sum() > 0, t
+            hits = pick[pick >= 0]
+            assert hits.size > 0
+            # picking maps back to CA atoms (indices within range)
+            assert hits.max() < s.system.natoms
+
+    def test_tube_geometry(self, ala_session):
+        from viamd_tpu.render.backbone_rep import backbone_tube
+
+        sys = ala_session.system
+        pts, radii, src = backbone_tube(sys, sys.coords(), subdiv=4)
+        assert pts.shape[0] == radii.shape[0] == src.shape[0]
+        assert pts.shape[0] >= 4 * (sys.backbone.count - 1)
+        # spline passes near the CA atoms
+        ca0 = sys.coords()[sys.backbone.atom_ca[0]]
+        assert np.linalg.norm(pts[0] - ca0) < 0.5

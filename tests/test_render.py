@@ -225,3 +225,73 @@ class TestRaster:
         assert img[..., 3].sum() > 10  # something rendered
         hit_ids = np.unique(pick[pick >= 0])
         assert hit_ids.size >= 3  # several atoms visible & pickable
+
+
+class TestPostprocess:
+    def _frame(self):
+        rng = np.random.RandomState(0)
+        rgba = rng.rand(32, 40, 4).astype(np.float32)
+        rgba[..., 3] = 1.0
+        depth = rng.uniform(5, 20, (32, 40)).astype(np.float32)
+        return rgba, depth
+
+    def test_tonemaps(self):
+        from viamd_tpu.render import postprocess as PP
+
+        x = np.array([[[0.0, 0.5, 4.0]]], np.float32)
+        for name, fn in PP.TONEMAPS.items():
+            out = np.asarray(fn(x))
+            assert np.isfinite(out).all(), name
+            assert (out >= 0).all() and (out <= 1.0 + 1e-5).all(), name
+        # aces maps mid-grey reasonably and saturates highlights
+        aces = np.asarray(PP.tonemap_aces(x))[0, 0]
+        assert aces[2] > 0.9 and 0.3 < aces[1] < 0.8
+
+    def test_ssao_flat_vs_edge(self):
+        from viamd_tpu.render import postprocess as PP
+
+        flat = np.full((32, 32), 10.0, np.float32)
+        ao_flat = np.asarray(PP.ssao(flat))
+        assert ao_flat.min() > 0.95  # flat surface: no occlusion
+        step = flat.copy()
+        step[:, 16:] = 9.6  # shallow ledge occludes its surroundings
+        ao_step = np.asarray(PP.ssao(step))
+        # pixels on the deep side near the ledge are occluded
+        assert ao_step[16, 14] < ao_flat[16, 14] - 0.02
+        assert ao_step.min() < 0.95
+
+    def test_fxaa_softens_edge(self):
+        from viamd_tpu.render import postprocess as PP
+
+        img = np.zeros((16, 16, 3), np.float32)
+        img[:, 8:] = 1.0
+        out = np.asarray(PP.fxaa(jnp_arr(img)))
+        assert 0.05 < out[8, 8, 0] < 0.95 or 0.05 < out[8, 7, 0] < 0.95
+
+    def test_taa_converges(self):
+        from viamd_tpu.render import postprocess as PP
+
+        rng = np.random.RandomState(0)
+        state = PP.TAAState()
+        target = rng.rand(8, 8, 3).astype(np.float32)
+        out = None
+        for _ in range(64):
+            noisy = target + rng.normal(scale=0.3, size=target.shape)
+            out = PP.taa_accumulate(state, noisy.astype(np.float32))
+        err = np.abs(out - target).mean()
+        assert err < 0.1
+
+    def test_execute_chain(self):
+        from viamd_tpu.render import postprocess as PP
+
+        rgba, depth = self._frame()
+        out = PP.execute(rgba, depth, PP.PostprocessSettings(enable_dof=True))
+        assert out.shape == (32, 40, 3)
+        assert np.isfinite(out).all()
+        assert (out >= 0).all() and (out <= 1).all()
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

@@ -301,25 +301,57 @@ class Session:
             else [r for r in self.representations if r.enabled]
         )
         for rep in reps:
+            if rep.color_mapping == "secondary_structure" or rep.type in (
+                "tube", "ribbons", "cartoon",
+            ):
+                from viamd_tpu.render.backbone_rep import current_ss_weights
+
+                ss_w = (
+                    current_ss_weights(sys, coords)
+                    if sys.backbone is not None
+                    else None
+                )
             mapping = color_mod.COLOR_MAPPINGS.get(rep.color_mapping)
-            cols = (
-                mapping(sys)
-                if mapping
-                else color_mod.color_atoms_uniform(sys, rep.uniform_color)
-            )
+            if rep.color_mapping == "secondary_structure" and ss_w is not None:
+                cols = color_mod.color_atoms_secondary_structure(sys, ss_w)
+            elif mapping:
+                cols = mapping(sys)
+            else:
+                cols = color_mod.color_atoms_uniform(sys, rep.uniform_color)
             if rep.mask is not None:
                 cols = color_mod.filter_colors(cols, rep.mask)
-            # visibility: zero-alpha atoms are culled by radius 0
-            radii = np.where(cols[:, 3] > 0, sys.radius, 0.0).astype(np.float32)
-            settings = raster.RasterSettings(
-                width=width, height=height, rep=rep.type,
-                radius_scale=rep.radius_scale,
-            )
-            rgba, d, p = raster.render_molecules(
-                coords, radii, cols, cam.view_matrix(),
-                cam.proj_matrix(width, height), settings,
-                bonds=sys.bonds if rep.type != "spacefill" else None,
-            )
+
+            if rep.type in ("tube", "ribbons", "cartoon"):
+                from viamd_tpu.render.backbone_rep import backbone_tube
+
+                pts, radii_t, src = backbone_tube(
+                    sys, coords,
+                    ss_weights=ss_w,
+                    cartoon=rep.type == "cartoon",
+                    radius=0.35 * rep.radius_scale,
+                )
+                tcols = cols[src]
+                settings = raster.RasterSettings(width=width, height=height)
+                rgba, d, p = raster.render_molecules(
+                    pts, radii_t, tcols, cam.view_matrix(),
+                    cam.proj_matrix(width, height), settings,
+                )
+                # picking: map tube-point hits back to their CA atoms
+                p = np.where(p >= 0, src[np.maximum(p, 0)], -1)
+            else:
+                # visibility: zero-alpha atoms are culled by radius 0
+                radii = np.where(
+                    cols[:, 3] > 0, sys.radius, 0.0
+                ).astype(np.float32)
+                settings = raster.RasterSettings(
+                    width=width, height=height, rep=rep.type,
+                    radius_scale=rep.radius_scale,
+                )
+                rgba, d, p = raster.render_molecules(
+                    coords, radii, cols, cam.view_matrix(),
+                    cam.proj_matrix(width, height), settings,
+                    bonds=sys.bonds if rep.type != "spacefill" else None,
+                )
             if img is None:
                 img, depth, pick = rgba, d, p
             else:  # depth-composite subsequent reps

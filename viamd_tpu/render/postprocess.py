@@ -1,0 +1,258 @@
+"""Postprocess pipeline: tonemapping, SSAO, FXAA, TAA, DOF, compose.
+
+Rebuild of src/gfx/postprocessing_utils.{h,cpp} (reference pass order at
+:1938-2171: linearize depth → SSAO → deferred compose → DOF → tonemap →
+transparency → luma → FXAA → TAA+motion blur → sharpen) and the tonemap
+shader family (src/shaders/tonemap/*: passthrough, exposure-gamma,
+Uncharted-2 filmic, Hejl-Dawson, ACES).
+
+All passes are pure jitted array functions over (H, W, C) framebuffers —
+the GL render-to-texture chain becomes function composition. The TAA
+accumulator mirrors the 8-sample Halton jitter convergence the reference
+uses for screenshots (main.cpp:6794-6820).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -- tonemap family (src/shaders/tonemap/*) ----------------------------------
+
+
+def tonemap_passthrough(rgb):
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+def tonemap_exposure_gamma(rgb, exposure=1.0, gamma=2.2):
+    return jnp.clip(1.0 - jnp.exp(-rgb * exposure), 0.0, 1.0) ** (1.0 / gamma)
+
+
+def tonemap_aces(rgb):
+    """ACES filmic fit (the raycaster's in-shader tonemap, raycaster.frag:69)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    x = jnp.maximum(rgb, 0.0)
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def _uncharted_partial(x):
+    A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+    return ((x * (A * x + C * B) + D * E) / (x * (A * x + B) + D * F)) - E / F
+
+
+def tonemap_uncharted2(rgb, exposure=2.0, white=11.2):
+    x = _uncharted_partial(jnp.maximum(rgb, 0.0) * exposure)
+    return jnp.clip(x / _uncharted_partial(jnp.asarray(white)), 0.0, 1.0) ** (
+        1 / 2.2
+    )
+
+
+def tonemap_hejl_dawson(rgb):
+    x = jnp.maximum(rgb - 0.004, 0.0)
+    return (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
+
+
+TONEMAPS = {
+    "passthrough": tonemap_passthrough,
+    "exposure_gamma": tonemap_exposure_gamma,
+    "aces": tonemap_aces,
+    "uncharted2": tonemap_uncharted2,
+    "hejl_dawson": tonemap_hejl_dawson,
+}
+
+
+# -- depth utilities ----------------------------------------------------------
+
+
+def linearize_depth(depth, znear, zfar):
+    """NDC/projected depth or +inf view depth → linear [0,1] view depth."""
+    d = jnp.where(jnp.isfinite(depth), depth, zfar)
+    return jnp.clip((d - znear) / max(zfar - znear, 1e-6), 0.0, 1.0)
+
+
+def normals_from_depth(view_depth, proj):
+    """Reconstruct view-space normals from a (H,W) view depth buffer
+    (screen-space derivative method the SSAO pass uses)."""
+    H, W = view_depth.shape
+    d = jnp.where(jnp.isfinite(view_depth), view_depth, 1e6)
+    px = (jnp.arange(W) + 0.5) / W * 2 - 1
+    py = (jnp.arange(H) + 0.5) / H * 2 - 1
+    gx, gy = jnp.meshgrid(px, py)
+    vx = gx / proj[0, 0] * d
+    vy = gy / proj[1, 1] * d
+    p = jnp.stack([vx, vy, -d], -1)
+    ddx = jnp.diff(p, axis=1, append=p[:, -1:])
+    ddy = jnp.diff(p, axis=0, append=p[-1:, :])
+    n = jnp.cross(ddx, ddy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    return n
+
+
+# -- SSAO (src/shaders/ssao) ---------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("radius_px", "n_samples"))
+def ssao(view_depth, strength=1.0, radius_px: int = 8, n_samples: int = 8):
+    """Screen-space AO from the depth buffer: horizon-style occlusion from a
+    fixed spiral sample pattern (HBAO-lite; ssao.frag capability)."""
+    H, W = view_depth.shape
+    d = jnp.where(jnp.isfinite(view_depth), view_depth, 1e6)
+    occl = jnp.zeros((H, W))
+    golden = 2.399963
+    for k in range(n_samples):
+        ang = k * golden
+        r = radius_px * (k + 1) / n_samples
+        dy, dx = int(round(np.sin(ang) * r)), int(round(np.cos(ang) * r))
+        shifted = jnp.roll(d, (dy, dx), axis=(0, 1))
+        delta = d - shifted  # positive: neighbor is closer → occludes
+        occl = occl + jnp.clip(delta / (0.05 * d + 1e-3), 0.0, 1.0) * jnp.exp(
+            -jnp.abs(delta) / (d * 0.2 + 1e-3)
+        )
+    ao = jnp.clip(1.0 - strength * occl / n_samples, 0.0, 1.0)
+    # edge-aware-ish blur (ssao/blur.frag): small box
+    ao = (
+        ao
+        + jnp.roll(ao, 1, 0) + jnp.roll(ao, -1, 0)
+        + jnp.roll(ao, 1, 1) + jnp.roll(ao, -1, 1)
+    ) / 5.0
+    return ao
+
+
+# -- FXAA (luma-based, fxaa.frag capability) ----------------------------------
+
+
+@jax.jit
+def fxaa(rgb):
+    """Simplified FXAA: luma-gradient-directed blend (the quality knee of
+    the full 3.11 kernel without the search loop)."""
+    luma = rgb[..., :3] @ jnp.asarray([0.299, 0.587, 0.114])
+    lN = jnp.roll(luma, 1, 0)
+    lS = jnp.roll(luma, -1, 0)
+    lW = jnp.roll(luma, 1, 1)
+    lE = jnp.roll(luma, -1, 1)
+    lmin = jnp.minimum(luma, jnp.minimum(jnp.minimum(lN, lS), jnp.minimum(lW, lE)))
+    lmax = jnp.maximum(luma, jnp.maximum(jnp.maximum(lN, lS), jnp.maximum(lW, lE)))
+    contrast = lmax - lmin
+    edge = contrast > jnp.maximum(0.0312, lmax * 0.125)
+    blur = (
+        rgb
+        + jnp.roll(rgb, 1, 0) + jnp.roll(rgb, -1, 0)
+        + jnp.roll(rgb, 1, 1) + jnp.roll(rgb, -1, 1)
+    ) / 5.0
+    w = jnp.where(edge, jnp.clip(contrast * 4.0, 0.0, 0.75), 0.0)
+    return rgb * (1 - w[..., None]) + blur * w[..., None]
+
+
+# -- DOF (scatter-as-gather, dof/*.frag capability) ---------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_radius",))
+def depth_of_field(rgb, view_depth, focus_depth, focus_scale=0.05,
+                   max_radius: int = 6):
+    """Gather DOF: blend widening ring blurs by circle of confusion."""
+    d = jnp.where(jnp.isfinite(view_depth), view_depth, 1e6)
+    coc = jnp.clip(
+        jnp.abs(d - focus_depth) / (focus_depth * focus_scale + 1e-6), 0, 1
+    )
+    out = rgb
+    acc = rgb
+    taps = 1.0
+    for r in range(1, max_radius + 1):
+        ring = (
+            jnp.roll(rgb, (r, 0), (0, 1)) + jnp.roll(rgb, (-r, 0), (0, 1))
+            + jnp.roll(rgb, (0, r), (0, 1)) + jnp.roll(rgb, (0, -r), (0, 1))
+            + jnp.roll(rgb, (r, r), (0, 1)) + jnp.roll(rgb, (-r, -r), (0, 1))
+            + jnp.roll(rgb, (r, -r), (0, 1)) + jnp.roll(rgb, (-r, r), (0, 1))
+        ) / 8.0
+        t = jnp.clip(coc * max_radius - (r - 1), 0.0, 1.0)[..., None]
+        acc = acc + ring * t
+        taps = taps + t
+    return acc / taps
+
+
+# -- TAA (temporal.frag capability) -------------------------------------------
+
+
+@dataclass
+class TAAState:
+    history: np.ndarray | None = None
+    count: int = 0
+
+
+def taa_accumulate(state: TAAState, rgb: np.ndarray, alpha=0.1) -> np.ndarray:
+    """Exponential history blend; feed with per-frame Halton-jittered renders
+    (camera.taa_jitter_sequence) — converges like the reference's screenshot
+    accumulation (main.cpp:6794-6820)."""
+    rgb = np.asarray(rgb)
+    if state.history is None or state.history.shape != rgb.shape:
+        state.history = rgb.copy()
+        state.count = 1
+        return state.history
+    # converging average for the first samples, exponential after
+    w = max(alpha, 1.0 / (state.count + 1))
+    state.history = state.history * (1 - w) + rgb * w
+    state.count += 1
+    return state.history
+
+
+# -- sharpen (the final pass) --------------------------------------------------
+
+
+@jax.jit
+def sharpen(rgb, amount=0.3):
+    blur = (
+        rgb * 4
+        + jnp.roll(rgb, 1, 0) + jnp.roll(rgb, -1, 0)
+        + jnp.roll(rgb, 1, 1) + jnp.roll(rgb, -1, 1)
+    ) / 8.0
+    return jnp.clip(rgb + (rgb - blur) * amount, 0.0, 1.0)
+
+
+# -- the pipeline (postprocess_pipeline::execute, :1938) -----------------------
+
+
+@dataclass
+class PostprocessSettings:
+    tonemap: str = "aces"
+    exposure: float = 1.0
+    gamma: float = 2.2
+    enable_ssao: bool = True
+    ssao_strength: float = 1.0
+    enable_fxaa: bool = True
+    enable_dof: bool = False
+    focus_depth: float = 10.0
+    enable_sharpen: bool = False
+    background: tuple = (0.05, 0.05, 0.08)
+
+
+def execute(
+    rgba: np.ndarray,
+    view_depth: np.ndarray,
+    settings: PostprocessSettings = PostprocessSettings(),
+) -> np.ndarray:
+    """Run the pass chain on a rendered frame → display-ready (H,W,3)."""
+    rgb = jnp.asarray(rgba[..., :3])
+    a = jnp.asarray(rgba[..., 3])
+    depth = jnp.asarray(view_depth)
+    if settings.enable_ssao:
+        ao = ssao(depth, settings.ssao_strength)
+        rgb = rgb * ao[..., None]
+    if settings.enable_dof:
+        rgb = depth_of_field(rgb, depth, settings.focus_depth)
+    tm = TONEMAPS[settings.tonemap]
+    if settings.tonemap == "exposure_gamma":
+        rgb = tm(rgb, settings.exposure, settings.gamma)
+    else:
+        rgb = tm(rgb * settings.exposure)
+    bg = jnp.asarray(settings.background)
+    rgb = rgb * a[..., None] + bg * (1 - a[..., None])
+    if settings.enable_fxaa:
+        rgb = fxaa(rgb)
+    if settings.enable_sharpen:
+        rgb = sharpen(rgb)
+    return np.asarray(jnp.clip(rgb, 0, 1))
