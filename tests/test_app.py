@@ -364,3 +364,49 @@ class TestBackboneReps:
         # spline passes near the CA atoms
         ca0 = sys.coords()[sys.backbone.atom_ca[0]]
         assert np.linalg.norm(pts[0] - ca0) < 0.5
+
+
+class TestVeloxchem:
+    def _h2_like(self):
+        """Minimal 2-atom QM data with s shells (STO-1G-ish)."""
+        from viamd_tpu.io.vlx import QMData, Shell
+
+        d = 1.4  # Bohr
+        shells = [
+            Shell(np.array([0.0, 0, 0], np.float32), 0,
+                  np.array([0.5], np.float32), np.array([1.0], np.float32)),
+            Shell(np.array([d, 0, 0], np.float32), 0,
+                  np.array([0.5], np.float32), np.array([1.0], np.float32)),
+        ]
+        # bonding and antibonding MOs
+        C = np.array([[0.7, 0.7], [0.7, -0.7]], np.float32)
+        return QMData.from_arrays(
+            [[0, 0, 0], [d, 0, 0]], [1, 1], shells, C,
+            mo_occupations=np.array([2.0, 0.0], np.float32),
+        )
+
+    def test_orbital_grid(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_like())
+        grid, origin, vox = vlx.orbital_grid(0, dims=32)
+        assert grid.shape == (32, 32, 32)
+        assert grid.max() > 0  # bonding orbital positive everywhere
+        # antibonding has a nodal plane: both signs present
+        g1, _, _ = vlx.orbital_grid(1, dims=32)
+        assert g1.min() < 0 < g1.max()
+
+    def test_density(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_like())
+        rho, origin, vox = vlx.density_grid(dims=24, n_occupied=1)
+        assert (rho >= 0).all() and rho.sum() > 0
+        # density peaks between/at the atoms, not at the box corner
+        assert rho[12, 12, 12] > rho[0, 0, 0]
+
+    def test_render_orbital(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_like())
+        img, depth = vlx.render_orbital(1, dims=24, width=48, height=48)
+        assert img.shape == (48, 48, 4)
+        assert np.isfinite(img).all()
+        assert img[..., 3].max() > 0  # isosurfaces visible

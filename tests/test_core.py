@@ -130,3 +130,39 @@ class TestSystemBuild:
         assert traj.num_frames == 5
         # O-H bonds inferred: 2 per water
         assert s.nbonds == 128
+
+
+class TestLogging:
+    def test_sinks_and_dedup(self):
+        from viamd_tpu.core import vlog
+
+        got = []
+        sink = vlog.register_sink(lambda lvl, msg: got.append((lvl, msg)))
+        try:
+            vlog.info("hello")
+            vlog.info("hello")  # deduped within the window
+            vlog.error("boom", dedup=False)
+            vlog.error("boom", dedup=False)
+        finally:
+            vlog.unregister_sink(sink)
+        assert got == [
+            (vlog.INFO, "hello"),
+            (vlog.ERROR, "boom"),
+            (vlog.ERROR, "boom"),
+        ]
+
+
+class TestTracing:
+    def test_sections_nest(self):
+        from viamd_tpu.core.tracing import Tracer
+
+        tr = Tracer()
+        with tr.section("outer"):
+            with tr.section("inner"):
+                pass
+            with tr.section("inner"):
+                pass
+        stats = tr.stats()
+        assert stats["outer"].calls == 1
+        assert stats["outer/inner"].calls == 2
+        assert "outer/inner" in tr.report()

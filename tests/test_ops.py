@@ -530,3 +530,71 @@ class TestPallasRDF:
             )
         )
         np.testing.assert_allclose(h, dense, atol=1e-2)
+
+
+class TestGTO:
+    def test_s_orbital_normalized(self):
+        """Normalized 1s gaussian: ∫ψ² dV = 1 (grid quadrature)."""
+        from viamd_tpu.ops import gto
+
+        alpha = 0.8
+        N = gto.normalization(alpha, 0, 0, 0)
+        D = 48
+        ext = 6.0
+        vox = 2 * ext / D
+        grid = gto.eval_gto_grid(
+            jnp.zeros((1, 3)), jnp.asarray([alpha]), jnp.asarray([N]),
+            jnp.zeros((1, 3), jnp.int32),
+            jnp.asarray([-ext] * 3), jnp.asarray([vox] * 3), (D, D, D),
+        )
+        integral = float(np.sum(np.asarray(grid) ** 2) * vox**3)
+        assert abs(integral - 1.0) < 0.01
+
+    def test_p_orbital_antisymmetric(self):
+        from viamd_tpu.ops import gto
+
+        pts = jnp.asarray([[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0]])
+        val = np.asarray(
+            gto.eval_gto(
+                pts, jnp.zeros((1, 3)), jnp.asarray([0.5]), jnp.asarray([1.0]),
+                jnp.asarray([[1, 0, 0]], jnp.int32),
+            )
+        )
+        assert val[0] > 0 and abs(val[0] + val[1]) < 1e-6  # px odd in x
+        assert abs(val[2]) < 1e-9  # zero on the nodal plane
+
+    def test_mo_matmul_matches_sum(self):
+        from viamd_tpu.ops import gto
+
+        rng = np.random.RandomState(0)
+        K = 12
+        centers = jnp.asarray(rng.randn(K, 3).astype(np.float32))
+        alphas = jnp.asarray(rng.uniform(0.3, 2.0, K).astype(np.float32))
+        lmn = jnp.asarray(rng.randint(0, 2, (K, 3)), jnp.int32)
+        C = rng.randn(K, 3).astype(np.float32)
+        pts = jnp.asarray(rng.randn(20, 3).astype(np.float32))
+        multi = np.asarray(
+            gto.eval_gto(pts, centers, alphas, jnp.asarray(C), lmn)
+        )
+        for m in range(3):
+            single = np.asarray(
+                gto.eval_gto(pts, centers, alphas, jnp.asarray(C[:, m]), lmn)
+            )
+            np.testing.assert_allclose(multi[:, m], single, rtol=1e-4, atol=1e-5)
+
+    def test_density_positive(self):
+        from viamd_tpu.ops import gto
+
+        rng = np.random.RandomState(1)
+        K, M = 6, 2
+        rho = np.asarray(
+            gto.density_grid(
+                jnp.asarray(rng.randn(K, 3).astype(np.float32)),
+                jnp.asarray(rng.uniform(0.5, 1.5, K).astype(np.float32)),
+                jnp.asarray(rng.randn(K, M).astype(np.float32)),
+                jnp.zeros((K, 3), jnp.int32),
+                jnp.asarray([-4.0] * 3), jnp.asarray([0.5] * 3), (16, 16, 16),
+            )
+        )
+        assert (rho >= 0).all()
+        assert rho.sum() > 0

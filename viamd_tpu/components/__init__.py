@@ -13,10 +13,12 @@ def builtin_components():
     from viamd_tpu.components.density_volume import DensityVolumeComponent
     from viamd_tpu.components.ramachandran import RamachandranComponent
     from viamd_tpu.components.shapespace import ShapespaceComponent
+    from viamd_tpu.components.veloxchem import VeloxchemComponent
 
     return [
         DatasetComponent,
         RamachandranComponent,
         ShapespaceComponent,
         DensityVolumeComponent,
+        VeloxchemComponent,
     ]
