@@ -598,3 +598,41 @@ class TestGTO:
         )
         assert (rho >= 0).all()
         assert rho.sum() > 0
+
+
+class TestTopology:
+    def test_critical_points_two_blobs(self):
+        from viamd_tpu.ops import topo
+
+        D = 24
+        ax = np.arange(D) + 0.5
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        # off-half-grid centers so maxima land on single voxels (no plateaus)
+        g = np.exp(-((X - 8.2) ** 2 + (Y - 12.1) ** 2 + (Z - 11.8) ** 2) / 16.0)
+        g += np.exp(-((X - 16.3) ** 2 + (Y - 12.1) ** 2 + (Z - 11.8) ** 2) / 16.0)
+        pts = topo.critical_points(g.astype(np.float32), min_value=1e-3)
+        maxima = [p for p in pts if p.kind == "max"]
+        assert len(maxima) == 2
+        centers = sorted(p.index[0] for p in maxima)
+        assert abs(centers[0] - 8) <= 1 and abs(centers[1] - 16) <= 1
+        edges = topo.bond_graph(pts, g, threshold_frac=0.1)
+        assert len(edges) == 1  # the two blobs connect
+
+    def test_recenter(self):
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.pbc import inv_basis_of, recenter_frame
+
+        L = 10.0
+        basis = jnp.eye(3) * L
+        # two-atom molecule straddling the boundary; selection = atom 0
+        x = jnp.asarray([[9.8, 5, 5], [0.2, 5, 5], [3.0, 3, 3]])
+        w = jnp.asarray([1.0, 0.0, 0.0])
+        seg = jnp.asarray([0, 0, 1])
+        out = np.asarray(
+            recenter_frame(x, w, seg, 2, basis, inv_basis_of(basis))
+        )
+        # selection atom ends at the box center
+        np.testing.assert_allclose(out[0], [5, 5, 5], atol=1e-4)
+        # its molecule partner stays adjacent (not wrapped away)
+        assert abs(np.linalg.norm(out[1] - out[0]) - 0.4) < 1e-3

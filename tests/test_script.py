@@ -239,3 +239,46 @@ class TestEvaluate:
             res_single.distributions["r"],
             rtol=1e-4,
         )
+
+
+class TestCheckpointResume:
+    def test_interrupt_checkpoint_resume(self, ala_traj_system, tmp_path):
+        from viamd_tpu.eval.engine import (
+            Evaluator, load_checkpoint, save_checkpoint,
+        )
+        from viamd_tpu.script import compile_script
+
+        sys, traj = ala_traj_system
+        cs = compile_script(
+            "d1 = distance(1,6); r = rdf(element('C'), element('O'), 8.0);",
+            sys,
+        )
+        ev = Evaluator(cs, traj, chunk=2)
+        # full reference
+        ref = ev.run()
+        # partial run (first 4 frames), checkpoint, reload, resume
+        part = ev.run(frame_range=range(4))
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(part, p)
+        loaded = load_checkpoint(p)
+        assert loaded.n_frames_done == 4
+        assert loaded.frame_mask.popcount() == 4
+        full = ev.run(resume_from=loaded)
+        assert full.n_frames_done == traj.num_frames
+        np.testing.assert_allclose(full.temporal["d1"], ref.temporal["d1"], rtol=1e-5)
+        np.testing.assert_allclose(
+            full.distributions["r"], ref.distributions["r"], rtol=1e-4
+        )
+        np.testing.assert_array_equal(full.frame_indices, ref.frame_indices)
+
+
+class TestVisualization:
+    def test_vis_payload(self, ala_traj_system):
+        from viamd_tpu.script import compile_script
+
+        sys, traj = ala_traj_system
+        cs = compile_script(
+            'd1 = distance(1,6);\na1 = angle(2,1,3) in resname("ALA");', sys
+        )
+        assert cs.visualization["lines"] == [(0, 5)]
+        assert len(cs.visualization["angles"]) == 4  # one per ALA residue

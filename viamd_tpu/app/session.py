@@ -69,6 +69,7 @@ class Session:
         self.filtered_result: Optional[EvalResult] = None
         # playback
         self.frame: float = 0.0
+        self.recenter_selection: Optional[str] = None
         self.camera: Optional[cam_mod.Camera] = None
         # component registry
         self.components: dict[str, object] = {}
@@ -126,7 +127,7 @@ class Session:
         PBC-aware interpolation of the reference's hot loop
         (viamd.cpp:1846-1885)."""
         if self.trajectory is None or self.num_frames == 0:
-            return self.system.coords()
+            return self._apply_recenter(self.system.coords())
         import jax.numpy as jnp
 
         from viamd_tpu.ops import interpolate as interp
@@ -136,13 +137,41 @@ class Session:
         i0 = int(np.floor(f))
         t = f - i0
         if t < 1e-6:
-            return self.trajectory.load_frame(i0)[0]
+            return self._apply_recenter(self.trajectory.load_frame(i0)[0])
         i1 = min(i0 + 1, self.num_frames - 1)
         x0, cell = self.trajectory.load_frame(i0)
         x1, _ = self.trajectory.load_frame(i1)
         basis = jnp.asarray(cell.basis)
         out = interp.interpolate_linear(
             jnp.asarray(x0), jnp.asarray(x1), t, basis, inv_basis_of(basis)
+        )
+        return self._apply_recenter(np.asarray(out))
+
+    def recenter(self, selection_expr: Optional[str] = "all"):
+        """Enable PBC recentering on a selection (None disables) —
+        the recenter_* capability (viamd.cpp:2162-2313); applied to every
+        frame served by current_coords."""
+        self.recenter_selection = selection_expr
+        self.events.broadcast(EventType.SYSTEM_STATE_CHANGED, self)
+
+    def _apply_recenter(self, coords: np.ndarray) -> np.ndarray:
+        if self.recenter_selection is None or not self.system.cell.is_periodic:
+            return coords
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.pbc import inv_basis_of, recenter_frame
+
+        mask, _ = evaluate_filter(
+            self.recenter_selection, self.system, self.stored_selections
+        )
+        w = np.zeros(self.system.natoms, np.float32)
+        idx = mask.indices()
+        w[idx] = self.system.mass[idx]
+        basis = jnp.asarray(np.asarray(self.system.cell.basis, np.float32))
+        out = recenter_frame(
+            jnp.asarray(coords), jnp.asarray(w),
+            jnp.asarray(self.system.atom_res_idx), self.system.nres,
+            basis, inv_basis_of(basis),
         )
         return np.asarray(out)
 

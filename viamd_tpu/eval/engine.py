@@ -271,13 +271,23 @@ class Evaluator:
         frame_range: Optional[Iterable[int]] = None,
         progress: Optional[Callable[[float], None]] = None,
         interrupt: Optional[Callable[[], bool]] = None,
+        resume_from: Optional["EvalResult"] = None,
     ) -> EvalResult:
+        """Evaluate; with `resume_from`, skip its completed frames and merge
+        (the md_script_eval_frame_mask resume path — an interrupted or
+        preempted sweep continues where it stopped, SURVEY.md §5.3)."""
         traj = self.traj
         indices = (
             np.asarray(list(frame_range), np.int64)
             if frame_range is not None
             else np.arange(traj.num_frames, dtype=np.int64)
         )
+        if resume_from is not None:
+            done_mask = resume_from.frame_mask
+            indices = np.asarray(
+                [i for i in indices if not done_mask.test_bit(int(i))],
+                np.int64,
+            )
         F = indices.size
         B = self.chunk
         props = self.compiled.properties
@@ -349,7 +359,7 @@ class Evaluator:
                 (dist_dev if v.ndim == 1 else vol_dev)[k] = v
 
         times = np.asarray(traj.frame_times)[indices[:done]]
-        return EvalResult(
+        result = EvalResult(
             frame_indices=indices[:done],
             times=times,
             frame_mask=frame_mask,
@@ -360,6 +370,9 @@ class Evaluator:
             _dist_dev=dist_dev,
             _vol_dev=vol_dev,
         )
+        if resume_from is not None:
+            result = merge_results(resume_from, result)
+        return result
 
 
 def evaluate(
@@ -375,3 +388,105 @@ def evaluate(
     return Evaluator(compiled, traj, chunk=chunk, mesh=mesh).run(
         frame_range, progress, interrupt
     )
+
+
+def merge_results(a: EvalResult, b: EvalResult) -> EvalResult:
+    """Merge two evaluations of disjoint frame sets (resume bookkeeping)."""
+    idx = np.concatenate([a.frame_indices, b.frame_indices])
+    order = np.argsort(idx, kind="stable")
+    temporal = {}
+    for k in set(a.temporal) | set(b.temporal):
+        va = a.temporal.get(k)
+        vb = b.temporal.get(k)
+        if va is None or vb is None:
+            temporal[k] = va if vb is None else vb
+        else:
+            temporal[k] = np.concatenate([va, vb])[order]
+    dist = dict(b.distributions)
+    for k, v in a.distributions.items():
+        dist[k] = dist[k] + v if k in dist else v
+    vol = dict(b.volumes)
+    for k, v in a.volumes.items():
+        vol[k] = vol[k] + v if k in vol else v
+    merged = EvalResult(
+        frame_indices=idx[order],
+        times=np.concatenate([a.times, b.times])[order],
+        frame_mask=a.frame_mask | b.frame_mask,
+        properties=b.properties or a.properties,
+        n_frames_done=a.n_frames_done + b.n_frames_done,
+        interrupted=b.interrupted,
+    )
+    merged._temporal_np = temporal
+    merged._dist_np = dist
+    merged._vol_np = vol
+    return merged
+
+
+def save_checkpoint(result: EvalResult, path: str):
+    """Persist an evaluation (possibly partial) for later resume — the
+    durable form of the completed-frame mask + accumulators."""
+    payload = {
+        "frame_indices": result.frame_indices,
+        "times": result.times,
+        "mask_words": result.frame_mask.words,
+        "mask_count": np.asarray([result.frame_mask.count]),
+        "n_done": np.asarray([result.n_frames_done]),
+    }
+    for k, v in result.temporal.items():
+        payload[f"t::{k}"] = v
+    for k, v in result.distributions.items():
+        payload[f"d::{k}"] = v
+    for k, v in result.volumes.items():
+        payload[f"v::{k}"] = v
+    # property metadata
+    import json
+
+    meta = []
+    for p in result.properties:
+        spec = None
+        if p.spec is not None:
+            spec = {
+                f: getattr(p.spec, f)
+                for f in (
+                    "kind", "nbins", "r_min", "r_max", "x_unit",
+                    "count_a", "count_b", "dims", "extent", "n_structures",
+                )
+            }
+        meta.append(
+            {"name": p.name, "kind": p.kind, "dim": p.dim, "unit": p.unit,
+             "spec": spec}
+        )
+    payload["props_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **payload)
+
+
+def load_checkpoint(path: str) -> EvalResult:
+    import json
+
+    from viamd_tpu.script.values import AccumSpec, PropertyMeta
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["props_json"]).decode())
+    props = [
+        PropertyMeta(
+            name=m["name"], kind=m["kind"], dim=m["dim"], unit=m["unit"],
+            spec=AccumSpec(**m["spec"]) if m["spec"] else None,
+        )
+        for m in meta
+    ]
+    mask = Bitfield(int(z["mask_count"][0]), z["mask_words"].copy())
+    res = EvalResult(
+        frame_indices=z["frame_indices"],
+        times=z["times"],
+        frame_mask=mask,
+        properties=props,
+        n_frames_done=int(z["n_done"][0]),
+    )
+    res._temporal_np = {
+        k[3:]: z[k] for k in z.files if k.startswith("t::")
+    }
+    res._dist_np = {k[3:]: z[k] for k in z.files if k.startswith("d::")}
+    res._vol_np = {k[3:]: z[k] for k in z.files if k.startswith("v::")}
+    return res

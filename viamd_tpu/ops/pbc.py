@@ -154,3 +154,31 @@ def pair_distances(
     """
     d = pair_displacements(xa, xb, basis, inv_basis)
     return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+
+
+def recenter_frame(
+    x: jnp.ndarray,
+    sel_weights: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+) -> jnp.ndarray:
+    """Recenter a frame on a selection (recenter_* capability,
+    /root/reference/src/viamd.cpp:2162-2313): translate so the selection's
+    PBC-aware COM sits at the box center, then wrap whole molecules
+    (segments) — atoms of one segment stay together across the boundary."""
+    from viamd_tpu.ops.com import com, com_segments
+
+    c = com(x, sel_weights, basis, inv_basis)
+    center = 0.5 * (basis[0] + basis[1] + basis[2])
+    m = _pbc_mask(basis)
+    shifted = x + (center - c) * m
+    # deperiodize every molecule about its own (wrapped) COM: puts each
+    # segment inside the cell while keeping it whole
+    seg_com = com_segments(
+        shifted, jnp.ones(x.shape[0], x.dtype), segment_ids, num_segments,
+        basis, inv_basis,
+    )
+    ref = seg_com[segment_ids]
+    return ref + min_image(shifted - ref, basis, inv_basis)

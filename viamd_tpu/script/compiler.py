@@ -67,6 +67,10 @@ class CompiledScript:
     selections: dict[str, Selection]  # named selections (vis payload source)
     source: str
     warnings: list[str] = field(default_factory=list)
+    # geometry payload (md_script_vis_eval_payload capability,
+    # main.cpp:6540-6575): atom-index primitives the app layer draws as
+    # overlay geometry (the immediate-draw path of the reference)
+    visualization: dict = field(default_factory=dict)
 
     def property(self, name: str) -> PropertyMeta:
         for p in self.properties:
@@ -109,6 +113,9 @@ class _Compiler:
         self._trace_basis = None
         self._trace_inv = None
         self.warnings: list[str] = []
+        self.vis: dict = {
+            "points": [], "lines": [], "angles": [], "dihedrals": []
+        }
 
     # -- public -------------------------------------------------------------
     def compile(self, stmts: list[P.Assign], src: str) -> CompiledScript:
@@ -172,6 +179,7 @@ class _Compiler:
             selections=selections,
             source=src,
             warnings=list(self.warnings),
+            visualization={k: list(v) for k, v in self.vis.items()},
         )
 
     # -- walking ------------------------------------------------------------
@@ -180,6 +188,7 @@ class _Compiler:
         for name, bf in self.injected.items():
             self.env[name] = Selection(bf, [bf.indices()], "atom")
         self.context = None
+        self.vis = {"points": [], "lines": [], "angles": [], "dihedrals": []}
         self._trace_x = x
         self._trace_basis = basis
         self._trace_inv = inv_basis
@@ -807,6 +816,7 @@ def _distance(c: _Compiler, node, args):
     idx = _mapped_indices(c, args, node, 2)
     x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
     if idx is not None:
+        c.vis["lines"].extend(zip(idx[0].tolist(), idx[1].tolist()))
         d = geom_ops.distance(x, jnp.asarray(idx[0]), jnp.asarray(idx[1]), b, ib)
         return DynValue(d[0] if d.shape[0] == 1 else d, unit="Å")
     pa = c.position_of(args[0], node)
@@ -869,6 +879,9 @@ def _angle(c: _Compiler, node, args):
             c._trace_basis, c._trace_inv,
         )[0]
         return DynValue(a * RAD2DEG, unit="deg")
+    c.vis["angles"].extend(
+        zip(idx[0].tolist(), idx[1].tolist(), idx[2].tolist())
+    )
     a = geom_ops.angle(
         c._trace_x,
         jnp.asarray(idx[0]), jnp.asarray(idx[1]), jnp.asarray(idx[2]),
@@ -889,6 +902,9 @@ def _dihedral(c: _Compiler, node, args):
             jnp.asarray([3]), c._trace_basis, c._trace_inv,
         )[0]
         return DynValue(d * RAD2DEG, unit="deg")
+    c.vis["dihedrals"].extend(
+        zip(idx[0].tolist(), idx[1].tolist(), idx[2].tolist(), idx[3].tolist())
+    )
     d = geom_ops.dihedral(
         c._trace_x,
         jnp.asarray(idx[0]), jnp.asarray(idx[1]),
