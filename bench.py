@@ -20,7 +20,7 @@ import sys
 import time
 
 N_WATERS = 33_334  # 100,002 atoms
-N_FRAMES = 64
+N_FRAMES = 256  # long enough window to amortize pipeline startup noise
 CHUNK = 8
 BASELINE_FRAMES_PER_S = 5000.0
 

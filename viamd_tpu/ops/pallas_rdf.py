@@ -103,7 +103,7 @@ def pair_dist_histogram_pl(
     path when cap_a > 16. nbins must be a multiple of 128.
     """
     from viamd_tpu.ops.neighbors import build_cell_list
-    from viamd_tpu.ops.rdf import _neighbor_cell_ids
+    from viamd_tpu.ops.rdf import neighborhood_planes
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
     ka = 8 if cap_a <= 8 else 16
@@ -123,8 +123,7 @@ def pair_dist_histogram_pl(
     b_w = cl_b.valid.astype(jnp.float32)
     b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
 
-    nbr = _neighbor_cell_ids(dims, 2)  # (ncells, 125)
-    C = nbr.shape[1] * cap_b
+    C = 125 * cap_b  # 5³ stencil
     # candidate chunking: keep per-step tiles ≈ (512, 128)
     nchunks = max(1, -(-C // 512))
     Cc = -(-C // (nchunks * 8)) * 8
@@ -153,11 +152,11 @@ def pair_dist_histogram_pl(
     az = prep_a(a_xyz[..., 2])
     aw = prep_a(a_w)
     aid = prep_a(a_gid)
-    bxp = prep_b(b_xyz[..., 0][nbr].reshape(ncells, C))
-    byp = prep_b(b_xyz[..., 1][nbr].reshape(ncells, C))
-    bzp = prep_b(b_xyz[..., 2][nbr].reshape(ncells, C))
-    bwp = prep_b(b_w[nbr].reshape(ncells, C))
-    bidp = prep_b(b_gid[nbr].reshape(ncells, C))
+    bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims))
+    byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims))
+    bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims))
+    bwp = prep_b(neighborhood_planes(b_w, dims))
+    bidp = prep_b(neighborhood_planes(b_gid, dims))
 
     a_spec = pl.BlockSpec(
         (1, 1, LANES),

@@ -67,6 +67,29 @@ def pair_dist_histogram(
     return jnp.concatenate([cdf[:1], jnp.diff(cdf)])
 
 
+def neighborhood_planes(arr: jnp.ndarray, dims: tuple, radius: int = 2) -> jnp.ndarray:
+    """(ncells, K) per-cell data → (ncells, S·K) stencil neighborhoods.
+
+    Built with S=(2r+1)³ wrapped ROLLS of the 3D cell grid instead of a
+    random gather: rolls are contiguous copies at HBM bandwidth, while the
+    equivalent fancy-index gather runs at a few elements/cycle — the
+    difference dominates frame time at ≥1M atoms.
+    """
+    dx, dy, dz = dims
+    K = arr.shape[1]
+    a4 = arr.reshape(dx, dy, dz, K)
+    parts = []
+    for ox in range(-radius, radius + 1):
+        for oy in range(-radius, radius + 1):
+            for oz in range(-radius, radius + 1):
+                parts.append(
+                    jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2)).reshape(
+                        dx * dy * dz, K
+                    )
+                )
+    return jnp.concatenate(parts, axis=1)
+
+
 def _neighbor_cell_ids(dims: tuple, radius: int) -> jnp.ndarray:
     """(ncells, S) wrapped neighbor cell ids (S = (2r+1)³), computed on
     device from iota — no host table."""
@@ -134,13 +157,18 @@ def pair_dist_histogram_cl(
     b_w = cl_b.valid.astype(jnp.float32)
     b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
 
-    nbr = _neighbor_cell_ids(dims, radius)  # (ncells, S)
-    S = nbr.shape[1]
+    S = (2 * radius + 1) ** 3
     C = S * cap_b
-    # B neighborhoods: (ncells, C, 3) — the one big gather
-    nb_x = b_x[nbr].reshape(ncells, C, 3)
-    nb_w = b_w[nbr].reshape(ncells, C)
-    nb_gid = b_gid[nbr].reshape(ncells, C)
+    # B neighborhoods via wrapped rolls (HBM-bandwidth copies, no gather)
+    nb_x = jnp.stack(
+        [
+            neighborhood_planes(b_x[..., k], dims, radius)
+            for k in range(3)
+        ],
+        axis=-1,
+    )
+    nb_w = neighborhood_planes(b_w, dims, radius)
+    nb_gid = neighborhood_planes(b_gid, dims, radius)
 
     edges = (jnp.arange(1, nbins + 1, dtype=jnp.float32) / nbins) * r_max
     nc_pad = -(-ncells // block) * block
