@@ -410,3 +410,39 @@ class TestVeloxchem:
         assert img.shape == (48, 48, 4)
         assert np.isfinite(img).all()
         assert img[..., 3].max() > 0  # isosurfaces visible
+
+
+class TestSelectionUtils:
+    def test_grow_by_bonds(self, ala_session):
+        s = ala_session
+        s.select("name('CA')")
+        n0 = s.selection.popcount()
+        grown = s.grow_selection(by="bonds", steps=1)
+        assert grown.popcount() > n0
+        # CA neighbors include N and C of the same residue
+        m, _ = s.select("name('CA') or name('N') or name('C') or name('CB')"), None
+        assert grown.popcount() >= 4 * 3
+
+    def test_grow_by_radius(self, ala_session):
+        s = ala_session
+        s.select("atom(1)")
+        grown = s.grow_selection(by="radius", radius=3.0)
+        assert grown.popcount() > 1
+
+    def test_selection_to_script_roundtrip(self, ala_session):
+        s = ala_session
+        s.select("residue(2:3)")
+        suggestions = s.selection_to_script()
+        assert any(sug.startswith("residue(") for sug in suggestions)
+        # every suggestion reproduces the same mask
+        for sug in suggestions:
+            m, _ = __import__("viamd_tpu.script", fromlist=["evaluate_filter"]).evaluate_filter(sug, s.system)
+            if sug.startswith("atom") or sug.startswith("residue"):
+                assert m == s.selection, sug
+
+    def test_atom_ranges_compact(self):
+        from viamd_tpu.core.bitfield import Bitfield
+        from viamd_tpu.core.selection_utils import atom_ranges_script
+
+        bf = Bitfield.from_indices(50, [0, 1, 2, 7, 10, 11])
+        assert atom_ranges_script(bf) == "atom(1:3, 8, 11:12)"

@@ -195,6 +195,36 @@ class Session:
         self.events.broadcast(EventType.SELECTION_CHANGED, self)
         return mask
 
+    def grow_selection(
+        self, by: str = "bonds", steps: int = 1, radius: float = 3.0
+    ) -> Bitfield:
+        """Expand the active selection by covalent bonds or by radius
+        (the selection-grow capability of the reference UI)."""
+        from viamd_tpu.core import selection_utils as su
+
+        if self.selection is None:
+            raise ValueError("no active selection")
+        if by == "bonds":
+            self.selection = su.grow_by_bonds(
+                self.selection, self.system.bonds, steps
+            )
+        elif by == "radius":
+            self.selection = su.grow_by_radius(
+                self.selection, self.current_coords(), radius,
+                self.system.cell,
+            )
+        else:
+            raise ValueError("grow by 'bonds' or 'radius'")
+        self.events.broadcast(EventType.SELECTION_CHANGED, self)
+        return self.selection
+
+    def selection_to_script(self) -> list[str]:
+        """Script expressions reproducing the active selection
+        (generate_script_selection_suggestions, main.cpp:2530)."""
+        from viamd_tpu.core import selection_utils as su
+
+        return su.selection_suggestions(self.system, self.selection)
+
     def store_selection(self, name: str, mask: Optional[Bitfield] = None):
         """Stored selections inject into scripts as identifiers
         (main.cpp:860-863)."""

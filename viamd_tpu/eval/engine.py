@@ -302,17 +302,23 @@ class Evaluator:
         if self.batch_mode == "dispatch":
             # per-frame async dispatch: device work pipelines behind the
             # python loop; results stay on device (no readback — see
-            # EvalResult docstring)
+            # EvalResult docstring). Device-resident trajectories skip the
+            # per-frame H2D entirely (the dominant cost on slow links).
+            resident = hasattr(traj, "device_frame")
             for beg in range(0, F, B):
                 if interrupt is not None and interrupt():
                     interrupted = True
                     break
                 chunk_idx = indices[beg : beg + B]
-                coords, cells = traj.load_frames(chunk_idx)
+                if not resident:
+                    coords, cells = traj.load_frames(chunk_idx)
                 for k in range(chunk_idx.size):
-                    t, a = self._frame_jit(
-                        jnp.asarray(coords[k]), jnp.asarray(cells[k])
-                    )
+                    if resident:
+                        xk, bk = traj.device_frame(int(chunk_idx[k]))
+                    else:
+                        xk = jnp.asarray(coords[k])
+                        bk = jnp.asarray(cells[k])
+                    t, a = self._frame_jit(xk, bk)
                     t_rows.append(t)
                     acc_dev = (
                         a
