@@ -282,3 +282,19 @@ class TestVisualization:
         )
         assert cs.visualization["lines"] == [(0, 5)]
         assert len(cs.visualization["angles"]) == 4  # one per ALA residue
+
+
+class TestDynamicFilter:
+    def test_within_tracks_coords(self, ala_system):
+        from viamd_tpu.script import evaluate_filter
+
+        m1, dyn = evaluate_filter("within(2.0, atom(1))", ala_system)
+        assert dyn
+        # move everything far from atom 1 → only atom 1 remains within
+        far = ala_system.coords().copy()
+        far[1:] += 100.0
+        m2, _ = evaluate_filter(
+            "within(2.0, atom(1))", ala_system, coords=far
+        )
+        assert m2.popcount() == 1
+        assert m1.popcount() > 1

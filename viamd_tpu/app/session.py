@@ -360,6 +360,14 @@ class Session:
             else [r for r in self.representations if r.enabled]
         )
         for rep in reps:
+            if rep.dynamic:
+                # dynamic filters (within/x/y/z) track the playback frame
+                try:
+                    rep.mask, _ = evaluate_filter(
+                        rep.filter, sys, self.stored_selections, coords=coords
+                    )
+                except ScriptError:
+                    pass
             if rep.color_mapping == "secondary_structure" or rep.type in (
                 "tube", "ribbons", "cartoon",
             ):

@@ -22,13 +22,17 @@ def evaluate_filter(
     expr: str,
     system: System,
     identifiers: Optional[dict[str, Bitfield]] = None,
+    coords=None,
 ) -> tuple[Bitfield, bool]:
     """Evaluate a filter expression → (mask, is_dynamic).
 
-    Raises ScriptError on parse/type errors (the GUI shows these as the
-    red/green query-validity state of the reference's query widgets).
+    `coords` overrides the reference-frame coordinates so DYNAMIC
+    selections (within / x / y / z) track the current playback frame —
+    the is_dynamic re-evaluation behavior of the reference
+    (viamd.cpp:1510). Raises ScriptError on parse/type errors (the GUI
+    shows these as the red/green query-validity state).
     """
-    sel = evaluate_filter_structures(expr, system, identifiers)
+    sel = evaluate_filter_structures(expr, system, identifiers, coords)
     return sel.mask, sel.dynamic
 
 
@@ -36,15 +40,20 @@ def evaluate_filter_structures(
     expr: str,
     system: System,
     identifiers: Optional[dict[str, Bitfield]] = None,
+    coords=None,
 ) -> Selection:
     """Multi-structure variant (md_filter_evaluate per-structure bitfields,
     shapespace.cpp:365): returns the full Selection with structures."""
+    import numpy as np
+
     from viamd_tpu.script.compiler import _Compiler
 
     stmts = P.parse(expr)
     if len(stmts) != 1:
         raise ScriptError("filter must be a single expression")
     comp = _Compiler(system, identifiers or {})
+    if coords is not None:
+        comp.x0 = np.ascontiguousarray(coords, dtype=np.float32)
     import jax.numpy as jnp
 
     comp._trace_x = jnp.asarray(comp.x0)
