@@ -446,3 +446,24 @@ class TestSelectionUtils:
 
         bf = Bitfield.from_indices(50, [0, 1, 2, 7, 10, 11])
         assert atom_ranges_script(bf) == "atom(1:3, 8, 11:12)"
+
+
+class TestOverlay:
+    def test_queue_primitives(self):
+        from viamd_tpu.render.overlay import OverlayQueue
+
+        q = OverlayQueue()
+        q.add_point([0, 0, 0], pick_id=7)
+        q.add_line([0, 0, 0], [5, 0, 0], radius=0.2)
+        q.add_box(np.eye(3) * 10)
+        pos, rad, col, pick = q.primitives()
+        assert pos.shape[0] > 20  # line + 12 edges expand to chains
+        assert pick[0] == 7 and (pick[1:] == -1).all()
+
+    def test_render_with_box_and_vis(self, ala_session):
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);")
+        img0, _, _ = s.render(64, 64)
+        img1, _, _ = s.render(64, 64, show_box=True, show_script_vis=True)
+        # overlays add visible pixels
+        assert (img1[..., 3] > 0).sum() > (img0[..., 3] > 0).sum()

@@ -636,3 +636,31 @@ class TestTopology:
         np.testing.assert_allclose(out[0], [5, 5, 5], atol=1e-4)
         # its molecule partner stays adjacent (not wrapped away)
         assert abs(np.linalg.norm(out[1] - out[0]) - 0.4) < 1e-3
+
+
+class TestAtomSharding:
+    def test_atom_sharded_matches_dense(self):
+        import jax
+
+        from viamd_tpu.parallel import frames_mesh
+
+        devs = jax.devices()
+        assert len(devs) == 8
+        import jax.sharding as shd
+
+        mesh = shd.Mesh(np.array(devs), ("atoms",))
+        rng = np.random.RandomState(11)
+        L, n = 20.0, 300
+        x = jnp.asarray(rng.uniform(0, L, (n, 3)).astype(np.float32))
+        wa = jnp.asarray((rng.rand(n) < 0.5).astype(np.float32))
+        wb = jnp.asarray((rng.rand(n) < 0.5).astype(np.float32))
+        basis, inv = ortho_cell(L)
+        dense = np.asarray(
+            rdf.pair_dist_histogram(x, wa, wb, basis, inv, 16, 6.0, tile=64)
+        )
+        sharded = np.asarray(
+            rdf.pair_dist_histogram_atom_sharded(
+                x, wa, wb, basis, inv, 16, 6.0, mesh, tile=64
+            )
+        )
+        np.testing.assert_allclose(sharded, dense, atol=1e-2)

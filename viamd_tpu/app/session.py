@@ -340,6 +340,9 @@ class Session:
         width: int = 512,
         height: int = 512,
         rep_index: Optional[int] = None,
+        show_box: bool = False,
+        show_script_vis: bool = False,
+        overlay=None,
     ):
         """Render enabled representations → (rgba, depth, picking).
 
@@ -426,6 +429,26 @@ class Session:
                 img = np.where(closer[..., None], rgba, img)
                 pick = np.where(closer, p, pick)
                 depth = np.minimum(depth, d)
+        # overlay pass: simulation box, script geometry, user primitives
+        from viamd_tpu.render.overlay import OverlayQueue
+
+        q = overlay if overlay is not None else OverlayQueue()
+        if show_box and sys.cell.is_periodic:
+            q.add_box(np.asarray(sys.cell.basis))
+        if show_script_vis and self.compiled is not None:
+            q.add_script_visualization(self.compiled.visualization, coords)
+        if not q.is_empty():
+            o_img, o_depth, o_pick = q.render(
+                cam.view_matrix(), cam.proj_matrix(width, height),
+                width, height,
+            )
+            if img is None:
+                img, depth, pick = o_img, o_depth, o_pick
+            else:
+                closer = o_depth < depth
+                img = np.where(closer[..., None], o_img, img)
+                pick = np.where(closer, o_pick, pick)
+                depth = np.minimum(depth, o_depth)
         self.events.broadcast(EventType.RENDER, self)
         return img, depth, pick
 

@@ -90,28 +90,6 @@ def neighborhood_planes(arr: jnp.ndarray, dims: tuple, radius: int = 2) -> jnp.n
     return jnp.concatenate(parts, axis=1)
 
 
-def _neighbor_cell_ids(dims: tuple, radius: int) -> jnp.ndarray:
-    """(ncells, S) wrapped neighbor cell ids (S = (2r+1)³), computed on
-    device from iota — no host table."""
-    dx, dy, dz = dims
-    ncells = dx * dy * dz
-    cid = jnp.arange(ncells, dtype=jnp.int32)
-    c3 = jnp.stack([cid // (dy * dz), (cid // dz) % dy, cid % dz], axis=1)
-    import numpy as np
-
-    offs = np.array(
-        [
-            (i, j, k)
-            for i in range(-radius, radius + 1)
-            for j in range(-radius, radius + 1)
-            for k in range(-radius, radius + 1)
-        ],
-        np.int32,
-    )
-    c = jnp.mod(c3[:, None, :] + jnp.asarray(offs)[None], jnp.asarray([dx, dy, dz], jnp.int32))
-    return (c[..., 0] * dy + c[..., 1]) * dz + c[..., 2]
-
-
 def pair_dist_histogram_cl(
     x: jnp.ndarray,
     idx_a: jnp.ndarray,  # (na,) static global indices of the A selection
@@ -254,3 +232,69 @@ def rdf_frames(
         )
     )(coords, basis, inv_basis)
     return jnp.sum(per_frame, axis=0)
+
+
+def pair_dist_histogram_atom_sharded(
+    x: jnp.ndarray,
+    w_a: jnp.ndarray,
+    w_b: jnp.ndarray,
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+    nbins: int,
+    r_max: float,
+    mesh,
+    axis: str = "atoms",
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Atom-axis (tensor-parallel) sharded pair histogram → (nbins,).
+
+    The intra-frame scaling axis for ≥1M-atom systems (SURVEY.md §2.4
+    "atom-range parallelism" across chips): each device owns a block of A
+    rows (w_a shards over `axis`), sees the full coordinate set (replicated —
+    1.2 MB/frame rides ICI trivially), computes its row-block histogram with
+    the dense tiled kernel, and the (nbins,) partials all-reduce.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = x.shape[0]
+    ndev = mesh.shape[axis]
+    n_pad = -(-n // (ndev * tile)) * (ndev * tile)
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    wap = jnp.pad(w_a.astype(jnp.float32), (0, n_pad - n))
+    wbp = jnp.pad(w_b.astype(jnp.float32), (0, n_pad - n))
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def shard_fn(x_rep, wa_block, wb_rep, ia_block, basis, inv_basis):
+        edges = (jnp.arange(1, nbins + 1, dtype=jnp.float32) / nbins) * r_max
+        rows = wa_block.shape[0]
+
+        def row_tile(carry, t0):
+            xa = jax.lax.dynamic_slice(
+                x_rep, (ia_block[0] + t0, 0), (tile, 3)
+            )
+            wa = jax.lax.dynamic_slice(wa_block, (t0,), (tile,))
+            ia = jax.lax.dynamic_slice(ia_block, (t0,), (tile,))
+            d = min_image(
+                xa[:, None, :] - x_rep[None, :, :], basis, inv_basis
+            )
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 0.0))
+            w = wa[:, None] * wb_rep[None, :]
+            w = jnp.where(ia[:, None] == idx[None, :], 0.0, w)
+            below = (dist[:, :, None] < edges).astype(jnp.float32)
+            return carry + jnp.sum(below * w[:, :, None], axis=(0, 1)), None
+
+        starts = jnp.arange(0, rows, tile, dtype=jnp.int32)
+        cdf, _ = jax.lax.scan(
+            row_tile, jnp.zeros(nbins, jnp.float32), starts
+        )
+        hist = jnp.concatenate([cdf[:1], jnp.diff(cdf)])
+        return jax.lax.psum(hist, axis)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(xp, wap, wbp, idx, basis, inv_basis)
