@@ -467,3 +467,13 @@ class TestOverlay:
         img1, _, _ = s.render(64, 64, show_box=True, show_script_vis=True)
         # overlays add visible pixels
         assert (img1[..., 3] > 0).sum() > (img0[..., 3] > 0).sum()
+
+
+class TestVelocities:
+    def test_finite_difference(self, ala_session):
+        s = ala_session
+        s.set_frame(3)
+        v = s.current_velocities()
+        x2, _ = s.trajectory.load_frame(2)
+        x3, _ = s.trajectory.load_frame(3)
+        np.testing.assert_allclose(v, x3 - x2, atol=1e-4)

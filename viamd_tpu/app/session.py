@@ -175,6 +175,26 @@ class Session:
         )
         return np.asarray(out)
 
+    def current_velocities(self, dt: float = 1.0) -> np.ndarray:
+        """(n,3) per-atom velocities at the playback frame — finite
+        difference of consecutive frames with min-image unwrapping (the
+        velocity computation of update_md_buffers, main.cpp:6317-6397,
+        feeding motion blur / velocity coloring)."""
+        if self.trajectory is None or self.num_frames < 2:
+            return np.zeros((self.system.natoms, 3), np.float32)
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.pbc import inv_basis_of, min_image
+
+        i1 = int(np.clip(round(self.frame), 1, self.num_frames - 1))
+        x0, cell = self.trajectory.load_frame(i1 - 1)
+        x1, _ = self.trajectory.load_frame(i1)
+        basis = jnp.asarray(cell.basis)
+        d = min_image(
+            jnp.asarray(x1) - jnp.asarray(x0), basis, inv_basis_of(basis)
+        )
+        return np.asarray(d) / dt
+
     def current_cell(self) -> UnitCell:
         if self.trajectory is None or self.num_frames == 0:
             return self.system.cell
