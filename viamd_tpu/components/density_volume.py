@@ -31,6 +31,7 @@ class DensityVolumeComponent:
         self.session = session
         self.colormap = "viridis"
         self.alpha_scale = 1.0
+        self.blur_sigma = 0.0  # voxels; gaussian smoothing before rendering
         self.iso_values: tuple = ()
         self.iso_colors: tuple = ()
         session.events.subscribe(EventType.EVAL_COMPLETE, self._on_eval)
@@ -77,6 +78,12 @@ class DensityVolumeComponent:
             if normalized
             else res.volumes[prop_name]
         )
+        if self.blur_sigma > 0:
+            import jax.numpy as jnp
+
+            from viamd_tpu.ops.density import gaussian_blur_3d
+
+            grid = np.asarray(gaussian_blur_3d(jnp.asarray(grid), self.blur_sigma))
         vmax = float(grid.max()) or 1.0
         extent = meta.spec.extent
         model = vol_mod.model_matrix_from_extent(extent)
