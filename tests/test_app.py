@@ -477,3 +477,29 @@ class TestVelocities:
         x2, _ = s.trajectory.load_frame(2)
         x3, _ = s.trajectory.load_frame(3)
         np.testing.assert_allclose(v, x3 - x2, atol=1e-4)
+
+
+class TestPlaybackModes:
+    def test_cubic_and_nearest(self, ala_session):
+        s = ala_session
+        s.set_frame(2.5)
+        s.interpolation = "nearest"
+        xn = s.current_coords()
+        x2, _ = s.trajectory.load_frame(2)
+        x3, _ = s.trajectory.load_frame(3)
+        assert np.allclose(xn, x2) or np.allclose(xn, x3)
+        s.interpolation = "cubic"
+        xc = s.current_coords()
+        # cubic stays near the linear blend for smooth data
+        assert np.abs(xc - (x2 + x3) / 2).max() < 0.5
+        s.interpolation = "linear"
+
+    def test_table_injection(self, ala_session, tmp_path):
+        from viamd_tpu.io.csv import write_csv
+
+        p = tmp_path / "mydata.csv"
+        write_csv(str(p), np.array([[1.0, 2.0], [3.0, 4.0]]), ["a", "b"])
+        s = ala_session
+        s.load(str(p))
+        assert s.script_text.startswith("mydata = import(")
+        assert s.compile_script()

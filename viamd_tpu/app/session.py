@@ -69,6 +69,7 @@ class Session:
         self.filtered_result: Optional[EvalResult] = None
         # playback
         self.frame: float = 0.0
+        self.interpolation: str = "linear"  # nearest | linear | cubic
         self.recenter_selection: Optional[str] = None
         self.camera: Optional[cam_mod.Camera] = None
         # component registry
@@ -89,7 +90,18 @@ class Session:
     # -- data loading --------------------------------------------------------
     def load(self, path: str, **kw) -> "Session":
         """Load a system and/or trajectory file (file_queue/load_data_from_file
-        analog, viamd.cpp:667)."""
+        analog, viamd.cpp:667). Table files (.xvg/.csv) inject an
+        `import(...)` statement into the script instead
+        (viamd.cpp:2850-2858)."""
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".xvg", ".csv"):
+            name = os.path.splitext(os.path.basename(path))[0]
+            name = "".join(c if c.isalnum() else "_" for c in name) or "table"
+            stmt = f'{name} = import("{os.path.abspath(path)}");'
+            self.script_text = (
+                f"{stmt}\n{self.script_text}" if self.script_text else stmt
+            )
+            return self
         res = load_file(path, system=self.system, **kw)
         if res.system is not None:
             self.system = res.system
@@ -136,15 +148,28 @@ class Session:
         f = float(np.clip(self.frame, 0, self.num_frames - 1))
         i0 = int(np.floor(f))
         t = f - i0
-        if t < 1e-6:
-            return self._apply_recenter(self.trajectory.load_frame(i0)[0])
+        if t < 1e-6 or self.interpolation == "nearest":
+            return self._apply_recenter(
+                self.trajectory.load_frame(int(round(f)))[0]
+            )
         i1 = min(i0 + 1, self.num_frames - 1)
         x0, cell = self.trajectory.load_frame(i0)
         x1, _ = self.trajectory.load_frame(i1)
         basis = jnp.asarray(cell.basis)
-        out = interp.interpolate_linear(
-            jnp.asarray(x0), jnp.asarray(x1), t, basis, inv_basis_of(basis)
-        )
+        if self.interpolation == "cubic":
+            im1 = max(i0 - 1, 0)
+            i2 = min(i1 + 1, self.num_frames - 1)
+            xm1, _ = self.trajectory.load_frame(im1)
+            x2, _ = self.trajectory.load_frame(i2)
+            out = interp.interpolate_cubic(
+                jnp.asarray(xm1), jnp.asarray(x0), jnp.asarray(x1),
+                jnp.asarray(x2), t, basis, inv_basis_of(basis),
+            )
+        else:
+            out = interp.interpolate_linear(
+                jnp.asarray(x0), jnp.asarray(x1), t, basis,
+                inv_basis_of(basis),
+            )
         return self._apply_recenter(np.asarray(out))
 
     def recenter(self, selection_expr: Optional[str] = "all"):

@@ -182,16 +182,44 @@ def parse_pdb(text: bytes | str) -> tuple[System, InMemoryTrajectory | None]:
     traj = None
     n = sys.natoms
     if len(frames_atom_lines) > 1:
-        coords = np.empty((len(frames_atom_lines), n, 3), np.float32)
-        coords[0] = xyz
-        for f, flines in enumerate(frames_atom_lines[1:], start=1):
-            if len(flines) != n:
-                raise ValueError(
-                    f"PDB MODEL {f + 1} has {len(flines)} atoms, expected {n}"
-                )
-            coords[f] = _coords_fast(_lines_to_matrix(flines, width=56))
+        coords = _parse_frames_native(text, n, len(frames_atom_lines))
+        if coords is None:
+            coords = np.empty((len(frames_atom_lines), n, 3), np.float32)
+            coords[0] = xyz
+            for f, flines in enumerate(frames_atom_lines[1:], start=1):
+                if len(flines) != n:
+                    raise ValueError(
+                        f"PDB MODEL {f + 1} has {len(flines)} atoms, "
+                        f"expected {n}"
+                    )
+                coords[f] = _coords_fast(_lines_to_matrix(flines, width=56))
         traj = InMemoryTrajectory(coords, cell=cell)
     return sys, traj
+
+
+def _parse_frames_native(text: bytes, natoms: int, nframes: int):
+    """Multi-frame coordinate pass through the native parser
+    (native/fastparse.cpp); None on any mismatch/build failure → the
+    Python path takes over."""
+    try:
+        import ctypes
+
+        from viamd_tpu.native import load_library
+
+        lib = load_library("vtpu_fastparse", ["fastparse.cpp"])
+        lib.pdb_parse_coords.restype = ctypes.c_int32
+        lib.pdb_parse_coords.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        coords = np.empty((nframes, natoms, 3), np.float32)
+        rc = lib.pdb_parse_coords(
+            text, len(text), natoms, nframes,
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return coords if rc == 0 else None
+    except Exception:
+        return None
 
 
 def load_pdb(path: str) -> tuple[System, InMemoryTrajectory | None]:
