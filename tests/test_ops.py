@@ -500,6 +500,45 @@ class TestBackbone:
 
 
 class TestPallasRDF:
+    def test_multipass_and_radius1_interpret(self):
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(12)
+        L, n = 25.0, 400
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        wa = np.ones(n, np.float32)
+        wb = np.ones(n, np.float32)
+        basis, inv = ortho_cell(L)
+        nbins, rmax = 128, 5.0
+        dense = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, nbins, rmax, tile=64,
+            )
+        )
+        idx = jnp.asarray(np.arange(n, dtype=np.int32))
+        boxj = jnp.asarray([L, L, L], jnp.float32)
+        # radius=2 grid with cap_a > 16 → multi-pass
+        dims2, cap2 = choose_grid(np.array([L] * 3), rmax, n)
+        h2 = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                dims2, cap2, cap2, radius=2, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(h2, dense, atol=1e-2)
+        # radius=1 grid (cells ≥ rmax wide)
+        dims1, cap1 = choose_grid(np.array([L] * 3), 2 * rmax, n)
+        assert min(dims1) >= 3
+        h1 = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                dims1, cap1, cap1, radius=1, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(h1, dense, atol=1e-2)
+
     def test_matches_dense_interpret(self):
         from viamd_tpu.ops import pallas_rdf
         from viamd_tpu.ops.neighbors import choose_grid

@@ -60,7 +60,12 @@ class EvalResult:
     _vol_np: Optional[dict] = None
 
     def block_until_ready(self):
-        """Wait for all device work without any host readback."""
+        """Wait for all device work without any host readback.
+
+        NOTE: on the tunneled axon backend `jax.block_until_ready` does NOT
+        actually fence execution (work queues lazily and only a readback
+        forces it) — use `force()` for trustworthy timing there.
+        """
         if self._dist_dev:
             jax.block_until_ready(self._dist_dev)
         if self._vol_dev:
@@ -68,6 +73,28 @@ class EvalResult:
         if self._temporal_dev:
             jax.block_until_ready(self._temporal_dev)
         return self
+
+    def force(self) -> float:
+        """Force completion of ALL device work behind this result with a
+        single scalar readback (the only reliable execution fence on
+        backends whose block_until_ready is a no-op). Returns the checksum.
+        """
+        parts = []
+        for v in (self._dist_dev or {}).values():
+            parts.append(jnp.sum(v))
+        for v in (self._vol_dev or {}).values():
+            parts.append(jnp.sum(v))
+        rows = self._temporal_dev or []
+        if isinstance(rows, list):
+            for r in rows:
+                for v in r.values():
+                    parts.append(jnp.sum(v))
+        if not parts:
+            return 0.0
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return float(total)
 
     @property
     def temporal(self) -> dict:

@@ -80,7 +80,9 @@ def _hist_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nbins", "r_max", "dims", "cap_a", "cap_b", "interpret"),
+    static_argnames=(
+        "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "interpret",
+    ),
 )
 def pair_dist_histogram_pl(
     x: jnp.ndarray,
@@ -92,38 +94,45 @@ def pair_dist_histogram_pl(
     dims: tuple,
     cap_a: int,
     cap_b: int,
+    radius: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
     Same cell-list preprocessing (ops.neighbors) and semantics: symmetric
     counting, self-pair exclusion by global id, capacity-dropped overflow.
-    cap_a is rounded up to 8 or 16 (so G·Ka = 128 lanes); A-side cells
-    beyond that capacity drop atoms — the compiler falls back to the XLA
-    path when cap_a > 16. nbins must be a multiple of 128.
+    A-side capacity is unbounded: cells with more than 16 A atoms process
+    in multiple kernel passes over 16-slot chunks of the A table, all
+    sharing one set of B neighborhoods. `radius`: stencil reach in cells
+    (cells must be ≥ r_max/radius wide; radius=1 → 27 rolls for dense
+    systems, radius=2 → 125 rolls with tighter cells). nbins must be a
+    multiple of 128.
     """
     from viamd_tpu.ops.neighbors import build_cell_list
     from viamd_tpu.ops.rdf import neighborhood_planes
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
     ka = 8 if cap_a <= 8 else 16
+    n_pass = -(-cap_a // ka)
+    cap_a_pad = n_pass * ka
     G = LANES // ka
 
     xa = x[idx_a]
     xb = x[idx_b]
-    cl_a = build_cell_list(xa, box, dims, ka)
+    cl_a = build_cell_list(xa, box, dims, cap_a_pad)
     cl_b = build_cell_list(xb, box, dims, cap_b)
     dx_, dy_, dz_ = dims
     ncells = dx_ * dy_ * dz_
 
-    a_xyz = xa[cl_a.table]  # (ncells, Ka, 3)
+    a_xyz = xa[cl_a.table]  # (ncells, cap_a_pad, 3)
     a_w = cl_a.valid.astype(jnp.float32)
     a_gid = jnp.where(cl_a.valid, idx_a[cl_a.table], -1)
     b_xyz = xb[cl_b.table]
     b_w = cl_b.valid.astype(jnp.float32)
     b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
 
-    C = 125 * cap_b  # 5³ stencil
+    S = (2 * radius + 1) ** 3
+    C = S * cap_b
     # candidate chunking: keep per-step tiles ≈ (512, 128)
     nchunks = max(1, -(-C // 512))
     Cc = -(-C // (nchunks * 8)) * 8
@@ -131,7 +140,7 @@ def pair_dist_histogram_pl(
     nblocks = -(-ncells // G)
     padc = nblocks * G - ncells
 
-    def prep_a(arr):  # (ncells, Ka) → (nblocks, 1, Ka*G); lane = k*G + g
+    def prep_a(arr):  # (ncells, ka) → (nblocks, 1, ka*G); lane = k*G + g
         arr = jnp.pad(arr, [(0, padc), (0, 0)])
         return (
             arr.reshape(nblocks, G, ka)
@@ -147,16 +156,11 @@ def pair_dist_histogram_pl(
             .reshape(nblocks * nchunks, G, Cc)
         )
 
-    ax = prep_a(a_xyz[..., 0])
-    ay = prep_a(a_xyz[..., 1])
-    az = prep_a(a_xyz[..., 2])
-    aw = prep_a(a_w)
-    aid = prep_a(a_gid)
-    bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims))
-    byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims))
-    bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims))
-    bwp = prep_b(neighborhood_planes(b_w, dims))
-    bidp = prep_b(neighborhood_planes(b_gid, dims))
+    bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius))
+    byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius))
+    bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius))
+    bwp = prep_b(neighborhood_planes(b_w, dims, radius))
+    bidp = prep_b(neighborhood_planes(b_gid, dims, radius))
 
     a_spec = pl.BlockSpec(
         (1, 1, LANES),
@@ -167,24 +171,32 @@ def pair_dist_histogram_pl(
         (1, G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
-    partial_hists = pl.pallas_call(
-        functools.partial(_hist_kernel, ka=ka, nbins=nbins, r_max=r_max),
-        out_shape=jax.ShapeDtypeStruct(
-            (nblocks * nchunks, 1, nbins), jnp.float32
-        ),
-        grid=(nblocks * nchunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            a_spec, a_spec, a_spec, a_spec, a_spec,
-            b_spec, b_spec, b_spec, b_spec, b_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, nbins), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(
-        box.reshape(1, 3).astype(jnp.float32),
-        ax, ay, az, aw, aid,
-        bxp, byp, bzp, bwp, bidp,
-    )
-    return jnp.sum(partial_hists, axis=(0, 1))
+    total = jnp.zeros(nbins, jnp.float32)
+    for p in range(n_pass):
+        sl = slice(p * ka, (p + 1) * ka)
+        partial_hists = pl.pallas_call(
+            functools.partial(_hist_kernel, ka=ka, nbins=nbins, r_max=r_max),
+            out_shape=jax.ShapeDtypeStruct(
+                (nblocks * nchunks, 1, nbins), jnp.float32
+            ),
+            grid=(nblocks * nchunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                a_spec, a_spec, a_spec, a_spec, a_spec,
+                b_spec, b_spec, b_spec, b_spec, b_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, nbins), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(
+            box.reshape(1, 3).astype(jnp.float32),
+            prep_a(a_xyz[:, sl, 0]),
+            prep_a(a_xyz[:, sl, 1]),
+            prep_a(a_xyz[:, sl, 2]),
+            prep_a(a_w[:, sl]),
+            prep_a(a_gid[:, sl]),
+            bxp, byp, bzp, bwp, bidp,
+        )
+        total = total + jnp.sum(partial_hists, axis=(0, 1))
+    return total

@@ -25,8 +25,15 @@ def kabsch_rotation(
     p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray
 ) -> jnp.ndarray:
     """Proper rotation R (3,3) minimizing Σ w‖R p − q‖²  (p, q centered)."""
-    wcol = w.astype(p.dtype)[:, None]
-    H = (p * wcol).T @ q  # (3,3) covariance between sets
+    wv = w.astype(p.dtype)
+    # explicit 9-component reduction (tiny-MN matmuls are pathological on
+    # the TPU backend)
+    H = jnp.stack(
+        [
+            jnp.stack([jnp.sum(wv * p[:, i] * q[:, j]) for j in range(3)])
+            for i in range(3)
+        ]
+    )
     U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], p.dtype)).at[2, 2].set(d)

@@ -1014,9 +1014,7 @@ def _rdf(c: _Compiler, node, args):
     if use_cl:
         box = jnp.diagonal(c._trace_basis)
         use_pallas = (
-            jax.default_backend() == "tpu"
-            and cap_a <= 16
-            and RDF_BINS % 128 == 0
+            jax.default_backend() == "tpu" and RDF_BINS % 128 == 0
         )
         if use_pallas:
             from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
