@@ -2,12 +2,21 @@
 """Benchmark: the BASELINE.json headline metric on real TPU hardware.
 
 Config (BASELINE.md configs #3/#4 composite): a 100k-atom periodic water box;
-the analysis script runs RDF (O–O, 10 Å cutoff, cell-list kernel), SDF
+the analysis script runs RDF (O–O, 10 Å cutoff, Pallas cell-list kernel), SDF
 (64 reference structures, internal-reference-frame alignment, trilinear
 density volume), and whole-system shape weights per frame — the
 RDF+SDF+density pipeline of the north star ("≥5k frames/s RDF+SDF analysis
 @ 100k atoms on v5p-8"). This script runs on whatever jax.devices() offers
 (the driver: one real chip) and reports frames/second.
+
+Timing discipline for the tunneled backend (see CLAUDE.md):
+- block_until_ready() does NOT fence — the only reliable fence is a scalar
+  readback; the timed region ends with ONE fused checksum (EvalResult.force).
+- Each executable launch costs ~35 ms tunnel RTT, so frames batch into
+  large per-launch chunks (Evaluator batch_mode="unroll").
+- The trajectory is synthesized ON DEVICE (datagen.water_box_device): bulk
+  host→device moves at ~1-2 MB/s through the tunnel and must never appear
+  in (or queue behind) the timed region.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/5000}
@@ -20,8 +29,8 @@ import sys
 import time
 
 N_WATERS = 33_334  # 100,002 atoms
-N_FRAMES = 256  # long enough window to amortize pipeline startup noise
-CHUNK = 8
+N_FRAMES = 128
+CHUNK = 32  # frames per executable launch
 BASELINE_FRAMES_PER_S = 5000.0
 
 
@@ -33,12 +42,12 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from viamd_tpu.datagen import water_box
+    from viamd_tpu.datagen import water_box_device
     from viamd_tpu.eval import Evaluator
     from viamd_tpu.script import compile_script
 
     t0 = time.time()
-    sys_, traj = water_box(N_WATERS, n_frames=N_FRAMES, seed=3)
+    sys_, traj = water_box_device(N_WATERS, n_frames=N_FRAMES, seed=3)
     t_gen = time.time() - t0
 
     src = (
@@ -50,34 +59,23 @@ def main() -> None:
     compiled = compile_script(src, sys_)
     t_compile = time.time() - t0
 
-    from viamd_tpu.io.trajectory import DeviceTrajectory
-
-    # Stage the trajectory into HBM once (the device-resident frame cache) —
-    # per-frame analysis then runs with zero host→device traffic, which is
-    # what a production deployment with an async prefetch pipeline sustains.
+    ev = Evaluator(compiled, traj, chunk=CHUNK, batch_mode="unroll")
+    # warmup: compile the chunk executable and drain one chunk + the frame
+    # generation to completion (fenced) so the timed region measures steady
+    # state only
     t0 = time.time()
-    traj = DeviceTrajectory(traj)
-    t_stage = time.time() - t0
-
-    ev = Evaluator(compiled, traj, chunk=CHUNK)
-    # warmup: one chunk (XLA compile happens host-side during dispatch).
-    # NOT fenced: on the tunneled backend block_until_ready() does not wait
-    # (work queues lazily; only a readback forces execution), so the only
-    # trustworthy fence is EvalResult.force() — a single-scalar checksum
-    # readback. The warmup chunk's compute (≤CHUNK frames, ≲3% of the
-    # window) drains inside the timed region; we count only N_FRAMES.
-    t0 = time.time()
-    ev.run(frame_range=range(CHUNK))
+    ev.run(frame_range=range(CHUNK)).force()
+    traj.stage_fence()
     t_warm = time.time() - t0
 
     t0 = time.time()
     res = ev.run()
-    checksum = res.force()  # fences ALL queued device work
+    checksum = res.force()  # the ONLY fence that actually waits
     elapsed = time.time() - t0
     fps = res.n_frames_done / elapsed
     assert checksum != 0.0
 
-    # post-timing sanity (readbacks allowed now): results must be real
+    # post-timing sanity: results must be real
     assert res.n_frames_done == N_FRAMES, res.n_frames_done
     import numpy as np
 
@@ -89,8 +87,8 @@ def main() -> None:
 
     print(
         f"# rdf-sum={r_sum:.0f} sdf-sum={v_sum:.0f} "
-        f"gen={t_gen:.1f}s stage={t_stage:.1f}s script-compile={t_compile:.1f}s "
-        f"xla-warmup={t_warm:.1f}s run={elapsed:.2f}s "
+        f"gen={t_gen:.1f}s script-compile={t_compile:.1f}s "
+        f"warmup={t_warm:.1f}s run={elapsed:.2f}s "
         f"frames={res.n_frames_done} atoms={sys_.natoms} "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,

@@ -34,6 +34,14 @@ from viamd_tpu.script.compiler import CompiledScript
 from viamd_tpu.script.values import PropertyMeta
 
 
+@jax.jit
+def _checksum(leaves):
+    total = jnp.float32(0)
+    for v in leaves:
+        total = total + jnp.sum(v.astype(jnp.float32))
+    return total
+
+
 @dataclasses.dataclass
 class EvalResult:
     """Evaluated properties over a frame range.
@@ -52,7 +60,8 @@ class EvalResult:
     n_frames_done: int = 0
     interrupted: bool = False
     # device-side payloads (filled by Evaluator.run)
-    _temporal_dev: Any = None  # list of per-frame dicts OR dict of chunks
+    _temporal_dev: Any = None  # list of per-frame dicts OR (count, dict) chunks
+    _temporal_layout: str = "frames"  # "frames" | "chunks"
     _dist_dev: Optional[dict] = None
     _vol_dev: Optional[dict] = None
     _temporal_np: Optional[dict] = None
@@ -77,31 +86,37 @@ class EvalResult:
     def force(self) -> float:
         """Force completion of ALL device work behind this result with a
         single scalar readback (the only reliable execution fence on
-        backends whose block_until_ready is a no-op). Returns the checksum.
+        backends whose block_until_ready is a no-op). The checksum is ONE
+        fused jitted reduction — per-dispatch drain cost on the tunneled
+        backend is ~10-15 ms regardless of compute, so issuing one jnp.sum
+        per array would itself dominate. Returns the checksum.
         """
-        parts = []
-        for v in (self._dist_dev or {}).values():
-            parts.append(jnp.sum(v))
-        for v in (self._vol_dev or {}).values():
-            parts.append(jnp.sum(v))
-        rows = self._temporal_dev or []
-        if isinstance(rows, list):
-            for r in rows:
-                for v in r.values():
-                    parts.append(jnp.sum(v))
-        if not parts:
+        leaves = [
+            v
+            for v in jax.tree.leaves(
+                [self._dist_dev or {}, self._vol_dev or {},
+                 self._temporal_dev or []]
+            )
+            if hasattr(v, "dtype")
+        ]
+        if not leaves:
             return 0.0
-        total = parts[0]
-        for p in parts[1:]:
-            total = total + p
-        return float(total)
+        return float(_checksum(leaves))
 
     @property
     def temporal(self) -> dict:
         if self._temporal_np is None:
             out: dict = {}
             rows = self._temporal_dev or []
-            if isinstance(rows, list) and rows and isinstance(rows[0], dict):
+            if self._temporal_layout == "chunks" and rows:
+                names = rows[0][1].keys()
+                for k in names:
+                    parts = [
+                        np.asarray(d[k])[:cnt].reshape(cnt, -1)
+                        for cnt, d in rows
+                    ]
+                    out[k] = np.concatenate(parts).astype(np.float32)
+            elif isinstance(rows, list) and rows and isinstance(rows[0], dict):
                 names = rows[0].keys()
                 for k in names:
                     stacked = np.stack(
@@ -190,13 +205,17 @@ class Evaluator:
         frames_axis: str = "frames",
         batch_mode: str = "auto",
     ):
-        """batch_mode: 'vmap' | 'map' | 'auto'.
+        """batch_mode: 'vmap' | 'map' | 'unroll' | 'dispatch' | 'auto'.
 
-        vmap parallelizes tiny frames across the chip (the 1ALA regime);
-        lax.map runs frames sequentially, which is faster for large systems
-        where each frame already fills the chip AND whose cell-list
-        preprocessing (argsort + big gathers) degrades badly under vmap
-        batching. 'auto' switches on atom count.
+        All batch modes put a whole chunk of frames into ONE device dispatch
+        — essential on the tunneled backend, whose drain cost is ~10-15 ms
+        PER DISPATCH regardless of compute. vmap parallelizes tiny frames
+        across the chip (the 1ALA regime); lax.map scans frames sequentially
+        (one trace, compact executable); unroll traces `chunk` copies of the
+        frame program into one executable (no scan-body pessimization of the
+        big cell-list gathers, at the cost of longer compiles); dispatch is
+        one dispatch per frame (only sensible interactively). 'auto' picks
+        vmap for small systems and unroll for large ones.
         """
         self.compiled = compiled
         self.traj = traj
@@ -216,7 +235,7 @@ class Evaluator:
             if mesh is not None:
                 batch_mode = "vmap"
             else:
-                batch_mode = "dispatch" if traj.num_atoms > 8192 else "vmap"
+                batch_mode = "unroll" if traj.num_atoms > 8192 else "vmap"
         self.batch_mode = batch_mode
         if batch_mode == "dispatch":
             self._frame_jit = self._build_frame_fn()
@@ -251,7 +270,7 @@ class Evaluator:
 
     def _build_batch_fn(self):
         frame_fn = self.compiled.frame_fn
-        use_map = self.batch_mode == "map"
+        mode = self.batch_mode
 
         def per_frame(coords, basis, valid):
             inv = pbc_ops.inv_basis_of(basis)
@@ -261,13 +280,33 @@ class Evaluator:
             return temporal, accum
 
         def local_batch(coords, bases, valid):
-            if use_map:
+            if mode == "map":
                 temporal, accum = jax.lax.map(
                     lambda args: per_frame(*args), (coords, bases, valid)
                 )
+                accum_summed = {
+                    k: jnp.sum(v, axis=0) for k, v in accum.items()
+                }
+            elif mode == "unroll":
+                ts, accs = [], []
+                for k in range(coords.shape[0]):
+                    t, a = per_frame(coords[k], bases[k], valid[k])
+                    ts.append(t)
+                    accs.append(a)
+                temporal = {
+                    k: jnp.stack([t[k] for t in ts]) for k in ts[0]
+                }
+                accum_summed = {}
+                for k in accs[0]:
+                    s = accs[0][k]
+                    for a in accs[1:]:
+                        s = s + a[k]
+                    accum_summed[k] = s
             else:
                 temporal, accum = jax.vmap(per_frame)(coords, bases, valid)
-            accum_summed = {k: jnp.sum(v, axis=0) for k, v in accum.items()}
+                accum_summed = {
+                    k: jnp.sum(v, axis=0) for k, v in accum.items()
+                }
             return temporal, accum_summed
 
         if self.mesh is not None:
@@ -291,7 +330,24 @@ class Evaluator:
                     check_vma=False,
                 )
             )
-        return jax.jit(local_batch)
+
+        # hoist closed-over selection masks / reference coords into explicit
+        # args (embedded device constants bloat compiles and re-ship per
+        # dispatch on the tunneled backend — see _build_frame_fn)
+        B, n = self.chunk, self.traj.num_atoms
+        converted, consts = jax.closure_convert(
+            local_batch,
+            jax.ShapeDtypeStruct((B, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B,), jnp.float32),
+        )
+        consts_dev = [jax.device_put(jnp.asarray(c)) for c in consts]
+        jitted = jax.jit(converted)
+
+        def call(coords, bases, valid):
+            return jitted(coords, bases, valid, *consts_dev)
+
+        return call
 
     def run(
         self,
@@ -374,8 +430,7 @@ class Evaluator:
                 t_out, a_out = self._batch_fn(
                     jnp.asarray(coords), jnp.asarray(cells), jnp.asarray(valid)
                 )
-                for k in range(nb):
-                    t_rows.append({nm: v[k] for nm, v in t_out.items()})
+                t_rows.append((nb, t_out))
                 acc_dev = (
                     a_out
                     if acc_dev is None
@@ -400,6 +455,9 @@ class Evaluator:
             n_frames_done=done,
             interrupted=interrupted,
             _temporal_dev=t_rows,
+            _temporal_layout=(
+                "frames" if self.batch_mode == "dispatch" else "chunks"
+            ),
             _dist_dev=dist_dev,
             _vol_dev=vol_dev,
         )

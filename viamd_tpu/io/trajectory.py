@@ -112,57 +112,82 @@ class DeviceTrajectory(Trajectory):
     """Device-resident trajectory: all frames staged into HBM once.
 
     The TPU-scale analog of the reference's resident frame cache
-    (src/viamd.h:43): host→device transfer happens once at construction
-    (chunked — the tunneled backend degrades on large single transfers),
-    after which per-frame evaluation reads device arrays with zero H2D on
-    the hot path. A 256-frame 100k-atom trajectory is ~300 MB of HBM.
+    (src/viamd.h:43): frames live as ONE stacked (F, n, 3) device array —
+    a single host→device transfer at construction (per-frame puts measured
+    ~4× slower through the tunnel), after which chunked evaluation reads
+    device slices with zero H2D on the hot path. A 256-frame 100k-atom
+    trajectory is ~300 MB of HBM.
+
+    Alternatively construct `from_device(stack, cells, times)` with frames
+    already generated/loaded on device (e.g. datagen.water_box_device) —
+    zero bulk H2D at all. Call `stage_fence()` to force the staging
+    transfer/compute to completion (returns a checksum); benchmarks should
+    fence staging out of their timed region.
     """
 
-    def __init__(self, inner: Trajectory, chunk: int = 16):
+    def __init__(self, inner: Optional[Trajectory] = None, **kw):
         import jax
         import jax.numpy as jnp
 
-        self._times = np.asarray(inner.frame_times)
-        self._natoms = inner.num_atoms
-        F = inner.num_frames
-        frames = []
-        cells = []
-        for beg in range(0, F, chunk):
-            c, b = inner.load_frames(list(range(beg, min(beg + chunk, F))))
-            for k in range(c.shape[0]):
-                frames.append(jax.device_put(c[k]))
-                cells.append(b[k])
-        self._frames = frames  # list of (n,3) device arrays
-        self._cells = np.asarray(cells, np.float32)
-        self._cells_dev = [jax.device_put(c) for c in self._cells]
+        if inner is not None:
+            coords, cells = inner.load_frames(range(inner.num_frames))
+            kw = dict(
+                stack=jax.device_put(jnp.asarray(coords, jnp.float32)),
+                cells=np.asarray(cells, np.float32),
+                times=np.asarray(inner.frame_times),
+            )
+        self._stack = kw["stack"]  # (F, n, 3) device array
+        self._cells = np.asarray(kw["cells"], np.float32)  # (F, 3, 3) host
+        self._cells_dev = jax.device_put(jnp.asarray(self._cells))
+        times = kw.get("times")
+        self._times = (
+            np.asarray(times)
+            if times is not None
+            else np.arange(self._stack.shape[0], dtype=np.float64)
+        )
+
+    @classmethod
+    def from_device(cls, stack, cells, times=None) -> "DeviceTrajectory":
+        return cls(stack=stack, cells=cells, times=times)
+
+    def stage_fence(self) -> float:
+        """Force staging to completion (scalar readback); returns checksum."""
+        import jax.numpy as jnp
+
+        return float(jnp.sum(self._stack[:, 0, :]) + jnp.sum(self._cells_dev))
 
     @property
     def num_frames(self):
-        return len(self._frames)
+        return self._stack.shape[0]
 
     @property
     def num_atoms(self):
-        return self._natoms
+        return self._stack.shape[1]
 
     @property
     def frame_times(self):
         return self._times
 
     def load_frame(self, idx: int):
-        return np.asarray(self._frames[int(idx)]), UnitCell.from_basis(
+        return np.asarray(self._stack[int(idx)]), UnitCell.from_basis(
             self._cells[int(idx)]
         )
 
     def load_frames(self, indices):
         idx = np.asarray(list(indices), np.int64)
-        import jax.numpy as jnp
+        beg, end = int(idx[0]), int(idx[-1]) + 1
+        if idx.size == end - beg and np.all(np.diff(idx) == 1):
+            coords = self._stack[beg:end]  # contiguous: one device slice
+        else:
+            import jax.numpy as jnp
 
-        coords = jnp.stack([self._frames[int(i)] for i in idx])
+            coords = self._stack[jnp.asarray(idx)]
         return coords, self._cells[idx]
 
     def device_frame(self, idx: int):
         """(coords, cell basis) as device arrays — the zero-copy hot path."""
-        return self._frames[int(idx)], self._cells_dev[int(idx)]
+        i = int(idx)
+        return self._stack[i], self._cells_dev[i]
 
 
 class CachedTrajectory(Trajectory):

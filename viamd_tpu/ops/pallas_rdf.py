@@ -7,17 +7,15 @@ reduce fusion spills awkward intermediates. This kernel keeps the whole
 distance→mask→bin→accumulate chain in VMEM with lane-aligned shapes:
 
 - each grid step processes G cells × one chunk of their candidate lists;
-  the G·Ka A-side atoms live in the LANE dimension (G·Ka = 128), candidates
-  in the SUBLANE dimension (Cc), giving a transpose-light (Cc, 128)
-  min-image distance tile;
-- the B-side chunk loads as (G, Cc) and is reoriented once per step (one
-  small transpose + a lane-repeat) instead of per-pair gathers;
-- the histogram accumulates with a per-bin masked full-tile reduce (bins
-  loop in a rolled fori; Mosaic's lane-slice alignment rules preclude the
-  per-lane one-hot extraction, and the masked reduce keeps VMEM pressure at
-  a handful of (Cc, 128) buffers);
+  the G·Ka A-side atoms live in the SUBLANE dimension (G·Ka = 128, prepared
+  as (128,1) columns in XLA), candidates in the LANE dimension (Cc),
+  giving a (128, Cc) min-image distance tile with ZERO in-kernel
+  transposes/relayouts (B planes expand by a cheap sublane repeat);
+- the histogram accumulates per-bin into rows of an (nbins, Cc) VMEM
+  scratch — sublane reductions only inside the bins loop, one lane
+  reduction at the end, leaving as an (nbins, 1) column;
 - the grid is (cell-blocks × candidate-chunks); each step writes its own
-  partial-histogram row, summed afterwards in XLA (no cross-step
+  partial-histogram column, summed afterwards in XLA (no cross-step
   accumulation → safe under vmap over frames).
 """
 
@@ -36,46 +34,74 @@ LANES = 128
 
 def _hist_kernel(
     box_ref,  # SMEM (1, 3)
-    ax_ref, ay_ref, az_ref, aw_ref, aid_ref,  # (1, 1, 128) A planes
-    bx_ref, by_ref, bz_ref, bw_ref, bid_ref,  # (1, G, Cc) B chunk planes
-    out_ref,  # (1, 1, nbins)
+    ax_ref, ay_ref, az_ref, aid_ref,  # (1, 128, 1) A columns (id: int32)
+    bx_ref, by_ref, bz_ref, bid_ref,  # (1, G, Cc) B chunk planes
+    out_ref,  # (1, nbins, 1)
+    scratch_ref,  # VMEM (nbins, Cc) per-bin lane partials
     *,
     ka: int,
     nbins: int,
     r_max: float,
 ):
+    """Pair tile orientation: A atoms in SUBLANES (a (128,1) column prepared
+    in XLA), B candidates in LANES. The B planes expand with a sublane
+    pltpu.repeat (cheap copy) — NO in-kernel transposes/relayouts anywhere:
+    the earlier orientation ((Cc,128) with A in lanes) needed a (G,Cc)→(Cc,G)
+    Mosaic relayout per plane per step (5 transposes × grid ≈ 2/3 of kernel
+    time), and the output leaves as an (nbins,1) COLUMN so the final
+    sublane vector never crosses into lanes. Pair validity + self-pair
+    exclusion are derived from the id planes alone (invalid A = -1,
+    invalid B = -2), saving two of ten input planes.
+    """
     inv_bin = nbins / r_max
     Lx = box_ref[0, 0]
     Ly = box_ref[0, 1]
     Lz = box_ref[0, 2]
 
     def expand(ref):
-        # (G, Cc) → (Cc, G) → lane-tile ×ka → (Cc, 128); lane l ↔ cell l%G
-        return pltpu.repeat(ref[0].T, ka, axis=1)
+        # (G, Cc) → sublane-tile ×ka → (G·ka=128, Cc); sublane s ↔ cell s%G
+        return pltpu.repeat(ref[0], ka, axis=0)
 
     def mimg(d, L):
-        return d - L * jnp.round(d / L)
+        return d - L * jnp.round(d * (1.0 / L))
 
-    dx = mimg(expand(bx_ref) - ax_ref[0, 0][None, :], Lx)
-    dy = mimg(expand(by_ref) - ay_ref[0, 0][None, :], Ly)
-    dz = mimg(expand(bz_ref) - az_ref[0, 0][None, :], Lz)
-    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (Cc, 128)
-    w = expand(bw_ref) * aw_ref[0, 0][None, :]
-    w = jnp.where(expand(bid_ref) == aid_ref[0, 0][None, :], 0.0, w)
+    aid = aid_ref[0]  # (128, 1) int32
+    bid = expand(bid_ref)  # (128, Cc) int32
+    dx = mimg(expand(bx_ref) - ax_ref[0], Lx)
+    dy = mimg(expand(by_ref) - ay_ref[0], Ly)
+    dz = mimg(expand(bz_ref) - az_ref[0], Lz)
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
+    w = ((bid >= 0) & (aid >= 0) & (bid != aid)).astype(jnp.float32)
     bin_id = jnp.where(
         dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
     )
+    # select+accumulate in bf16 — EXACT here (per-(bin, lane) partial counts
+    # ≤ 128 sublanes are integers ≤ 256, all exactly representable) and
+    # 2×-packed on the VPU; the compare stays int32 (the target VPU has no
+    # bf16 compare)
+    w_bf = w.astype(jnp.bfloat16)
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nbins), 1)
-
-    def bin_body(b, hist):
-        val = jnp.sum(jnp.where(bin_id == b, w, 0.0))
-        return hist + jnp.where(lane_iota == b, val, 0.0)
-
-    hist = jax.lax.fori_loop(
-        0, nbins, bin_body, jnp.zeros((1, nbins), jnp.float32)
-    )
-    out_ref[0, :, :] = hist
+    # Per-bin masked accumulate into rows of an (nbins, Cc) VMEM scratch:
+    # only sublane reductions per bin (no cross-lane shuffles, no
+    # loop-carried scalar — a reduce-to-scalar per bin serializes the VPU
+    # pipeline), one lane reduction at the end. The loop is fully unrolled
+    # with bins written in STATIC 16-row blocks (bf16 tiles are 16-sublane;
+    # Mosaic cannot prove alignment of dynamic single-row bf16 stores).
+    zero_bf = jnp.bfloat16(0)
+    for g in range(nbins // 16):
+        rows = [
+            jnp.sum(
+                jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
+                axis=0,
+                keepdims=True,
+                dtype=jnp.bfloat16,
+            )
+            for j in range(16)
+        ]
+        scratch_ref[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, axis=0)
+    out_ref[0, :, :] = jnp.sum(
+        scratch_ref[...].astype(jnp.float32), axis=1
+    )[:, None]
 
 
 @functools.partial(
@@ -125,31 +151,34 @@ def pair_dist_histogram_pl(
     ncells = dx_ * dy_ * dz_
 
     a_xyz = xa[cl_a.table]  # (ncells, cap_a_pad, 3)
-    a_w = cl_a.valid.astype(jnp.float32)
     a_gid = jnp.where(cl_a.valid, idx_a[cl_a.table], -1)
     b_xyz = xb[cl_b.table]
-    b_w = cl_b.valid.astype(jnp.float32)
     b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
 
     S = (2 * radius + 1) ** 3
     C = S * cap_b
-    # candidate chunking: keep per-step tiles ≈ (512, 128)
-    nchunks = max(1, -(-C // 512))
-    Cc = -(-C // (nchunks * 8)) * 8
+    # candidate chunking: per-step tiles (128, Cc) with Cc a lane multiple;
+    # target Cc ≈ 2048 (bigger chunks amortize per-step grid/DMA overhead)
+    nchunks = max(1, -(-C // 2048))
+    Cc = -(-C // (nchunks * LANES)) * LANES
     C_tot = nchunks * Cc
     nblocks = -(-ncells // G)
     padc = nblocks * G - ncells
 
-    def prep_a(arr):  # (ncells, ka) → (nblocks, 1, ka*G); lane = k*G + g
-        arr = jnp.pad(arr, [(0, padc), (0, 0)])
+    def prep_a(arr, fill=0):
+        # (ncells, ka) → (nblocks, ka*G, 1); sublane = k*G + g. Id planes
+        # MUST pad with the invalid sentinel (id 0 is a real atom).
+        arr = jnp.pad(arr, [(0, padc), (0, 0)], constant_values=fill)
         return (
             arr.reshape(nblocks, G, ka)
             .transpose(0, 2, 1)
-            .reshape(nblocks, 1, ka * G)
+            .reshape(nblocks, ka * G, 1)
         )
 
-    def prep_b(arr):  # (ncells, C) → (nblocks·nchunks, G, Cc)
-        arr = jnp.pad(arr, [(0, padc), (0, C_tot - C)])
+    def prep_b(arr, fill=0):  # (ncells, C) → (nblocks·nchunks, G, Cc)
+        arr = jnp.pad(
+            arr, [(0, padc), (0, C_tot - C)], constant_values=fill
+        )
         return (
             arr.reshape(nblocks, G, nchunks, Cc)
             .transpose(0, 2, 1, 3)
@@ -159,11 +188,10 @@ def pair_dist_histogram_pl(
     bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius))
     byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius))
     bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius))
-    bwp = prep_b(neighborhood_planes(b_w, dims, radius))
-    bidp = prep_b(neighborhood_planes(b_gid, dims, radius))
+    bidp = prep_b(neighborhood_planes(b_gid, dims, radius), fill=-2)
 
     a_spec = pl.BlockSpec(
-        (1, 1, LANES),
+        (1, LANES, 1),
         lambda i: (i // nchunks, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -177,26 +205,26 @@ def pair_dist_histogram_pl(
         partial_hists = pl.pallas_call(
             functools.partial(_hist_kernel, ka=ka, nbins=nbins, r_max=r_max),
             out_shape=jax.ShapeDtypeStruct(
-                (nblocks * nchunks, 1, nbins), jnp.float32
+                (nblocks * nchunks, nbins, 1), jnp.float32
             ),
             grid=(nblocks * nchunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                a_spec, a_spec, a_spec, a_spec, a_spec,
-                b_spec, b_spec, b_spec, b_spec, b_spec,
+                a_spec, a_spec, a_spec, a_spec,
+                b_spec, b_spec, b_spec, b_spec,
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, nbins), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nbins, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            scratch_shapes=[pltpu.VMEM((nbins, Cc), jnp.bfloat16)],
             interpret=interpret,
         )(
             box.reshape(1, 3).astype(jnp.float32),
             prep_a(a_xyz[:, sl, 0]),
             prep_a(a_xyz[:, sl, 1]),
             prep_a(a_xyz[:, sl, 2]),
-            prep_a(a_w[:, sl]),
-            prep_a(a_gid[:, sl]),
-            bxp, byp, bzp, bwp, bidp,
+            prep_a(a_gid[:, sl], fill=-1),
+            bxp, byp, bzp, bidp,
         )
-        total = total + jnp.sum(partial_hists, axis=(0, 1))
+        total = total + jnp.sum(partial_hists, axis=(0, 2))
     return total
