@@ -538,6 +538,14 @@ class TestPallasRDF:
             )
         )
         np.testing.assert_allclose(h1, dense, atol=1e-2)
+        # symmetric half-stencil mode (same selection): exact match
+        hs = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                dims2, cap2, cap2, radius=2, symmetric=True, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(hs, dense, atol=1e-2)
 
     def test_matches_dense_interpret(self):
         from viamd_tpu.ops import pallas_rdf

@@ -298,3 +298,50 @@ class TestDynamicFilter:
         )
         assert m2.popcount() == 1
         assert m1.popcount() > 1
+
+
+class TestBatchModes:
+    """All Evaluator batch modes must agree bit-for-bit on results."""
+
+    def test_modes_agree(self, ala_traj_system):
+        from viamd_tpu.eval import Evaluator
+
+        sys, traj = ala_traj_system
+        src = (
+            "d1 = distance(1, 6);\n"
+            "r = rdf(element('C'), element('O'), 8.0);\n"
+        )
+        cs = compile_script(src, sys)
+        ref = None
+        for mode in ("dispatch", "vmap", "map", "unroll"):
+            res = Evaluator(cs, traj, chunk=4, batch_mode=mode).run()
+            ck = res.force()
+            assert np.isfinite(ck), mode
+            t = res.temporal["d1"]
+            r = np.asarray(res.distributions["r"])
+            assert t.shape == (traj.num_frames, 1), mode
+            if ref is None:
+                ref = (t, r)
+            else:
+                np.testing.assert_allclose(t, ref[0], rtol=1e-5)
+                np.testing.assert_allclose(r, ref[1], rtol=1e-4)
+
+    def test_device_trajectory_and_datagen(self):
+        from viamd_tpu.datagen import water_box_device
+        from viamd_tpu.eval import Evaluator
+
+        sys, traj = water_box_device(40, n_frames=6, seed=2)
+        assert traj.num_frames == 6 and traj.num_atoms == 120
+        assert traj.stage_fence() != 0.0
+        # contiguous + gather load paths
+        c, b = traj.load_frames([1, 2, 3])
+        assert c.shape == (3, 120, 3) and b.shape == (3, 3, 3)
+        c2, _ = traj.load_frames([0, 4])
+        assert c2.shape == (2, 120, 3)
+        xk, bk = traj.device_frame(5)
+        assert xk.shape == (120, 3) and bk.shape == (3, 3)
+        src = "r = rdf(element('O'), element('H'), 5.0);\n"
+        cs = compile_script(src, sys)
+        res = Evaluator(cs, traj, chunk=4, batch_mode="unroll").run()
+        assert res.n_frames_done == 6
+        assert np.asarray(res.distributions["r"]).sum() > 0

@@ -42,6 +42,9 @@ def _hist_kernel(
     ka: int,
     nbins: int,
     r_max: float,
+    nchunks: int,
+    cap_b: int,
+    symmetric: bool,
 ):
     """Pair tile orientation: A atoms in SUBLANES (a (128,1) column prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
@@ -71,7 +74,18 @@ def _hist_kernel(
     dy = mimg(expand(by_ref) - ay_ref[0], Ly)
     dz = mimg(expand(bz_ref) - az_ref[0], Lz)
     dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
-    w = ((bid >= 0) & (aid >= 0) & (bid != aid)).astype(jnp.float32)
+    if symmetric:
+        # half-stencil mode: the self-cell offset occupies the FIRST cap_b
+        # candidate slots (chunk 0); dedupe its unordered pairs by id order.
+        # Other offsets already see each unordered cell pair exactly once.
+        lane = jax.lax.broadcasted_iota(jnp.int32, bid.shape, 1)
+        # scalar→vector: lanes [0, cap_b) of chunk 0 are self-cell slots
+        thresh = jnp.where(pl.program_id(0) % nchunks == 0, cap_b, 0)
+        is_self = lane < thresh
+        pair_ok = (is_self & (bid > aid)) | (~is_self & (bid != aid))
+    else:
+        pair_ok = bid != aid
+    w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
     bin_id = jnp.where(
         dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
     )
@@ -107,7 +121,8 @@ def _hist_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "interpret",
+        "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
+        "interpret",
     ),
 )
 def pair_dist_histogram_pl(
@@ -121,6 +136,7 @@ def pair_dist_histogram_pl(
     cap_a: int,
     cap_b: int,
     radius: int = 2,
+    symmetric: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
@@ -135,7 +151,7 @@ def pair_dist_histogram_pl(
     multiple of 128.
     """
     from viamd_tpu.ops.neighbors import build_cell_list
-    from viamd_tpu.ops.rdf import neighborhood_planes
+    from viamd_tpu.ops.rdf import neighborhood_planes, stencil_offsets
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
     ka = 8 if cap_a <= 8 else 16
@@ -155,7 +171,10 @@ def pair_dist_histogram_pl(
     b_xyz = xb[cl_b.table]
     b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
 
-    S = (2 * radius + 1) ** 3
+    if symmetric:
+        assert min(dims) >= 2 * radius + 1, "half stencil needs distinct rolls"
+    offsets = stencil_offsets(radius, symmetric)
+    S = len(offsets)
     C = S * cap_b
     # candidate chunking: per-step tiles (128, Cc) with Cc a lane multiple;
     # target Cc ≈ 2048 (bigger chunks amortize per-step grid/DMA overhead)
@@ -185,10 +204,10 @@ def pair_dist_histogram_pl(
             .reshape(nblocks * nchunks, G, Cc)
         )
 
-    bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius))
-    byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius))
-    bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius))
-    bidp = prep_b(neighborhood_planes(b_gid, dims, radius), fill=-2)
+    bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius, offsets))
+    byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius, offsets))
+    bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius, offsets))
+    bidp = prep_b(neighborhood_planes(b_gid, dims, radius, offsets), fill=-2)
 
     a_spec = pl.BlockSpec(
         (1, LANES, 1),
@@ -203,7 +222,10 @@ def pair_dist_histogram_pl(
     for p in range(n_pass):
         sl = slice(p * ka, (p + 1) * ka)
         partial_hists = pl.pallas_call(
-            functools.partial(_hist_kernel, ka=ka, nbins=nbins, r_max=r_max),
+            functools.partial(
+                _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
+                nchunks=nchunks, cap_b=cap_b, symmetric=symmetric,
+            ),
             out_shape=jax.ShapeDtypeStruct(
                 (nblocks * nchunks, nbins, 1), jnp.float32
             ),
@@ -227,4 +249,4 @@ def pair_dist_histogram_pl(
             bxp, byp, bzp, bidp,
         )
         total = total + jnp.sum(partial_hists, axis=(0, 2))
-    return total
+    return total * 2.0 if symmetric else total

@@ -67,26 +67,46 @@ def pair_dist_histogram(
     return jnp.concatenate([cdf[:1], jnp.diff(cdf)])
 
 
-def neighborhood_planes(arr: jnp.ndarray, dims: tuple, radius: int = 2) -> jnp.ndarray:
+def stencil_offsets(radius: int, symmetric: bool = False) -> list:
+    """Cell-offset stencil. `symmetric`: self-cell first + the lexicographic
+    upper half — each unordered CELL pair appears exactly once (pairs within
+    the self cell dedupe by id ordering in the kernel), so a same-selection
+    RDF can process half the candidates and double the histogram. Requires
+    min(dims) ≥ 2·radius+1 (offsets +o and −o must be distinct rolls)."""
+    offs = [
+        (ox, oy, oz)
+        for ox in range(-radius, radius + 1)
+        for oy in range(-radius, radius + 1)
+        for oz in range(-radius, radius + 1)
+    ]
+    if not symmetric:
+        return offs
+    return [(0, 0, 0)] + [o for o in offs if o > (0, 0, 0)]
+
+
+def neighborhood_planes(
+    arr: jnp.ndarray, dims: tuple, radius: int = 2, offsets: list = None
+) -> jnp.ndarray:
     """(ncells, K) per-cell data → (ncells, S·K) stencil neighborhoods.
 
     Built with S=(2r+1)³ wrapped ROLLS of the 3D cell grid instead of a
     random gather: rolls are contiguous copies at HBM bandwidth, while the
     equivalent fancy-index gather runs at a few elements/cycle — the
-    difference dominates frame time at ≥1M atoms.
+    difference dominates frame time at ≥1M atoms. `offsets` overrides the
+    full cube (see stencil_offsets).
     """
     dx, dy, dz = dims
     K = arr.shape[1]
     a4 = arr.reshape(dx, dy, dz, K)
+    if offsets is None:
+        offsets = stencil_offsets(radius)
     parts = []
-    for ox in range(-radius, radius + 1):
-        for oy in range(-radius, radius + 1):
-            for oz in range(-radius, radius + 1):
-                parts.append(
-                    jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2)).reshape(
-                        dx * dy * dz, K
-                    )
-                )
+    for ox, oy, oz in offsets:
+        parts.append(
+            jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2)).reshape(
+                dx * dy * dz, K
+            )
+        )
     return jnp.concatenate(parts, axis=1)
 
 

@@ -1019,9 +1019,14 @@ def _rdf(c: _Compiler, node, args):
         if use_pallas:
             from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
 
+            # same-selection RDF: half-stencil + doubled histogram (exact)
+            sym = bool(
+                idx_a.size == idx_b.size and np.array_equal(idx_a, idx_b)
+            ) and min(dims) >= 5
             hist = pair_dist_histogram_pl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
+                symmetric=sym,
             )
         else:
             hist = rdf_ops.pair_dist_histogram_cl(
