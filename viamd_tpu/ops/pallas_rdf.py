@@ -34,10 +34,10 @@ LANES = 128
 
 def _hist_kernel(
     box_ref,  # SMEM (1, 3)
-    ax_ref, ay_ref, az_ref, aid_ref,  # (1, 128, 1) A columns (id: int32)
-    bx_ref, by_ref, bz_ref, bid_ref,  # (1, G, Cc) B chunk planes
+    ax_ref, ay_ref, az_ref, aid_ref,  # (1, M·128, 1) A columns (id: int32)
+    bx_ref, by_ref, bz_ref, bid_ref,  # (1, M·G, Cc) B chunk planes
     out_ref,  # (1, nbins, 1)
-    scratch_ref,  # VMEM (nbins, Cc) per-bin lane partials
+    scratch_ref,  # VMEM (nbins, Cc) per-bin lane partials (f32 across m)
     *,
     ka: int,
     nbins: int,
@@ -45,8 +45,9 @@ def _hist_kernel(
     nchunks: int,
     cap_b: int,
     symmetric: bool,
+    M: int,
 ):
-    """Pair tile orientation: A atoms in SUBLANES (a (128,1) column prepared
+    """Pair tile orientation: A atoms in SUBLANES ((128,1) columns prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
     pltpu.repeat (cheap copy) — NO in-kernel transposes/relayouts anywhere:
     the earlier orientation ((Cc,128) with A in lanes) needed a (G,Cc)→(Cc,G)
@@ -54,68 +55,79 @@ def _hist_kernel(
     time), and the output leaves as an (nbins,1) COLUMN so the final
     sublane vector never crosses into lanes. Pair validity + self-pair
     exclusion are derived from the id planes alone (invalid A = -1,
-    invalid B = -2), saving two of ten input planes.
+    invalid B = -2), saving two of ten input planes. Each step processes M
+    cell-blocks (fixed per-step cost dominates at ~1000 steps).
     """
     inv_bin = nbins / r_max
     Lx = box_ref[0, 0]
     Ly = box_ref[0, 1]
     Lz = box_ref[0, 2]
 
-    def expand(ref):
-        # (G, Cc) → sublane-tile ×ka → (G·ka=128, Cc); sublane s ↔ cell s%G
-        return pltpu.repeat(ref[0], ka, axis=0)
-
     def mimg(d, L):
         return d - L * jnp.round(d * (1.0 / L))
 
-    aid = aid_ref[0]  # (128, 1) int32
-    bid = expand(bid_ref)  # (128, Cc) int32
-    dx = mimg(expand(bx_ref) - ax_ref[0], Lx)
-    dy = mimg(expand(by_ref) - ay_ref[0], Ly)
-    dz = mimg(expand(bz_ref) - az_ref[0], Lz)
-    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
     if symmetric:
-        # half-stencil mode: the self-cell offset occupies the FIRST cap_b
-        # candidate slots (chunk 0); dedupe its unordered pairs by id order.
-        # Other offsets already see each unordered cell pair exactly once.
-        lane = jax.lax.broadcasted_iota(jnp.int32, bid.shape, 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, bid_ref.shape[2]), 1)
         # scalar→vector: lanes [0, cap_b) of chunk 0 are self-cell slots
         thresh = jnp.where(pl.program_id(0) % nchunks == 0, cap_b, 0)
-        is_self = lane < thresh
-        pair_ok = (is_self & (bid > aid)) | (~is_self & (bid != aid))
-    else:
-        pair_ok = bid != aid
-    w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
-    bin_id = jnp.where(
-        dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
-    )
-    # select+accumulate in bf16 — EXACT here (per-(bin, lane) partial counts
-    # ≤ 128 sublanes are integers ≤ 256, all exactly representable) and
-    # 2×-packed on the VPU; the compare stays int32 (the target VPU has no
-    # bf16 compare)
-    w_bf = w.astype(jnp.bfloat16)
+        is_self1 = lane1 < thresh
 
-    # Per-bin masked accumulate into rows of an (nbins, Cc) VMEM scratch:
-    # only sublane reductions per bin (no cross-lane shuffles, no
-    # loop-carried scalar — a reduce-to-scalar per bin serializes the VPU
-    # pipeline), one lane reduction at the end. The loop is fully unrolled
-    # with bins written in STATIC 16-row blocks (bf16 tiles are 16-sublane;
-    # Mosaic cannot prove alignment of dynamic single-row bf16 stores).
     zero_bf = jnp.bfloat16(0)
-    for g in range(nbins // 16):
-        rows = [
-            jnp.sum(
-                jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
-                axis=0,
-                keepdims=True,
-                dtype=jnp.bfloat16,
-            )
-            for j in range(16)
-        ]
-        scratch_ref[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, axis=0)
-    out_ref[0, :, :] = jnp.sum(
-        scratch_ref[...].astype(jnp.float32), axis=1
-    )[:, None]
+    for m in range(M):
+
+        def expand(ref):
+            # (G, Cc) → sublane-tile ×ka → (G·ka=128, Cc); sublane s ↔ s%G
+            return pltpu.repeat(ref[0, m * (128 // ka) : (m + 1) * (128 // ka)], ka, axis=0)
+
+        asl = slice(m * 128, (m + 1) * 128)
+        aid = aid_ref[0, asl]  # (128, 1) int32
+        bid = expand(bid_ref)  # (128, Cc) int32
+        dx = mimg(expand(bx_ref) - ax_ref[0, asl], Lx)
+        dy = mimg(expand(by_ref) - ay_ref[0, asl], Ly)
+        dz = mimg(expand(bz_ref) - az_ref[0, asl], Lz)
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
+        if symmetric:
+            # half-stencil mode: the self-cell offset occupies the FIRST
+            # cap_b candidate slots (chunk 0); dedupe its unordered pairs by
+            # id order. Other offsets already see each unordered cell pair
+            # exactly once.
+            is_self = is_self1 | jnp.zeros(bid.shape, jnp.bool_)
+            pair_ok = (is_self & (bid > aid)) | (~is_self & (bid != aid))
+        else:
+            pair_ok = bid != aid
+        w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
+        bin_id = jnp.where(
+            dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
+        )
+        # select+accumulate rows in bf16 — EXACT (per-(bin, lane) partial
+        # counts ≤ 128 sublanes are integers ≤ 256, all exactly
+        # representable) and 2×-packed on the VPU; the compare stays int32
+        # (the target VPU has no bf16 compare). Cross-m accumulation happens
+        # in the f32 scratch (4·128 could exceed bf16's exact range).
+        w_bf = w.astype(jnp.bfloat16)
+
+        # Per-bin masked accumulate into rows of the (nbins, Cc) scratch:
+        # only sublane reductions per bin (no cross-lane shuffles, no
+        # loop-carried scalar — a reduce-to-scalar per bin serializes the
+        # VPU pipeline), one lane reduction at the very end. Bins write in
+        # STATIC 16-row blocks (fully unrolled).
+        for g in range(nbins // 16):
+            rows = [
+                jnp.sum(
+                    jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
+                    axis=0,
+                    keepdims=True,
+                    dtype=jnp.bfloat16,
+                ).astype(jnp.float32)
+                for j in range(16)
+            ]
+            block = jnp.concatenate(rows, axis=0)
+            gsl = slice(g * 16, (g + 1) * 16)
+            if m == 0:
+                scratch_ref[gsl, :] = block
+            else:
+                scratch_ref[gsl, :] = scratch_ref[gsl, :] + block
+    out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
 
 
 @functools.partial(
@@ -182,26 +194,30 @@ def pair_dist_histogram_pl(
     Cc = -(-C // (nchunks * LANES)) * LANES
     C_tot = nchunks * Cc
     nblocks = -(-ncells // G)
+    # M cell-blocks per grid step (tunable; measured M=4 ≈ M=1 at 100k
+    # atoms — per-step overhead is not the bottleneck, so keep steps small)
+    M = 1
+    nblocks = -(-nblocks // M) * M
     padc = nblocks * G - ncells
 
     def prep_a(arr, fill=0):
-        # (ncells, ka) → (nblocks, ka*G, 1); sublane = k*G + g. Id planes
-        # MUST pad with the invalid sentinel (id 0 is a real atom).
+        # (ncells, ka) → (nblocks/M, M·ka·G, 1); sublane = m·128 + k·G + g.
+        # Id planes MUST pad with the invalid sentinel (id 0 is a real atom).
         arr = jnp.pad(arr, [(0, padc), (0, 0)], constant_values=fill)
         return (
             arr.reshape(nblocks, G, ka)
             .transpose(0, 2, 1)
-            .reshape(nblocks, ka * G, 1)
+            .reshape(nblocks // M, M * ka * G, 1)
         )
 
-    def prep_b(arr, fill=0):  # (ncells, C) → (nblocks·nchunks, G, Cc)
+    def prep_b(arr, fill=0):  # (ncells, C) → (nblocks/M·nchunks, M·G, Cc)
         arr = jnp.pad(
             arr, [(0, padc), (0, C_tot - C)], constant_values=fill
         )
         return (
-            arr.reshape(nblocks, G, nchunks, Cc)
-            .transpose(0, 2, 1, 3)
-            .reshape(nblocks * nchunks, G, Cc)
+            arr.reshape(nblocks // M, M, G, nchunks, Cc)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(nblocks // M * nchunks, M * G, Cc)
         )
 
     bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius, offsets))
@@ -210,26 +226,25 @@ def pair_dist_histogram_pl(
     bidp = prep_b(neighborhood_planes(b_gid, dims, radius, offsets), fill=-2)
 
     a_spec = pl.BlockSpec(
-        (1, LANES, 1),
+        (1, M * LANES, 1),
         lambda i: (i // nchunks, 0, 0),
         memory_space=pltpu.VMEM,
     )
     b_spec = pl.BlockSpec(
-        (1, G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, M * G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    nsteps = nblocks // M * nchunks
     total = jnp.zeros(nbins, jnp.float32)
     for p in range(n_pass):
         sl = slice(p * ka, (p + 1) * ka)
         partial_hists = pl.pallas_call(
             functools.partial(
                 _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
-                nchunks=nchunks, cap_b=cap_b, symmetric=symmetric,
+                nchunks=nchunks, cap_b=cap_b, symmetric=symmetric, M=M,
             ),
-            out_shape=jax.ShapeDtypeStruct(
-                (nblocks * nchunks, nbins, 1), jnp.float32
-            ),
-            grid=(nblocks * nchunks,),
+            out_shape=jax.ShapeDtypeStruct((nsteps, nbins, 1), jnp.float32),
+            grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 a_spec, a_spec, a_spec, a_spec,
@@ -238,7 +253,7 @@ def pair_dist_histogram_pl(
             out_specs=pl.BlockSpec(
                 (1, nbins, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[pltpu.VMEM((nbins, Cc), jnp.bfloat16)],
+            scratch_shapes=[pltpu.VMEM((nbins, Cc), jnp.float32)],
             interpret=interpret,
         )(
             box.reshape(1, 3).astype(jnp.float32),
