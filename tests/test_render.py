@@ -1,5 +1,7 @@
 """Renderer tests: camera math + volume ray-marcher golden properties."""
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -295,3 +297,70 @@ def jnp_arr(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+class TestShearWarp:
+    """Shear-warp must agree with the general ray-marcher (same capability,
+    TPU-native dense formulation)."""
+
+    def _scene(self, D=40):
+        from viamd_tpu.render import camera as cam
+        from viamd_tpu.render.colormap import transfer_function
+
+        x = np.linspace(-1, 1, D)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        g = np.exp(-4 * ((X - 0.2) ** 2 + Y**2 + Z**2)) + 0.7 * np.exp(
+            -6 * (X**2 + (Y + 0.4) ** 2 + (Z - 0.3) ** 2)
+        )
+        tf = jnp.asarray(transfer_function("viridis", alpha_scale=0.6))
+        model = V.model_matrix_from_extent(10.0)
+        view = cam.look_at(
+            np.array([3.0, 5.0, 38.0]), np.zeros(3), np.array([0, 1, 0.0])
+        )
+        proj = cam.perspective(np.radians(40), 1.0, 0.1, 200.0)
+        return jnp.asarray(g.astype(np.float32)), tf, model, view, proj
+
+    def test_matches_raymarcher_dvr(self):
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf, model, view, proj = self._scene()
+        s = V.VolumeRenderSettings(
+            width=96, height=96, enable_dvr=True, jitter=False
+        )
+        rm, _ = V.render_volume(g, tf, model, view, proj, s, seed=0)
+        sw, _ = render_volume_shearwarp(g, tf, model, view, proj, s, seed=0)
+        rm, sw = np.asarray(rm), np.asarray(sw)
+        corr = np.corrcoef(rm[..., 3].ravel(), sw[..., 3].ravel())[0, 1]
+        assert corr > 0.99, corr
+        assert np.abs(rm - sw).mean() < 5e-3
+
+    def test_matches_raymarcher_iso(self):
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf, model, view, proj = self._scene()
+        s = V.VolumeRenderSettings(
+            width=96, height=96, enable_dvr=False, enable_iso=True,
+            iso_values=(0.5,), iso_colors=((1, 0.6, 0.2, 0.8),),
+            jitter=False,
+        )
+        rm, _ = V.render_volume(g, tf, model, view, proj, s, seed=0)
+        sw, _ = render_volume_shearwarp(g, tf, model, view, proj, s, seed=0)
+        corr = np.corrcoef(
+            np.asarray(rm)[..., 3].ravel(), np.asarray(sw)[..., 3].ravel()
+        )[0, 1]
+        assert corr > 0.9, corr
+
+    def test_eye_inside_falls_back(self):
+        from viamd_tpu.render import camera as cam
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf, model, _, proj = self._scene(D=16)
+        view = cam.look_at(  # eye inside the volume box (extent 10)
+            np.array([0.0, 0.0, 2.0]), np.array([0, 0, -10.0]),
+            np.array([0, 1, 0.0]),
+        )
+        s = V.VolumeRenderSettings(width=32, height=32, jitter=False)
+        img, dep = render_volume_shearwarp(
+            g, tf, model, view, proj, s, seed=0
+        )
+        assert np.isfinite(np.asarray(img)).all()

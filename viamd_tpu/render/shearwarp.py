@@ -1,0 +1,462 @@
+"""Shear-warp volume renderer — the TPU-native DVR/iso path.
+
+Same capability as render/volume.py (the rebuild of the reference's
+volumerender_utils + raycaster.frag DVR/isosurface pipeline), refactored for
+the hardware: the general ray-marcher issues 8 trilinear gathers per sample
+per pixel (≈7G random gathers at 1080p×128³), which is the single worst op
+class on TPU. Shear-warp (Lacroute & Levoy, SIGGRAPH '94; perspective
+variant) factorizes view·model into
+
+    per-slice scale+translate  →  composite  →  one 2D projective warp
+
+so ALL heavy work becomes dense algebra:
+- per-slice resampling onto the intermediate (base-plane) image is an
+  axis-aligned scale+translate = two batched einsum contractions on the
+  MXU built from 1-D linear-interpolation tent matrices;
+- the transfer-function lookup is a tent-matrix @ (N,4) TF matmul (MXU);
+- front-to-back compositing is a lax.scan of dense (Di,Di) image ops,
+  with iso-crossing detection + central-difference gradients from
+  neighbouring slices (dense diffs, no gathers);
+- only the FINAL warp (intermediate → screen) touches a gather: 1 bilinear
+  read per screen pixel from a ~Di² image.
+
+Compositing runs at intermediate resolution (volume-sized), so cost scales
+with D³, not D·W·H — at 1080p×128³ that is ~60× less sampling work than
+the ray-marcher, and all of it MXU/VPU-dense.
+
+Depth output is the texture-space coordinate along the principal axis at
+first opacity>0.5 (the ray-marcher returns its own ray parameter — both
+are monotone proxies used for compositing order, not metric depth).
+
+Falls back to render_volume when the eye is inside the volume slab along
+the principal axis (the factorization degenerates there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viamd_tpu.render.volume import (
+    EARLY_TERMINATION_ALPHA,
+    REF_SAMPLING_RATE,
+    VolumeRenderSettings,
+    _Frozen,
+    _apply44,
+    render_volume,
+)
+
+
+def _tent_rows(u: jnp.ndarray, n_src: int) -> jnp.ndarray:
+    """(..., P) source-space coordinates → (..., P, n_src) linear-interp
+    weights (unit tents; zero outside → clamp-to-zero boundary)."""
+    i = jax.lax.broadcasted_iota(jnp.float32, (1, n_src), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - i))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "axis", "flip", "di", "order_y")
+)
+def _shearwarp_impl(
+    grid, tf, model, view, proj, seed,
+    settings: "VolumeRenderSettings", axis: int, flip: bool, di: int,
+    eye_m, order_y: bool = True,
+):
+    s = settings
+    W, H = s.width, s.height
+    ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+    # cyclic transpose: slice axis leading, in-plane axes in cyclic order
+    vol = jnp.transpose(grid, (axis, ax1, ax2))
+    if flip:
+        vol = vol[::-1]
+    Ds, Da, Db = vol.shape
+
+    ez, ea, eb = eye_m[axis], eye_m[ax1], eye_m[ax2]
+    # slice planes at texture coords z_s, ordered front-to-back
+    sidx = jnp.arange(Ds, dtype=jnp.float32)
+    if s.jitter:
+        key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
+        sidx = sidx + jax.random.uniform(key, ()) - 0.5
+    z_s = (sidx + 0.5) / Ds
+    if flip:
+        z_s = 1.0 - z_s
+    z0 = z_s[0]
+
+    # central projection of slice s onto the base plane z=z0 through the
+    # eye: u' = e + (u − e)·a_s with a_s = (z0 − ez)/(z_s − ez)
+    a_s = (z0 - ez) / (z_s - ez)  # (Ds,)
+
+    # intermediate lattice covers the projected footprint of the volume
+    lo_a = jnp.minimum((ea + (0.0 - ea) * a_s).min(), 0.0)
+    hi_a = jnp.maximum((ea + (1.0 - ea) * a_s).max(), 1.0)
+    lo_b = jnp.minimum((eb + (0.0 - eb) * a_s).min(), 0.0)
+    hi_b = jnp.maximum((eb + (1.0 - eb) * a_s).max(), 1.0)
+    ua = lo_a + (jnp.arange(di, dtype=jnp.float32) + 0.5) / di * (hi_a - lo_a)
+    ub = lo_b + (jnp.arange(di, dtype=jnp.float32) + 0.5) / di * (hi_b - lo_b)
+
+    # per-slice back-map of lattice points into source sample indices;
+    # two batched tent matrices → all resampling is MXU contraction
+    inv_a = 1.0 / a_s
+    src_a = (ea + (ua[None, :] - ea) * inv_a[:, None]) * Da - 0.5  # (Ds,di)
+    src_b = (eb + (ub[None, :] - eb) * inv_a[:, None]) * Db - 0.5
+    Ta = _tent_rows(src_a, Da)  # (Ds, di, Da)
+    Tb = _tent_rows(src_b, Db)  # (Ds, di, Db)
+    R = jnp.einsum("sia,sab->sib", Ta, vol.astype(jnp.float32))
+    R = jnp.einsum("sib,sjb->sij", R, Tb)  # (Ds, di, di)
+
+    vmin, vmax = s.value_range
+    vspan = max(vmax - vmin, 1e-30)
+    ntf = tf.shape[0]
+
+    # opacity correction: texture-space path length through one slab per
+    # intermediate pixel (ray obliquity)
+    UA, UB = jnp.meshgrid(ua, ub, indexing="ij")
+    dzp = jnp.abs(z0 - ez)
+    dirn = jnp.sqrt((UA - ea) ** 2 + (UB - eb) ** 2 + dzp * dzp)
+    tex_dt = (dirn / jnp.maximum(dzp, 1e-6)) / Ds  # (di, di)
+
+    # light + view direction in the rotated (z,a,b) frame
+    ld = np.asarray(s.light_dir, np.float32)
+    ld = ld / np.linalg.norm(ld)
+    light = jnp.asarray([ld[axis], ld[ax1], ld[ax2]], jnp.float32)
+    vd = jnp.stack(
+        [
+            jnp.broadcast_to(dzp / jnp.maximum(dirn, 1e-12), (di, di)),
+            (ea - UA) / jnp.maximum(dirn, 1e-12),
+            (eb - UB) / jnp.maximum(dirn, 1e-12),
+        ],
+        axis=-1,
+    )  # toward the eye
+
+    # Transfer function applied to ALL slices OUTSIDE the scan: the linear
+    # 256-knot lookup tf(x) = Σ_k tf[k]·tri(x−k) factorizes through
+    # tri(u) = relu(u+1) − 2·relu(u) + relu(u−1), i.e. a banded matrix B on
+    # the relu features: TFC = relu(x·1ᵀ − K) @ (B @ TF). S construction is
+    # 2 VPU ops/element; the contraction runs on the MXU with N padded to a
+    # full lane tile (N=4 matmuls dispatch pathologically).
+    if s.enable_dvr:
+        tfj32 = tf.astype(jnp.float32)
+        zrow = jnp.zeros((1, 4), jnp.float32)
+        up = jnp.concatenate([tfj32[1:], zrow])  # row j ← c_{j+1}
+        down = jnp.concatenate([zrow, tfj32[:-1]])  # row j ← c_{j−1}
+        btf4 = up - 2.0 * tfj32 + down  # banded second difference B @ TF
+        btf = jnp.pad(btf4, [(0, 0), (0, 124)])  # (ntf, 128)
+        tf0 = tfj32[0]  # boundary affine term
+        kk = jax.lax.broadcasted_iota(jnp.float32, (1, ntf), 1)
+
+        def tf_all(vals):  # (Ds, di, di) → (Ds, di, di, 4)
+            x = jnp.clip((vals - vmin) / vspan, 0.0, 1.0) * (ntf - 1)
+
+            def chunk(v):  # (di, di)
+                xf = v.reshape(-1)
+                S = jnp.maximum(xf[:, None] - kk, 0.0)
+                out = (S @ btf)[:, :4] + (xf + 1.0)[:, None] * tf0[None, :]
+                return out.reshape(di, di, 4)
+
+            return jax.lax.map(chunk, x)
+
+        TFC = tf_all(R)
+    else:
+        TFC = jnp.zeros((Ds, di, di, 4), jnp.float32)
+
+    iso_vals = s.iso_values if s.enable_iso else ()
+    iso_cols = s.iso_colors if s.enable_iso else ()
+    Rprev = jnp.concatenate([R[:1], R[:-1]], axis=0)
+    Rnext = jnp.concatenate([R[1:], R[-1:]], axis=0)
+
+    def composite(carry, xs):
+        rgb, alpha, depth = carry
+        Rs, Rp, Rn, zs, Cs = xs
+        trans = 1.0 - alpha
+        live = alpha < EARLY_TERMINATION_ALPHA
+
+        if iso_vals:
+            ga = (jnp.roll(Rs, -1, 0) - jnp.roll(Rs, 1, 0)) * (0.5 * Da)
+            gb = (jnp.roll(Rs, -1, 1) - jnp.roll(Rs, 1, 1)) * (0.5 * Db)
+            gz = (Rn - Rp) * (0.5 * Ds)
+            gn = jnp.maximum(jnp.sqrt(ga * ga + gb * gb + gz * gz), 1e-12)
+            nrm = jnp.stack([gz / gn, ga / gn, gb / gn], axis=-1)
+            half = vd + light[None, None, :]
+            half = half / jnp.maximum(
+                jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12
+            )
+            ndl = jnp.abs(jnp.sum(nrm * light[None, None, :], axis=-1))
+            ndh = jnp.abs(jnp.sum(nrm * half, axis=-1))
+            spec = s.specular * ndh ** s.shininess
+            lum = s.ambient + (1 - s.ambient) * ndl
+        for vi, col in zip(iso_vals, iso_cols):
+            crossed = live & ((Rp - vi) * (Rs - vi) < 0)
+            base = jnp.asarray(col[:3], jnp.float32)
+            shaded = base[None, None, :] * lum[..., None] + spec[..., None]
+            contrib = jnp.where(crossed, trans * jnp.float32(col[3]), 0.0)
+            rgb = rgb + shaded * contrib[..., None]
+            alpha = alpha + contrib
+            depth = jnp.where(crossed & (depth >= 1e30), zs, depth)
+            trans = 1.0 - alpha
+
+        if s.enable_dvr:
+            a_corr = 1.0 - jnp.power(
+                jnp.maximum(1.0 - Cs[..., 3], 1e-7),
+                tex_dt * REF_SAMPLING_RATE,
+            )
+            a_eff = jnp.where(live, trans * a_corr, 0.0)
+            rgb = rgb + Cs[..., :3] * a_eff[..., None]
+            alpha = alpha + a_eff
+            depth = jnp.where((alpha > 0.5) & (depth >= 1e30), zs, depth)
+        return (rgb, alpha, depth), None
+
+    rgb0 = jnp.zeros((di, di, 3))
+    a0 = jnp.zeros((di, di))
+    d0 = jnp.full((di, di), 1e30)
+    (rgb, alpha, depth), _ = jax.lax.scan(
+        composite, (rgb0, a0, d0), (R, Rprev, Rnext, z_s, TFC)
+    )
+
+    # ---- final warp: intermediate (a,b) lattice → screen ------------------
+    # The map screen pixel → base-plane lattice coords is EXACTLY a
+    # homography (pencil of rays through a fixed plane). Fit it from 4
+    # pixels evaluated with the exact ray/plane formulas, then resample in
+    # TWO gather-free 1-D passes (Catmull–Smith): each pass is a batched
+    # tent-matrix contraction on the MXU. The direct bilinear gather from
+    # the (di²,8) table measured 93 ms at 1080p/di=256 — table exceeds
+    # fast-gather size; the two-pass warp is dense algebra.
+    inv_vp = jnp.linalg.inv(proj @ view)
+    inv_model = jnp.linalg.inv(model)
+
+    def exact_fafb(xpix, ypix):  # pixel centers → lattice coords (fa, fb)
+        n = xpix.shape[0]
+        nx = (xpix + 0.5) / W * 2.0 - 1.0
+        ny = (ypix + 0.5) / H * 2.0 - 1.0
+        ndc = jnp.stack([nx, ny], axis=1)
+
+        def unproject(z):
+            clip = jnp.concatenate([ndc, jnp.full((n, 1), z)], axis=1)
+            pw = _apply44(inv_vp, clip, jnp.ones(n))
+            return _apply44(inv_model, pw, jnp.ones(n))
+
+        o = unproject(-1.0)
+        d = unproject(0.0) - o
+        dz_ray = d[:, axis]
+        tt = (z0 - o[:, axis]) / jnp.where(
+            jnp.abs(dz_ray) < 1e-12, 1e-12, dz_ray
+        )
+        hitp = o + d * tt[:, None]
+        fa = (hitp[:, ax1] - lo_a) / (hi_a - lo_a) * di - 0.5
+        fb = (hitp[:, ax2] - lo_b) / (hi_b - lo_b) * di - 0.5
+        return fa, fb
+
+    cx = jnp.asarray([0.0, W - 1.0, 0.0, W - 1.0])
+    cy = jnp.asarray([0.0, 0.0, H - 1.0, H - 1.0])
+    ua_c, ub_c = exact_fafb(cx, cy)
+    # DLT with h22 fixed to 1: 8 equations, 8 unknowns
+    rows = []
+    rhs = []
+    for i in range(4):
+        x_, y_, u_, v_ = cx[i], cy[i], ua_c[i], ub_c[i]
+        rows.append(jnp.stack([x_, y_, 1.0 + 0 * x_, 0 * x_, 0 * x_,
+                               0 * x_, -u_ * x_, -u_ * y_]))
+        rhs.append(u_)
+        rows.append(jnp.stack([0 * x_, 0 * x_, 0 * x_, x_, y_,
+                               1.0 + 0 * x_, -v_ * x_, -v_ * y_]))
+        rhs.append(v_)
+    hvec = jnp.linalg.solve(
+        jnp.stack(rows), jnp.stack(rhs)
+    )
+    h00, h01, h02, h10, h11, h12, h20, h21 = (hvec[i] for i in range(8))
+
+    depth_f = jnp.where(depth >= 1e30, jnp.float32(3.4e38), depth)
+    packed = jnp.concatenate(
+        [rgb, alpha[..., None], depth_f[..., None],
+         jnp.zeros((di, di, 3), jnp.float32)],
+        axis=-1,
+    )  # (a, b, 8)
+
+    xs = jnp.arange(W, dtype=jnp.float32)  # pixel x
+    ys_full = jnp.arange(H, dtype=jnp.float32)
+    av = jnp.arange(di, dtype=jnp.float32)  # lattice a values
+    CA = next(d for d in (32, 16, 8, 4, 2, 1) if di % d == 0)
+
+    def guard(v):
+        return jnp.where(
+            jnp.abs(v) < 1e-8, jnp.where(v < 0, -1e-8, 1e-8), v
+        )
+
+    # Catmull–Smith pass ORDER is chosen by conditioning (static `order`,
+    # decided host-side from the jitter-free homography): the first pass
+    # solves fa = a for the screen coordinate that actually DRIVES fa;
+    # solving the weak coordinate makes the intermediate samples stride
+    # far along b between adjacent a rows (the classic bottleneck — whole
+    # image smears).
+    if order_y:
+        # solve fa(x, y*) = a for y*; intermediate M(a, screen-x)
+        den1 = guard(av[:, None] * h21 - h01)
+        ystar = (
+            h00 * xs[None, :] + h02
+            - av[:, None] * (h20 * xs[None, :] + 1.0)
+        ) / den1  # (di, W)
+        denb = guard(h20 * xs[None, :] + h21 * ystar + 1.0)
+        bstar = (h10 * xs[None, :] + h11 * ystar + h12) / denb  # (di, W)
+        Wsec = W
+    else:
+        # solve fa(x*, y) = a for x*; intermediate M(a, screen-y)
+        den1 = guard(av[:, None] * h20 - h00)
+        xstar = (
+            h01 * ys_full[None, :] + h02
+            - av[:, None] * (h21 * ys_full[None, :] + 1.0)
+        ) / den1  # (di, H)
+        denb = guard(h20 * xstar + h21 * ys_full[None, :] + 1.0)
+        bstar = (h10 * xstar + h11 * ys_full[None, :] + h12) / denb
+        Wsec = H
+
+    def pass1_chunk(args):
+        bs, img_rows = args  # (ca, Wsec), (ca, di, 8)
+        T1 = _tent_rows(bs, di)  # (ca, Wsec, di)
+        return jnp.einsum("awb,abc->awc", T1, img_rows)
+
+    M = jax.lax.map(
+        pass1_chunk,
+        (bstar.reshape(di // CA, CA, Wsec),
+         packed.reshape(di // CA, CA, di, 8)),
+    ).reshape(di, Wsec, 8)
+
+    # pass 2: resample along a at a*(x,y) = fa(x,y), per secondary column
+    den2 = guard(h20 * xs[None, :] + h21 * ys_full[:, None] + 1.0)
+    astar = (h00 * xs[None, :] + h01 * ys_full[:, None] + h02) / den2
+    bfin = (h10 * xs[None, :] + h11 * ys_full[:, None] + h12) / den2
+
+    def pass2_chunk(args):
+        a_cols, m_cols = args  # (cs, L), (cs, di, 8)
+        T2 = _tent_rows(a_cols, di)  # (cs, L, di)
+        return jnp.einsum("xha,xac->xhc", T2, m_cols)
+
+    CW = 128
+    if order_y:  # M indexed by x; interpolate along a per screen column
+        Sp = -(-W // CW) * CW
+        a_sec = jnp.pad(astar.T, [(0, Sp - W), (0, 0)])  # (Sp, H)
+        M_sec = jnp.pad(
+            M.transpose(1, 0, 2), [(0, Sp - W), (0, 0), (0, 0)]
+        )
+        O = jax.lax.map(
+            pass2_chunk,
+            (a_sec.reshape(Sp // CW, CW, H),
+             M_sec.reshape(Sp // CW, CW, di, 8)),
+        ).reshape(Sp, H, 8)[:W].transpose(1, 0, 2)  # (H, W, 8)
+    else:  # M indexed by y; interpolate along a per screen row
+        Sp = -(-H // CW) * CW
+        a_sec = jnp.pad(astar, [(0, Sp - H), (0, 0)])  # (Sp, W)
+        M_sec = jnp.pad(
+            M.transpose(1, 0, 2), [(0, Sp - H), (0, 0), (0, 0)]
+        )
+        O = jax.lax.map(
+            pass2_chunk,
+            (a_sec.reshape(Sp // CW, CW, W),
+             M_sec.reshape(Sp // CW, CW, di, 8)),
+        ).reshape(Sp, W, 8)[:H]  # (H, W, 8)
+
+    out = O[..., :4].reshape(-1, 4)
+    dep = O[..., 4].reshape(-1)
+    fa_fin = astar.reshape(-1)
+    fb_fin = bfin.reshape(-1)
+    inb = (
+        (fa_fin > -0.5) & (fa_fin < di - 0.5)
+        & (fb_fin > -0.5) & (fb_fin < di - 0.5)
+    )
+    out = jnp.where(inb[:, None], out, 0.0)
+    dep = jnp.where(inb & (dep < 1e30), dep, jnp.inf)
+
+    bg = jnp.asarray(s.background, jnp.float32)
+    out_rgb = out[:, :3] + bg[:3] * (1.0 - out[:, 3])[:, None] * bg[3]
+    img = jnp.concatenate([out_rgb, out[:, 3:4]], axis=1)
+    return img.reshape(H, W, 4), dep.reshape(H, W)
+
+
+def render_volume_shearwarp(
+    grid, tf, model, view, proj, settings: VolumeRenderSettings,
+    seed: int = 0, intermediate: int = 0,
+):
+    """Shear-warp render; same signature/outputs as render_volume.
+
+    `intermediate`: side length of the base-plane image (0 → 2·max dim).
+    Falls back to the general ray-marcher when the eye lies inside the
+    volume slab along the principal axis.
+    """
+    model = np.asarray(model, np.float32)
+    view = np.asarray(view, np.float32)
+    proj = np.asarray(proj, np.float32)
+    inv_view = np.linalg.inv(view)
+    eye_w = inv_view[:3, 3]
+    inv_model = np.linalg.inv(model)
+    eye_m = (inv_model[:3, :3] @ eye_w + inv_model[:3, 3]).astype(np.float32)
+    fwd_m = inv_model[:3, :3] @ (-inv_view[:3, 2])
+    axis = int(np.argmax(np.abs(fwd_m)))
+    flip = bool(fwd_m[axis] < 0)
+    if -0.05 <= eye_m[axis] <= 1.05:  # eye inside the slab: degenerate
+        return render_volume(grid, tf, model, view, proj, settings, seed)
+
+    D = max(np.asarray(grid).shape if hasattr(grid, "shape") else (64,))
+    di = int(intermediate) if intermediate else 2 * int(D)
+    s = settings
+
+    # pick the Catmull–Smith pass order host-side from a jitter-free
+    # homography fit: pass 1 must solve fa=a for the screen coordinate
+    # that dominates ∂fa (else the bottleneck degeneracy smears the image)
+    ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+    z0n = (1.0 - 0.5 / D) if flip else (0.5 / D)
+    ivp = np.linalg.inv(proj @ view)
+
+    def _host_fafb(xpix, ypix):
+        n = len(xpix)
+        nx = (np.asarray(xpix) + 0.5) / s.width * 2 - 1
+        ny = (np.asarray(ypix) + 0.5) / s.height * 2 - 1
+
+        def unp(z):
+            clip = np.stack([nx, ny, np.full(n, z), np.ones(n)])
+            pw = ivp @ clip
+            pw = pw[:3] / pw[3]
+            return inv_model[:3, :3] @ pw + inv_model[:3, 3:4]
+
+        o = unp(-1.0)
+        d = unp(0.0) - o
+        tt = (z0n - o[axis]) / np.where(
+            np.abs(d[axis]) < 1e-12, 1e-12, d[axis]
+        )
+        hit = o + d * tt
+        return hit[ax1], hit[ax2]
+
+    cx = np.array([0.0, s.width - 1.0, 0.0, s.width - 1.0])
+    cy = np.array([0.0, 0.0, s.height - 1.0, s.height - 1.0])
+    u, v = _host_fafb(cx, cy)
+    A = []
+    r = []
+    for i in range(4):
+        A.append([cx[i], cy[i], 1, 0, 0, 0, -u[i] * cx[i], -u[i] * cy[i]])
+        r.append(u[i])
+        A.append([0, 0, 0, cx[i], cy[i], 1, -v[i] * cx[i], -v[i] * cy[i]])
+        r.append(v[i])
+    try:
+        hh = np.linalg.solve(np.asarray(A), np.asarray(r))
+        order_y = bool(abs(hh[1]) >= abs(hh[0]))  # |∂fa/∂y| ≥ |∂fa/∂x|
+    except np.linalg.LinAlgError:
+        order_y = True
+    frozen = VolumeRenderSettings(
+        width=s.width, height=s.height,
+        samples_per_voxel=s.samples_per_voxel,
+        enable_dvr=s.enable_dvr, enable_iso=s.enable_iso,
+        iso_values=tuple(s.iso_values) if s.enable_iso else (),
+        iso_colors=tuple(tuple(c) for c in s.iso_colors)
+        if s.enable_iso else (),
+        value_range=tuple(s.value_range),
+        background=tuple(s.background),
+        jitter=s.jitter, light_dir=tuple(s.light_dir),
+        ambient=s.ambient, specular=s.specular, shininess=s.shininess,
+    )
+    return _shearwarp_impl(
+        jnp.asarray(grid, jnp.float32), jnp.asarray(tf, jnp.float32),
+        jnp.asarray(model, jnp.float32), jnp.asarray(view, jnp.float32),
+        jnp.asarray(proj, jnp.float32), seed,
+        _Frozen(frozen), axis, flip, di,
+        jnp.asarray(eye_m, jnp.float32), order_y,
+    )

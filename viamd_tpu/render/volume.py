@@ -22,6 +22,7 @@ the default 2-samples-per-voxel rate.
 from __future__ import annotations
 
 import functools
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -91,7 +92,11 @@ def _apply44(m: jnp.ndarray, p: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3] * w
         for i in range(4)
     ]
-    return jnp.stack(out[:3], axis=1) / out[3][:, None]
+    # guard the perspective divide: |w'|→0 at depth extremes produces inf,
+    # and inf·0 in a later affine transform turns into NaN (hit on TPU f32)
+    ww = out[3]
+    ww = jnp.where(jnp.abs(ww) < 1e-12, jnp.where(ww < 0, -1e-12, 1e-12), ww)
+    return jnp.stack(out[:3], axis=1) / ww[:, None]
 
 
 def ray_box(
@@ -110,16 +115,21 @@ def ray_box(
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _render_impl(
-    grid, tf, model, view, proj, seed, settings: "VolumeRenderSettings"
+    grid, tf, model, view, proj, seed, settings: "VolumeRenderSettings",
+    y0=0.0, y1=1.0,
 ):
-    W, H = settings.width, settings.height
+    # y0/y1 are DYNAMIC (all equal-height bands share one compilation)
+    W, H = settings.width, settings.height  # H = rows in THIS band
     P = W * H
     inv_vp = jnp.linalg.inv(proj @ view)
     inv_model = jnp.linalg.inv(model)
 
-    # per-pixel rays in world space (NDC corners unprojected)
+    # per-pixel rays in world space (NDC corners unprojected); [y0,y1) is
+    # this band's screen fraction (banded rendering of large resolutions)
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0
-    py = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0 - 1.0
+    py = (
+        y0 + (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * (y1 - y0)
+    ) * 2.0 - 1.0
     gx, gy = jnp.meshgrid(px, py)  # (H, W)
     ndc = jnp.stack(
         [gx.reshape(-1), gy.reshape(-1)], axis=1
@@ -130,7 +140,10 @@ def _render_impl(
         return _apply44(inv_vp, clip, jnp.ones(P))
 
     p_near = unproject(-1.0)
-    p_far = unproject(1.0)
+    # a SECOND point on the ray — NDC mid-depth, not the far plane: the
+    # far-plane unprojection degenerates (w'→0 → inf coords) and only the
+    # ray direction matters (ray_box renormalizes the parametrization)
+    p_far = unproject(0.0)
     # into model (texture) space
     def to_model(p):
         return _apply44(inv_model, p, jnp.ones(P))
@@ -279,15 +292,32 @@ def render_volume(
         jitter=s.jitter, light_dir=tuple(s.light_dir),
         ambient=s.ambient, specular=s.specular, shininess=s.shininess,
     )
-    return _render_impl(
-        jnp.asarray(grid, jnp.float32),
-        jnp.asarray(tf, jnp.float32),
-        jnp.asarray(model, jnp.float32),
-        jnp.asarray(view, jnp.float32),
-        jnp.asarray(proj, jnp.float32),
-        seed,
-        _Frozen(frozen),
-    )
+    gridj = jnp.asarray(grid, jnp.float32)
+    tfj = jnp.asarray(tf, jnp.float32)
+    modelj = jnp.asarray(model, jnp.float32)
+    viewj = jnp.asarray(view, jnp.float32)
+    projj = jnp.asarray(proj, jnp.float32)
+    # band the screen into ≤MAX_PIXELS_PER_PASS row strips: the fused
+    # ray-march program crashes the TPU worker above ~0.3 Mpixel (gather
+    # buffer blowup); banding keeps arbitrary resolutions working
+    MAXP = 1 << 18
+    if s.width * s.height <= MAXP:
+        return _render_impl(gridj, tfj, modelj, viewj, projj, seed,
+                            _Frozen(frozen), 0.0, 1.0)
+    rows_per = max(1, MAXP // s.width)
+    imgs, deps = [], []
+    y = 0
+    while y < s.height:
+        h = min(rows_per, s.height - y)
+        band = dataclasses.replace(frozen, height=h)
+        img, dep = _render_impl(
+            gridj, tfj, modelj, viewj, projj, seed, _Frozen(band),
+            y / s.height, (y + h) / s.height,
+        )
+        imgs.append(img)
+        deps.append(dep)
+        y += h
+    return jnp.concatenate(imgs, axis=0), jnp.concatenate(deps, axis=0)
 
 
 class _Frozen:
