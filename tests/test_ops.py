@@ -399,6 +399,25 @@ class TestSDF:
             )
         )
         np.testing.assert_allclose(cl, dense, atol=1e-3, rtol=1e-3)
+        # target-only cell list (idx_t) on a radius-1 grid: same result
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        idx_t = np.nonzero(tw)[0].astype(np.int32)
+        dims_r1, cap_r1 = choose_grid_r(
+            box, 1.7320508 * extent, idx_t.size, radius=1
+        )
+        stencil1 = sdf_ops.make_sdf_stencil(extent, box / np.array(dims_r1))
+        span1 = int(stencil1.max() - stencil1.min()) + 1
+        if span1 <= min(dims_r1):
+            cl_t = np.asarray(
+                sdf_ops.sdf_accumulate_cl(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, jnp.asarray(box, jnp.float32),
+                    dims_r1, cap_r1, stencil1, idx_t=jnp.asarray(idx_t),
+                )
+            )
+            np.testing.assert_allclose(cl_t, dense, atol=1e-3, rtol=1e-3)
 
 
 class TestKabschRMSD:
@@ -546,6 +565,24 @@ class TestPallasRDF:
             )
         )
         np.testing.assert_allclose(hs, dense, atol=1e-2)
+        # distance-class bin-range skipping (static widths): exact match
+        widths = tuple(float(L) / d for d in dims2)
+        hw = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                dims2, cap2, cap2, radius=2, symmetric=True,
+                widths=widths, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(hw, dense, atol=1e-2)
+        hw1 = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                dims1, cap1, cap1, radius=1, symmetric=True,
+                widths=tuple(float(L) / d for d in dims1), interpret=True,
+            )
+        )
+        np.testing.assert_allclose(hw1, dense, atol=1e-2)
 
     def test_matches_dense_interpret(self):
         from viamd_tpu.ops import pallas_rdf

@@ -108,13 +108,48 @@ def splat_trilinear_dense(
         i = jax.lax.broadcasted_iota(jnp.float32, (1, d), 1)
         return jnp.maximum(0.0, 1.0 - jnp.abs(gc[:, None] - i))
 
-    tx = tent(g[:, 0], dx) * w[:, None]  # fold point weights into x
-    ty = tent(g[:, 1], dy)
-    tz = tent(g[:, 2], dz)
-    planes = jax.lax.map(
-        lambda wx: (ty * wx[:, None]).T @ tz, tx.T
-    )  # (dx, dy, dz)
-    return planes
+    # One (dx, dy·dz) matmul per point chunk: H[x, yz] = Σ_p txw[p,x]·
+    # (ty⊗tz)[p, yz]. The earlier per-x-plane formulation ((d,n)@(n,d) ×dx
+    # via lax.map) had a d×d output — ~6% MXU utilization; a single wide
+    # output keeps the systolic array fed. Chunked over points to bound the
+    # (chunk, dy·dz) tent-product intermediate.
+    n = pts.shape[0]
+    chunk = max(512, min(8192, (32 << 20) // max(dy * dz * 4, 1)))
+    chunk = min(chunk, max(512, n))
+    n_pad = -(-n // chunk) * chunk
+    txw = jnp.pad(tent(g[:, 0], dx) * w[:, None], ((0, n_pad - n), (0, 0)))
+    ty = jnp.pad(tent(g[:, 1], dy), ((0, n_pad - n), (0, 0)))
+    tz = jnp.pad(tent(g[:, 2], dz), ((0, n_pad - n), (0, 0)))
+    nch = n_pad // chunk
+    # Large point sets on TPU run the tent matmuls in bf16 (f32 MXU
+    # accumulation): tent weights carry ≤0.4% quantization each, which is
+    # noise for an accumulated density (f32 everywhere else and on CPU, so
+    # reference tests stay exact).
+    bf16 = jax.default_backend() == "tpu" and n >= 32768
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+
+    def step(H, args):
+        txc, tyc, tzc = args
+        txc, tyc, tzc = txc.astype(dt), tyc.astype(dt), tzc.astype(dt)
+        tyz = (tyc[:, :, None] * tzc[:, None, :]).reshape(chunk, dy * dz)
+        return (
+            H
+            + jax.lax.dot(
+                txc.T, tyz, preferred_element_type=jnp.float32
+            ),
+            None,
+        )
+
+    H, _ = jax.lax.scan(
+        step,
+        jnp.zeros((dx, dy * dz), jnp.float32),
+        (
+            txw.reshape(nch, chunk, dx),
+            ty.reshape(nch, chunk, dy),
+            tz.reshape(nch, chunk, dz),
+        ),
+    )
+    return H.reshape(dx, dy, dz)
 
 
 def splat_nearest(

@@ -34,10 +34,11 @@ LANES = 128
 
 def _hist_kernel(
     box_ref,  # SMEM (1, 3)
+    occ_ref,  # SMEM (nblocks,) int32 max A-cell occupancy per cell block
     ax_ref, ay_ref, az_ref, aid_ref,  # (1, M·128, 1) A columns (id: int32)
     bx_ref, by_ref, bz_ref, bid_ref,  # (1, M·G, Cc) B chunk planes
-    out_ref,  # (1, nbins, 1)
-    scratch_ref,  # VMEM (nbins, Cc) per-bin lane partials (f32 across m)
+    out_ref,  # (1, nbins - 16·g_lo, 1)
+    scratch_ref,  # VMEM (nbins - 16·g_lo, Cc) per-bin lane partials
     *,
     ka: int,
     nbins: int,
@@ -46,6 +47,8 @@ def _hist_kernel(
     cap_b: int,
     symmetric: bool,
     M: int,
+    g_lo: int = 0,
+    a_lo: int = 0,
 ):
     """Pair tile orientation: A atoms in SUBLANES ((128,1) columns prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
@@ -58,83 +61,135 @@ def _hist_kernel(
     invalid B = -2), saving two of ten input planes. Each step processes M
     cell-blocks (fixed per-step cost dominates at ~1000 steps).
     """
-    inv_bin = nbins / r_max
-    Lx = box_ref[0, 0]
-    Ly = box_ref[0, 1]
-    Lz = box_ref[0, 2]
+    pid = pl.program_id(0)  # hoisted: program_id inside a pl.when branch
+    occ = occ_ref[pid // nchunks]  # breaks interpret mode
 
-    def mimg(d, L):
-        return d - L * jnp.round(d * (1.0 / L))
+    @pl.when(occ <= a_lo)
+    def _skip():
+        # This A-slot pass is empty for every cell of this block (max
+        # occupancy ≤ the pass's first slot) — contributions would all be
+        # invalid. Also skips fully empty blocks (vacuum, padding) in the
+        # base pass.
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
 
-    if symmetric:
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, bid_ref.shape[2]), 1)
-        # scalar→vector: lanes [0, cap_b) of chunk 0 are self-cell slots
-        thresh = jnp.where(pl.program_id(0) % nchunks == 0, cap_b, 0)
-        is_self1 = lane1 < thresh
+    @pl.when(occ > a_lo)
+    def _run():
+        inv_bin = nbins / r_max
+        Lx = box_ref[0, 0]
+        Ly = box_ref[0, 1]
+        Lz = box_ref[0, 2]
 
-    zero_bf = jnp.bfloat16(0)
-    for m in range(M):
+        def mimg(d, L):
+            return d - L * jnp.round(d * (1.0 / L))
 
-        def expand(ref):
-            # (G, Cc) → sublane-tile ×ka → (G·ka=128, Cc); sublane s ↔ s%G
-            return pltpu.repeat(ref[0, m * (128 // ka) : (m + 1) * (128 // ka)], ka, axis=0)
-
-        asl = slice(m * 128, (m + 1) * 128)
-        aid = aid_ref[0, asl]  # (128, 1) int32
-        bid = expand(bid_ref)  # (128, Cc) int32
-        dx = mimg(expand(bx_ref) - ax_ref[0, asl], Lx)
-        dy = mimg(expand(by_ref) - ay_ref[0, asl], Ly)
-        dz = mimg(expand(bz_ref) - az_ref[0, asl], Lz)
-        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
         if symmetric:
-            # half-stencil mode: the self-cell offset occupies the FIRST
-            # cap_b candidate slots (chunk 0); dedupe its unordered pairs by
-            # id order. Other offsets already see each unordered cell pair
-            # exactly once.
-            is_self = is_self1 | jnp.zeros(bid.shape, jnp.bool_)
-            pair_ok = (is_self & (bid > aid)) | (~is_self & (bid != aid))
-        else:
-            pair_ok = bid != aid
-        w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
-        bin_id = jnp.where(
-            dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
-        )
-        # select+accumulate rows in bf16 — EXACT (per-(bin, lane) partial
-        # counts ≤ 128 sublanes are integers ≤ 256, all exactly
-        # representable) and 2×-packed on the VPU; the compare stays int32
-        # (the target VPU has no bf16 compare). Cross-m accumulation happens
-        # in the f32 scratch (4·128 could exceed bf16's exact range).
-        w_bf = w.astype(jnp.bfloat16)
+            lane1 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, bid_ref.shape[2]), 1
+            )
+            # scalar→vector: lanes [0, cap_b) of chunk 0 are self-cell slots
+            thresh = jnp.where(pid % nchunks == 0, cap_b, 0)
+            is_self1 = lane1 < thresh
 
-        # Per-bin masked accumulate into rows of the (nbins, Cc) scratch:
-        # only sublane reductions per bin (no cross-lane shuffles, no
-        # loop-carried scalar — a reduce-to-scalar per bin serializes the
-        # VPU pipeline), one lane reduction at the very end. Bins write in
-        # STATIC 16-row blocks (fully unrolled).
-        for g in range(nbins // 16):
-            rows = [
-                jnp.sum(
-                    jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
-                    axis=0,
-                    keepdims=True,
-                    dtype=jnp.bfloat16,
-                ).astype(jnp.float32)
-                for j in range(16)
-            ]
-            block = jnp.concatenate(rows, axis=0)
-            gsl = slice(g * 16, (g + 1) * 16)
-            if m == 0:
-                scratch_ref[gsl, :] = block
+        zero_bf = jnp.bfloat16(0)
+        for m in range(M):
+
+            def expand(ref):
+                # (G, Cc) → sublane-tile ×ka → (G·ka=128, Cc); sublane s ↔ s%G
+                return pltpu.repeat(
+                    ref[0, m * (128 // ka) : (m + 1) * (128 // ka)], ka, axis=0
+                )
+
+            asl = slice(m * 128, (m + 1) * 128)
+            aid = aid_ref[0, asl]  # (128, 1) int32
+            bid = expand(bid_ref)  # (128, Cc) int32
+            dx = mimg(expand(bx_ref) - ax_ref[0, asl], Lx)
+            dy = mimg(expand(by_ref) - ay_ref[0, asl], Ly)
+            dz = mimg(expand(bz_ref) - az_ref[0, asl], Lz)
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
+            if symmetric:
+                # half-stencil mode: the self-cell offset occupies the FIRST
+                # cap_b candidate slots (chunk 0); dedupe its unordered pairs
+                # by id order. Other offsets already see each unordered cell
+                # pair exactly once.
+                is_self = is_self1 | jnp.zeros(bid.shape, jnp.bool_)
+                pair_ok = (is_self & (bid > aid)) | (~is_self & (bid != aid))
             else:
-                scratch_ref[gsl, :] = scratch_ref[gsl, :] + block
-    out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
+                pair_ok = bid != aid
+            w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
+            bin_id = jnp.where(
+                dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
+            )
+            # select+accumulate rows in bf16 — EXACT (per-(bin, lane) partial
+            # counts ≤ 128 sublanes are integers ≤ 256, all exactly
+            # representable) and 2×-packed on the VPU; the compare stays
+            # int32 (the target VPU has no bf16 compare). Cross-m
+            # accumulation happens in the f32 scratch (4·128 could exceed
+            # bf16's exact range).
+            w_bf = w.astype(jnp.bfloat16)
+
+            # Per-bin masked accumulate into rows of the (nbins, Cc)
+            # scratch: only sublane reductions per bin (no cross-lane
+            # shuffles, no loop-carried scalar — a reduce-to-scalar per bin
+            # serializes the VPU pipeline), one lane reduction at the very
+            # end. Bins write in STATIC 16-row blocks (fully unrolled).
+            # Blocks below g_lo are statically skipped: callers pass
+            # candidate classes whose stencil offsets have a geometric
+            # minimum distance (dmin > 0 once cells are ≥ one cell apart),
+            # so the low bins are unreachable.
+            for g in range(g_lo, nbins // 16):
+                rows = [
+                    jnp.sum(
+                        jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
+                        axis=0,
+                        keepdims=True,
+                        dtype=jnp.bfloat16,
+                    ).astype(jnp.float32)
+                    for j in range(16)
+                ]
+                block = jnp.concatenate(rows, axis=0)
+                gsl = slice((g - g_lo) * 16, (g - g_lo + 1) * 16)
+                if m == 0:
+                    scratch_ref[gsl, :] = block
+                else:
+                    scratch_ref[gsl, :] = scratch_ref[gsl, :] + block
+        out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
+
+
+def _offset_classes(
+    offsets: list, widths: tuple | None, r_max: float, nbins: int
+) -> list:
+    """Group stencil offsets by the 16-bin group their geometric minimum
+    distance makes reachable. An atom pair from cells offset by o is at
+    least dmin(o) = |(max(|o_i|−1, 0)·w_i)| apart, so bins below
+    dmin/bin_width can never be hit by that offset — the kernel statically
+    skips them. `widths`: per-axis cell widths (host floats; must not
+    overestimate the true per-frame widths — same staticity assumption as
+    the grid dims themselves). None → single class, no skipping. Offsets
+    with dmin ≥ r_max are pruned outright. Returns [(g_lo, [offsets])]
+    sorted ascending, preserving offset order within a class (the
+    symmetric self offset (0,0,0) stays first in class 0)."""
+    if widths is None:
+        return [(0, list(offsets))]
+    import math
+
+    bin_w = r_max / nbins
+    classes: dict = {}
+    for o in offsets:
+        dmin = math.sqrt(
+            sum((max(abs(c) - 1, 0) * w) ** 2 for c, w in zip(o, widths))
+        )
+        if dmin >= r_max:
+            continue
+        g = min(int(dmin / bin_w) // 16, nbins // 16 - 1)
+        classes.setdefault(g, []).append(o)
+    return sorted(classes.items())
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
-        "interpret",
+        "widths", "interpret",
     ),
 )
 def pair_dist_histogram_pl(
@@ -149,6 +204,7 @@ def pair_dist_histogram_pl(
     cap_b: int,
     radius: int = 2,
     symmetric: bool = False,
+    widths: tuple | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
@@ -160,7 +216,10 @@ def pair_dist_histogram_pl(
     sharing one set of B neighborhoods. `radius`: stencil reach in cells
     (cells must be ≥ r_max/radius wide; radius=1 → 27 rolls for dense
     systems, radius=2 → 125 rolls with tighter cells). nbins must be a
-    multiple of 128.
+    multiple of 128. `widths`: static per-axis cell widths enabling
+    distance-class bin-range skipping (see _offset_classes) — at radius 2
+    the far stencil shells (78% of candidates) only touch the upper half
+    of the bins, saving ~40% of the binning loop.
     """
     from viamd_tpu.ops.neighbors import build_cell_list
     from viamd_tpu.ops.rdf import neighborhood_planes, stencil_offsets
@@ -186,17 +245,11 @@ def pair_dist_histogram_pl(
     if symmetric:
         assert min(dims) >= 2 * radius + 1, "half stencil needs distinct rolls"
     offsets = stencil_offsets(radius, symmetric)
-    S = len(offsets)
-    C = S * cap_b
-    # candidate chunking: per-step tiles (128, Cc) with Cc a lane multiple;
-    # target Cc ≈ 2048 (bigger chunks amortize per-step grid/DMA overhead)
-    nchunks = max(1, -(-C // 2048))
-    Cc = -(-C // (nchunks * LANES)) * LANES
-    C_tot = nchunks * Cc
-    nblocks = -(-ncells // G)
+
     # M cell-blocks per grid step (tunable; measured M=4 ≈ M=1 at 100k
     # atoms — per-step overhead is not the bottleneck, so keep steps small)
     M = 1
+    nblocks = -(-ncells // G)
     nblocks = -(-nblocks // M) * M
     padc = nblocks * G - ncells
 
@@ -210,58 +263,94 @@ def pair_dist_histogram_pl(
             .reshape(nblocks // M, M * ka * G, 1)
         )
 
-    def prep_b(arr, fill=0):  # (ncells, C) → (nblocks/M·nchunks, M·G, Cc)
-        arr = jnp.pad(
-            arr, [(0, padc), (0, C_tot - C)], constant_values=fill
-        )
-        return (
-            arr.reshape(nblocks // M, M, G, nchunks, Cc)
-            .transpose(0, 3, 1, 2, 4)
-            .reshape(nblocks // M * nchunks, M * G, Cc)
-        )
-
-    bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius, offsets))
-    byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius, offsets))
-    bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius, offsets))
-    bidp = prep_b(neighborhood_planes(b_gid, dims, radius, offsets), fill=-2)
-
-    a_spec = pl.BlockSpec(
-        (1, M * LANES, 1),
-        lambda i: (i // nchunks, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    b_spec = pl.BlockSpec(
-        (1, M * G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    nsteps = nblocks // M * nchunks
-    total = jnp.zeros(nbins, jnp.float32)
-    for p in range(n_pass):
-        sl = slice(p * ka, (p + 1) * ka)
-        partial_hists = pl.pallas_call(
-            functools.partial(
-                _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
-                nchunks=nchunks, cap_b=cap_b, symmetric=symmetric, M=M,
-            ),
-            out_shape=jax.ShapeDtypeStruct((nsteps, nbins, 1), jnp.float32),
-            grid=(nsteps,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                a_spec, a_spec, a_spec, a_spec,
-                b_spec, b_spec, b_spec, b_spec,
-            ],
-            out_specs=pl.BlockSpec(
-                (1, nbins, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[pltpu.VMEM((nbins, Cc), jnp.float32)],
-            interpret=interpret,
-        )(
-            box.reshape(1, 3).astype(jnp.float32),
+    a_cols = [
+        [
             prep_a(a_xyz[:, sl, 0]),
             prep_a(a_xyz[:, sl, 1]),
             prep_a(a_xyz[:, sl, 2]),
             prep_a(a_gid[:, sl], fill=-1),
-            bxp, byp, bzp, bidp,
+        ]
+        for sl in (slice(p * ka, (p + 1) * ka) for p in range(n_pass))
+    ]
+    # max A occupancy per cell block → per-step dynamic pass skipping
+    counts_a = cl_a.starts[1:] - cl_a.starts[:-1]
+    occ_blk = jnp.max(
+        jnp.pad(counts_a, (0, padc)).reshape(nblocks // M, M * G), axis=1
+    ).astype(jnp.int32)
+
+    total = jnp.zeros(nbins, jnp.float32)
+    for g_lo, offs_k in _offset_classes(offsets, widths, r_max, nbins):
+        S = len(offs_k)
+        C = S * cap_b
+        # candidate chunking: per-step tiles (128, Cc) with Cc a lane
+        # multiple; target Cc ≈ 2048 (amortizes per-step grid/DMA overhead)
+        nchunks = max(1, -(-C // 2048))
+        Cc = -(-C // (nchunks * LANES)) * LANES
+        C_tot = nchunks * Cc
+        nb_eff = nbins - 16 * g_lo
+
+        def prep_b(arr, fill=0):  # (ncells, C) → (nsteps, M·G, Cc)
+            arr = jnp.pad(
+                arr, [(0, padc), (0, C_tot - C)], constant_values=fill
+            )
+            return (
+                arr.reshape(nblocks // M, M, G, nchunks, Cc)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(nblocks // M * nchunks, M * G, Cc)
+            )
+
+        bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius, offs_k))
+        byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius, offs_k))
+        bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius, offs_k))
+        bidp = prep_b(
+            neighborhood_planes(b_gid, dims, radius, offs_k), fill=-2
         )
-        total = total + jnp.sum(partial_hists, axis=(0, 2))
+
+        a_spec = pl.BlockSpec(
+            (1, M * LANES, 1),
+            lambda i, nch=nchunks: (i // nch, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        b_spec = pl.BlockSpec(
+            (1, M * G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        # symmetric self-cell dedupe applies only to the class holding the
+        # (0,0,0) offset (always at the head of its candidate axis); other
+        # classes exclude self-pairs by id inequality alone.
+        sym_k = symmetric and (0, 0, 0) in offs_k
+
+        nsteps = nblocks // M * nchunks
+        for p in range(n_pass):
+            partial_hists = pl.pallas_call(
+                functools.partial(
+                    _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
+                    nchunks=nchunks, cap_b=cap_b, symmetric=sym_k, M=M,
+                    g_lo=g_lo, a_lo=p * ka,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (nsteps, nb_eff, 1), jnp.float32
+                ),
+                grid=(nsteps,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    a_spec, a_spec, a_spec, a_spec,
+                    b_spec, b_spec, b_spec, b_spec,
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, nb_eff, 1),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.VMEM((nb_eff, Cc), jnp.float32)],
+                interpret=interpret,
+            )(
+                box.reshape(1, 3).astype(jnp.float32),
+                occ_blk,
+                *a_cols[p],
+                bxp, byp, bzp, bidp,
+            )
+            total = total.at[16 * g_lo :].add(
+                jnp.sum(partial_hists, axis=(0, 2))
+            )
     return total * 2.0 if symmetric else total

@@ -91,6 +91,7 @@ def sdf_accumulate_cl(
     cl_dims: tuple,
     cl_capacity: int,
     stencil: "np.ndarray",  # (S3,3) pruned cell offsets (host-computed)
+    idx_t: "jnp.ndarray | None" = None,  # static target indices
 ) -> jnp.ndarray:
     """Cell-list SDF for large systems: only targets near each structure.
 
@@ -99,26 +100,44 @@ def sdf_accumulate_cl(
     covers that ball. All structures splat into ONE grid through a single
     sorted segment-sum (ops.density.splat_trilinear on the concatenated
     candidate set).
+
+    `idx_t`: static indices of the target selection — the cell list then
+    bins only target atoms (smaller sort, tighter capacity, fewer dead
+    candidates). Callers passing idx_t must size cl_capacity from
+    idx_t.size.
     """
     from viamd_tpu.ops.density import splat_trilinear
     from viamd_tpu.ops.neighbors import build_cell_list, cell3_of_points
 
-    cl = build_cell_list(x, box, cl_dims, cl_capacity)
+    if idx_t is None:
+        xt, twt = x, target_w
+    else:
+        xt = x[idx_t]
+        twt = target_w[idx_t]
+    cl = build_cell_list(xt, box, cl_dims, cl_capacity)
     R, c = sdf_reference_frames(
         x, struct_idx, struct_w, ref_centered,
         jnp.diag(box), jnp.diag(1.0 / box),
     )
-    # candidate targets per structure from the pruned stencil
+    # candidate targets per structure from the pruned stencil, gathered
+    # directly from the sorted order via per-cell segment offsets — the
+    # dense (ncells, cap) slot table is never materialized (its gather is
+    # pure overhead when the stencil visits fewer cells than the grid has)
     c3 = cell3_of_points(c, box, cl.dims)  # (S,3)
     offs = jnp.asarray(stencil, jnp.int32)  # (S3,3)
     dims_arr = jnp.array(cl.dims, jnp.int32)
     dxc, dyc, dzc = cl.dims
     cells = jnp.mod(c3[:, None, :] + offs[None, :, :], dims_arr)
     cell_ids = (cells[..., 0] * dyc + cells[..., 1]) * dzc + cells[..., 2]
-    cand = cl.table[cell_ids].reshape(c.shape[0], -1)  # (S, C)
-    ok = cl.valid[cell_ids].reshape(c.shape[0], -1)
+    nt = xt.shape[0]
+    st = cl.starts[cell_ids]  # (S, S3)
+    cnt = cl.starts[cell_ids + 1] - st
+    slot = jnp.arange(cl_capacity, dtype=jnp.int32)
+    pos = st[..., None] + slot  # (S, S3, cap)
+    ok = (slot < cnt[..., None]).reshape(c.shape[0], -1)
+    cand = cl.order[jnp.minimum(pos, nt - 1)].reshape(c.shape[0], -1)
 
-    d = x[cand] - c[:, None, :]  # (S, C, 3)
+    d = xt[cand] - c[:, None, :]  # (S, C, 3)
     d = d - box * jnp.round(d / box)
     # p_i = sum_j R_ij d_j, expanded (K=3 einsums are pathological on TPU)
     d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
@@ -130,7 +149,7 @@ def sdf_accumulate_cl(
         ],
         axis=-1,
     )
-    w = target_w[cand] * ok.astype(jnp.float32)
+    w = twt[cand] * ok.astype(jnp.float32)
     origin = jnp.full((3,), -extent, jnp.float32)
     voxel = jnp.full((3,), 2.0 * extent / dims, jnp.float32)
     return splat_trilinear(

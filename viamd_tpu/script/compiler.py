@@ -1005,12 +1005,22 @@ def _rdf(c: _Compiler, node, args):
     idx_a = a.mask.indices()
     idx_b = bsel.mask.indices()
     if c.sys.cell.is_orthorhombic and c.n >= 4096:
-        from viamd_tpu.ops.neighbors import choose_grid
+        from viamd_tpu.ops.neighbors import choose_grid, choose_grid_r
 
         box_np = c.sys.cell.extent()
-        dims, cap_a = choose_grid(box_np, cutoff, idx_a.size)
-        _, cap_b = choose_grid(box_np, cutoff, idx_b.size)
-        use_cl = min(dims) >= 5
+        # radius-1 grid (cells ≥ cutoff wide) wins on TPU when the box
+        # allows it: per-cell occupancy λ is ~8× that of a radius-2 grid,
+        # so the Poisson capacity overhead (the padding the kernel burns
+        # VPU time on) amortizes — measured 2.7× at 100k atoms. Fall back
+        # to radius-2 (cells ≥ cutoff/2) for boxes under 3 cutoffs.
+        radius = 1
+        dims, cap_a = choose_grid_r(box_np, cutoff, idx_a.size, radius=1)
+        _, cap_b = choose_grid_r(box_np, cutoff, idx_b.size, radius=1)
+        if min(dims) < 3:
+            radius = 2
+            dims, cap_a = choose_grid(box_np, cutoff, idx_a.size)
+            _, cap_b = choose_grid(box_np, cutoff, idx_b.size)
+        use_cl = min(dims) >= (3 if radius == 1 else 5)
     if use_cl:
         box = jnp.diagonal(c._trace_basis)
         use_pallas = (
@@ -1022,16 +1032,18 @@ def _rdf(c: _Compiler, node, args):
             # same-selection RDF: half-stencil + doubled histogram (exact)
             sym = bool(
                 idx_a.size == idx_b.size and np.array_equal(idx_a, idx_b)
-            ) and min(dims) >= 5
+            )
             hist = pair_dist_histogram_pl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
-                symmetric=sym,
+                radius=radius, symmetric=sym,
+                widths=tuple(float(w) for w in box_np / np.array(dims)),
             )
         else:
             hist = rdf_ops.pair_dist_histogram_cl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
+                radius=radius,
             )
     else:
         hist = rdf_ops.pair_dist_histogram(
@@ -1065,12 +1077,19 @@ def _sdf(c: _Compiler, node, args):
     # Large orthorhombic systems gather only candidate targets around each
     # structure from a cell list (√3·extent coverage ball).
     use_cl = False
+    idx_t = target.mask.indices()
     if c.sys.cell.is_orthorhombic and c.n >= 8192:
         from viamd_tpu.ops.neighbors import choose_grid
 
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
         box_np = c.sys.cell.extent()
-        # cell width ≈ (√3·extent)/2 ⇒ the coverage ball spans ~2 cells
-        cl_dims, cl_cap = choose_grid(box_np, 1.7320508 * extent, c.n)
+        # cell width ≥ √3·extent ⇒ a 27-cell stencil covers the coverage
+        # ball; the cell list bins only TARGET atoms (smaller sort + tighter
+        # Poisson capacity — fewer dead candidate slots)
+        cl_dims, cl_cap = choose_grid_r(
+            box_np, 1.7320508 * extent, idx_t.size, radius=1
+        )
         stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
         span = int(stencil.max() - stencil.min()) + 1
         use_cl = span <= min(cl_dims)
@@ -1080,6 +1099,7 @@ def _sdf(c: _Compiler, node, args):
             jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
             extent, SDF_DIMS, jnp.diagonal(c._trace_basis),
             cl_dims, cl_cap, stencil,
+            idx_t=jnp.asarray(idx_t),
         )
     else:
         grid = sdf_ops.sdf_accumulate(
