@@ -249,6 +249,37 @@ class TestPostprocess:
         aces = np.asarray(PP.tonemap_aces(x))[0, 0]
         assert aces[2] > 0.9 and 0.3 < aces[1] < 0.8
 
+    def test_motion_blur_smears_along_velocity(self):
+        from viamd_tpu.render import postprocess as PP
+
+        # a bright vertical line moving horizontally smears horizontally
+        rgb = np.zeros((40, 40, 3), np.float32)
+        rgb[:, 20, :] = 1.0
+        vel = np.zeros((40, 40, 2), np.float32)
+        vel[..., 0] = 12.0  # pixels along +x
+        out = np.asarray(PP.motion_blur(jnp.asarray(rgb), jnp.asarray(vel)))
+        assert out[20, 20, 0] < 1.0  # line dimmed
+        assert out[20, 24, 0] > 0.02  # energy spread to the side
+        assert out[24, 20, 0] > out[2, 2, 0]  # not spread vertically
+        # zero velocity → unchanged
+        still = np.asarray(
+            PP.motion_blur(jnp.asarray(rgb), jnp.zeros((40, 40, 2)))
+        )
+        np.testing.assert_allclose(still, rgb, atol=1e-5)
+
+    def test_velocity_image_from_picking(self):
+        from viamd_tpu.render import postprocess as PP
+
+        pick = np.full((8, 8), -1, np.int32)
+        pick[2, 3] = 5
+        cur = np.zeros((10, 2), np.float32)
+        prev = np.zeros((10, 2), np.float32)
+        cur[5] = [7.0, -3.0]
+        vel = PP.velocity_image(pick, cur, prev)
+        assert vel.shape == (8, 8, 2)
+        np.testing.assert_allclose(vel[2, 3], [7.0, -3.0])
+        assert np.all(vel[0, 0] == 0)
+
     def test_ssao_flat_vs_edge(self):
         from viamd_tpu.render import postprocess as PP
 

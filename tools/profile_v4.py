@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""TPU timing v4: ka sweep for the RDF kernel + current SDF pipeline."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+K = 16
+N_WATERS = 33_334
+
+
+def timed(name, fn, *args):
+    f = jax.jit(fn)
+    r = f(*args)
+    float(jnp.sum(r))
+    t0 = time.time()
+    r = f(*args)
+    s = float(jnp.sum(r))
+    dt = time.time() - t0
+    print(f"{name:30s} {dt/K*1000:8.3f} ms/iter  sum/K={s/K:.1f}", flush=True)
+    return dt / K
+
+
+def loop(body, x):
+    def step(i, carry):
+        xi = x + carry * 1e-30
+        return jnp.sum(body(xi)) + carry * 0.0
+
+    return lambda: jax.lax.fori_loop(0, K, step, jnp.float32(0.0))
+
+
+def main():
+    from viamd_tpu.datagen import water_box_device
+    from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
+    from viamd_tpu.ops.neighbors import choose_grid_r
+    from viamd_tpu.ops import sdf as sdf_ops
+
+    sys_, traj = water_box_device(N_WATERS, n_frames=1, seed=3)
+    traj.stage_fence()
+    x, _ = traj.device_frame(0)
+    box = jnp.asarray(sys_.cell.extent(), jnp.float32)
+    box_np = np.asarray(sys_.cell.extent())
+    el = np.asarray(sys_.element)
+    idx_o = jnp.asarray(np.nonzero(el == 8)[0].astype(np.int32))
+    n = x.shape[0]
+
+    timed("null", lambda xx: loop(lambda v: v[0, 0] * 0.0, xx)(), x)
+
+    dims1, cap1 = choose_grid_r(box_np, 10.0, idx_o.size, radius=1)
+
+    def rdf(xx, ka):
+        return pair_dist_histogram_pl(
+            xx, idx_o, idx_o, box, 128, 10.0, dims1, cap1, cap1,
+            radius=1, symmetric=True, ka=ka,
+        )
+
+    timed("rdf r1 ka=16", lambda xx: loop(lambda v: rdf(v, 16), xx)(), x)
+    timed("rdf r1 ka=8", lambda xx: loop(lambda v: rdf(v, 8), xx)(), x)
+
+    # SDF with the shipped config (radius-1 target grid, direct gather)
+    res = np.asarray(sys_.atom_res_idx)
+    structs = [np.nonzero(res == r)[0].astype(np.int32) for r in range(64)]
+    idx_s, w_s, refc = sdf_ops.make_structure_inputs(
+        structs, jnp.asarray(sys_.mass), np.asarray(x)
+    )
+    idx_s, w_s, refc = jnp.asarray(idx_s), jnp.asarray(w_s), jnp.asarray(refc)
+    tw = jnp.asarray((el == 1).astype(np.float32))
+    idx_t = jnp.asarray(np.nonzero(el == 1)[0].astype(np.int32))
+    extent = 5.0
+    cl_dims, cl_cap = choose_grid_r(
+        box_np, 1.7320508 * extent, idx_t.size, radius=1
+    )
+    stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
+    print(f"sdf dims={cl_dims} cap={cl_cap} stencil={len(stencil)}", flush=True)
+
+    from viamd_tpu.ops.neighbors import build_cell_list
+
+    def cl_only(xx):
+        cl = build_cell_list(xx[idx_t], box, cl_dims, cl_cap)
+        return cl.order.astype(jnp.float32) * 1e-6
+
+    timed("sdf cl sort (66k)", lambda xx: loop(cl_only, xx)(), x)
+
+    def sdf_full(xx):
+        return sdf_ops.sdf_accumulate_cl(
+            xx, tw, idx_s, w_s, refc, extent, 64, box,
+            cl_dims, cl_cap, stencil, idx_t=idx_t,
+        )
+
+    timed("sdf FULL r1-grid 64^3", lambda xx: loop(sdf_full, xx)(), x)
+
+
+if __name__ == "__main__":
+    main()

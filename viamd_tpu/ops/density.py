@@ -114,7 +114,10 @@ def splat_trilinear_dense(
     # output keeps the systolic array fed. Chunked over points to bound the
     # (chunk, dy·dz) tent-product intermediate.
     n = pts.shape[0]
-    chunk = max(512, min(8192, (32 << 20) // max(dy * dz * 4, 1)))
+    # large chunks keep the scan short (per-iteration fixed cost ~10 µs on
+    # TPU adds up at 70+ steps); the (chunk, dy·dz) intermediate lives in
+    # HBM and XLA tiles it through VMEM
+    chunk = max(512, min(8192, (128 << 20) // max(dy * dz * 4, 1)))
     chunk = min(chunk, max(512, n))
     n_pad = -(-n // chunk) * chunk
     txw = jnp.pad(tent(g[:, 0], dx) * w[:, None], ((0, n_pad - n), (0, 0)))

@@ -189,7 +189,7 @@ def _offset_classes(
     jax.jit,
     static_argnames=(
         "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
-        "widths", "interpret",
+        "widths", "ka", "interpret",
     ),
 )
 def pair_dist_histogram_pl(
@@ -205,6 +205,7 @@ def pair_dist_histogram_pl(
     radius: int = 2,
     symmetric: bool = False,
     widths: tuple | None = None,
+    ka: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
@@ -225,7 +226,8 @@ def pair_dist_histogram_pl(
     from viamd_tpu.ops.rdf import neighborhood_planes, stencil_offsets
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
-    ka = 8 if cap_a <= 8 else 16
+    if ka is None:
+        ka = 8 if cap_a <= 8 else 16
     n_pass = -(-cap_a // ka)
     cap_a_pad = n_pass * ka
     G = LANES // ka

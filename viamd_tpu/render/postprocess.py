@@ -200,6 +200,98 @@ def taa_accumulate(state: TAAState, rgb: np.ndarray, alpha=0.1) -> np.ndarray:
     return state.history
 
 
+# -- motion blur (temporal.frag + velocity/blit_tilemax/neighbormax) ----------
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def velocity_dilate(velocity: jnp.ndarray, tile: int = 20) -> jnp.ndarray:
+    """Tile-max + 3×3 neighbor-max dominant velocity (the reference's
+    blit_tilemax/blit_neighbormax passes): per `tile`² block keep the
+    largest-magnitude velocity, then dilate across neighboring tiles so
+    fast movers smear over tile borders. velocity: (H, W, 2) in pixels."""
+    H, W, _ = velocity.shape
+    Ht, Wt = -(-H // tile), -(-W // tile)
+    pad_h, pad_w = Ht * tile - H, Wt * tile - W
+    v = jnp.pad(velocity, ((0, pad_h), (0, pad_w), (0, 0)))
+    v = v.reshape(Ht, tile, Wt, tile, 2).transpose(0, 2, 1, 3, 4)
+    v = v.reshape(Ht, Wt, tile * tile, 2)
+    mag = jnp.sum(v * v, axis=-1)
+    best = jnp.argmax(mag, axis=-1)
+    tmax = jnp.take_along_axis(v, best[..., None, None], axis=2)[:, :, 0]
+    # neighbor max across the 3×3 tile neighborhood
+    nmag = jnp.sum(tmax * tmax, axis=-1)
+    cand_v, cand_m = [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cand_v.append(jnp.roll(tmax, (dy, dx), (0, 1)))
+            cand_m.append(jnp.roll(nmag, (dy, dx), (0, 1)))
+    cv = jnp.stack(cand_v)  # (9, Ht, Wt, 2)
+    cm = jnp.stack(cand_m)
+    pick = jnp.argmax(cm, axis=0)
+    nmax = jnp.take_along_axis(
+        cv, pick[None, ..., None], axis=0
+    )[0]
+    # back to pixel resolution
+    full = jnp.repeat(jnp.repeat(nmax, tile, axis=0), tile, axis=1)
+    return full[:H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("n_taps", "tile"))
+def motion_blur(
+    rgb: jnp.ndarray,
+    velocity: jnp.ndarray,
+    scale: float = 1.0,
+    n_taps: int = 8,
+    tile: int = 20,
+) -> jnp.ndarray:
+    """Per-pixel motion blur along the dilated dominant velocity
+    (temporal.frag's motion-blur half; the TAA half is taa_accumulate).
+    Taps sample bilinearly along ±velocity·scale."""
+    from jax.scipy.ndimage import map_coordinates
+
+    H, W, _ = rgb.shape
+    vdom = velocity_dilate(velocity, tile=tile) * scale
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    acc = rgb
+    wsum = 1.0
+    for k in range(1, n_taps + 1):
+        t = (k / (n_taps + 1) - 0.5)  # taps in [-0.5, 0.5] around the pixel
+        cy = jnp.clip(yy + vdom[..., 1] * t, 0, H - 1)
+        cx = jnp.clip(xx + vdom[..., 0] * t, 0, W - 1)
+        tap = jnp.stack(
+            [
+                map_coordinates(rgb[..., c], [cy, cx], order=1)
+                for c in range(rgb.shape[-1])
+            ],
+            axis=-1,
+        )
+        acc = acc + tap
+        wsum += 1.0
+    return acc / wsum
+
+
+def velocity_image(
+    pick: np.ndarray,
+    screen_xy: np.ndarray,
+    prev_screen_xy: np.ndarray,
+) -> np.ndarray:
+    """(H, W, 2) per-pixel velocity from the picking buffer: each pixel
+    inherits its atom's screen-space motion (current − previous projected
+    position, pixels). pick: (H, W) int32 atom ids, −1 = background (the
+    reference's velocity gbuffer attachment, gbuffer.h:14-44)."""
+    import numpy as _np
+
+    pick = _np.asarray(pick)
+    ids = _np.maximum(pick, 0)
+    vel = _np.asarray(screen_xy)[ids] - _np.asarray(prev_screen_xy)[ids]
+    vel[pick < 0] = 0.0
+    return vel.astype(_np.float32)
+
+
 # -- sharpen (the final pass) --------------------------------------------------
 
 
@@ -227,6 +319,8 @@ class PostprocessSettings:
     enable_dof: bool = False
     focus_depth: float = 10.0
     enable_sharpen: bool = False
+    enable_motion_blur: bool = False
+    motion_blur_scale: float = 1.0
     background: tuple = (0.05, 0.05, 0.08)
 
 
@@ -234,14 +328,23 @@ def execute(
     rgba: np.ndarray,
     view_depth: np.ndarray,
     settings: PostprocessSettings = PostprocessSettings(),
+    velocity: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Run the pass chain on a rendered frame → display-ready (H,W,3)."""
+    """Run the pass chain on a rendered frame → display-ready (H,W,3).
+
+    `velocity`: optional (H,W,2) per-pixel screen velocity (pixels) for the
+    motion-blur pass — build one from the picking buffer with
+    velocity_image()."""
     rgb = jnp.asarray(rgba[..., :3])
     a = jnp.asarray(rgba[..., 3])
     depth = jnp.asarray(view_depth)
     if settings.enable_ssao:
         ao = ssao(depth, settings.ssao_strength)
         rgb = rgb * ao[..., None]
+    if settings.enable_motion_blur and velocity is not None:
+        rgb = motion_blur(
+            rgb, jnp.asarray(velocity), scale=settings.motion_blur_scale
+        )
     if settings.enable_dof:
         rgb = depth_of_field(rgb, depth, settings.focus_depth)
     tm = TONEMAPS[settings.tonemap]
