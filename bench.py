@@ -30,7 +30,7 @@ import time
 
 N_WATERS = 33_334  # 100,002 atoms
 N_FRAMES = 128
-CHUNK = 32  # frames per executable launch
+CHUNK = 64  # frames per executable launch (~31 ms dispatch RTT amortized)
 BASELINE_FRAMES_PER_S = 5000.0
 
 

@@ -231,3 +231,55 @@ class TestPackedCache:
         transcode(traj, p)
         res = load_file(p)
         assert res.trajectory.num_frames == traj.num_frames
+
+
+class TestVlxH5:
+    def test_h5_roundtrip_and_orbital_eval(self, tmp_path):
+        """Write a minimal VeloxChem-style checkpoint, read it back, and
+        evaluate MO 0 on a grid (io/vlx.py + ops/gto.py end-to-end)."""
+        h5py = pytest.importorskip("h5py")
+        import numpy as np
+
+        from viamd_tpu.io.vlx import Shell, QMData, load_vlx_h5
+
+        # H2-like: two s-shells, 2 primitives each
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.4]], np.float32)
+        charges = np.array([1, 1], np.int32)
+        shells = [
+            Shell(coords[0], 0, np.array([1.3, 0.3], np.float32),
+                  np.array([0.5, 0.6], np.float32)),
+            Shell(coords[1], 0, np.array([1.3, 0.3], np.float32),
+                  np.array([0.5, 0.6], np.float32)),
+        ]
+        C = np.array([[0.7, 0.7], [0.7, -0.7]], np.float32)
+        p = str(tmp_path / "scf.h5")
+        with h5py.File(p, "w") as f:
+            f["atom_coordinates"] = coords
+            f["nuclear_charges"] = charges
+            f["alpha_orbitals"] = C
+            f["alpha_energies"] = np.array([-0.6, 0.2], np.float32)
+            g = f.create_group("basis")
+            for i, sh in enumerate(shells):
+                sg = g.create_group(str(i))
+                sg["center"] = sh.center
+                sg["angular"] = sh.angular
+                sg["exponents"] = sh.exponents
+                sg["coefficients"] = sh.contraction
+        qm = load_vlx_h5(p)
+        assert qm.n_orbitals == 2
+        assert qm.atom_coords.shape == (2, 3)
+        ref = QMData.from_arrays(coords, charges, shells, C)
+        for a, b in zip(qm.primitives_for_orbital(0),
+                        ref.primitives_for_orbital(0)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        # bonding orbital has density between the nuclei
+        from viamd_tpu.ops import gto
+        import jax.numpy as jnp
+
+        centers, exps, cf, lmn = qm.primitives_for_orbital(0)
+        pts = jnp.asarray([[0.0, 0.0, 0.7], [0.0, 0.0, 5.0]], jnp.float32)
+        psi = np.asarray(gto.eval_gto(
+            pts, jnp.asarray(centers), jnp.asarray(exps),
+            jnp.asarray(cf), jnp.asarray(lmn),
+        ))
+        assert abs(psi[0]) > abs(psi[1]) * 5

@@ -127,6 +127,16 @@ def _hist_kernel(
             # bf16's exact range).
             w_bf = w.astype(jnp.bfloat16)
 
+            # Dynamic bin-range bounds: the tile's valid-pair distance
+            # min/max determine which 16-bin blocks can receive any count.
+            # Excluded-volume chemistry empties the low bins (water O–O
+            # min ≈ 2.4 Å), and sparse selections empty most tiles
+            # entirely — both skip at block granularity, exactly.
+            sentinel_lo = jnp.float32(2.0 * r_max)
+            d_ok = w > 0
+            d_lo = jnp.min(jnp.where(d_ok, dist, sentinel_lo))
+            d_hi = jnp.max(jnp.where(d_ok, dist, 0.0))
+
             # Per-bin masked accumulate into rows of the (nbins, Cc)
             # scratch: only sublane reductions per bin (no cross-lane
             # shuffles, no loop-carried scalar — a reduce-to-scalar per bin
@@ -137,21 +147,35 @@ def _hist_kernel(
             # minimum distance (dmin > 0 once cells are ≥ one cell apart),
             # so the low bins are unreachable.
             for g in range(g_lo, nbins // 16):
-                rows = [
-                    jnp.sum(
-                        jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
-                        axis=0,
-                        keepdims=True,
-                        dtype=jnp.bfloat16,
-                    ).astype(jnp.float32)
-                    for j in range(16)
-                ]
-                block = jnp.concatenate(rows, axis=0)
                 gsl = slice((g - g_lo) * 16, (g - g_lo + 1) * 16)
-                if m == 0:
-                    scratch_ref[gsl, :] = block
-                else:
-                    scratch_ref[gsl, :] = scratch_ref[gsl, :] + block
+                blk_lo = (16 * g) / inv_bin
+                blk_hi = (16 * (g + 1)) / inv_bin
+                live = (d_lo < blk_hi) & (d_hi >= blk_lo)
+
+                def _compute(gsl=gsl, g=g, m=m):
+                    rows = [
+                        jnp.sum(
+                            jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
+                            axis=0,
+                            keepdims=True,
+                            dtype=jnp.bfloat16,
+                        ).astype(jnp.float32)
+                        for j in range(16)
+                    ]
+                    block = jnp.concatenate(rows, axis=0)
+                    if m == 0:
+                        scratch_ref[gsl, :] = block
+                    else:
+                        scratch_ref[gsl, :] = scratch_ref[gsl, :] + block
+
+                def _dead(gsl=gsl, m=m):
+                    if m == 0:
+                        scratch_ref[gsl, :] = jnp.zeros_like(
+                            scratch_ref[gsl, :]
+                        )
+
+                pl.when(live)(_compute)
+                pl.when(jnp.logical_not(live))(_dead)
         out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
 
 
