@@ -257,16 +257,40 @@ def pair_dist_histogram_pl(
     G = LANES // ka
 
     xa = x[idx_a]
-    xb = x[idx_b]
-    cl_a = build_cell_list(xa, box, dims, cap_a_pad)
-    cl_b = build_cell_list(xb, box, dims, cap_b)
     dx_, dy_, dz_ = dims
     ncells = dx_ * dy_ * dz_
 
-    a_xyz = xa[cl_a.table]  # (ncells, cap_a_pad, 3)
-    a_gid = jnp.where(cl_a.valid, idx_a[cl_a.table], -1)
-    b_xyz = xb[cl_b.table]
-    b_gid = jnp.where(cl_b.valid, idx_b[cl_b.table], -2)
+    pack_ids = x.shape[0] < (1 << 24)  # global atom ids exact as f32 values
+
+    def tables(xs, idx, cl, cap, inval):
+        # packed (x,y,z,id) gather: one table lookup for coords + ids. Ids
+        # ride as exact f32 VALUES (not bitcasts — int32 bit patterns are
+        # f32 denormals, which this hardware flushes to zero in fused
+        # copies), exact below 2^24 entries.
+        if pack_ids:
+            p4 = jnp.concatenate([xs, idx.astype(jnp.float32)[:, None]], 1)
+            t4 = p4[cl.table[:, :cap]]
+            gid = t4[..., 3].astype(jnp.int32)
+            gid = jnp.where(cl.valid[:, :cap], gid, inval)
+            return t4[..., :3], gid
+        xyz = xs[cl.table[:, :cap]]
+        gid = jnp.where(cl.valid[:, :cap], idx[cl.table[:, :cap]], inval)
+        return xyz, gid
+
+    if symmetric:
+        # same selection on both sides: ONE sort + table + gather serve both
+        capm = max(cap_a_pad, cap_b)
+        cl_a = build_cell_list(xa, box, dims, capm)
+        xyz_m, gid_m = tables(xa, idx_a, cl_a, capm, -1)
+        a_xyz, a_gid = xyz_m[:, :cap_a_pad], gid_m[:, :cap_a_pad]
+        b_xyz = xyz_m[:, :cap_b]
+        b_gid = jnp.where(gid_m[:, :cap_b] < 0, -2, gid_m[:, :cap_b])
+    else:
+        xb = x[idx_b]
+        cl_a = build_cell_list(xa, box, dims, cap_a_pad)
+        cl_b = build_cell_list(xb, box, dims, cap_b)
+        a_xyz, a_gid = tables(xa, idx_a, cl_a, cap_a_pad, -1)
+        b_xyz, b_gid = tables(xb, idx_b, cl_b, cap_b, -2)
 
     if symmetric:
         assert min(dims) >= 2 * radius + 1, "half stencil needs distinct rolls"

@@ -135,9 +135,14 @@ def sdf_accumulate_cl(
     slot = jnp.arange(cl_capacity, dtype=jnp.int32)
     pos = st[..., None] + slot  # (S, S3, cap)
     ok = (slot < cnt[..., None]).reshape(c.shape[0], -1)
-    cand = cl.order[jnp.minimum(pos, nt - 1)].reshape(c.shape[0], -1)
+    # ONE candidate gather: coords+weight packed (nt, 4) and pre-sorted
+    # into cell order, indexed by segment position directly — the
+    # order[pos] → xt[cand] → w[cand] triple indirection was the dominant
+    # SDF cost (three ~C-sized gathers instead of this single one)
+    xs4 = jnp.concatenate([xt, twt[:, None]], axis=1)[cl.order]
+    cd = xs4[jnp.minimum(pos, nt - 1).reshape(c.shape[0], -1)]  # (S, C, 4)
 
-    d = xt[cand] - c[:, None, :]  # (S, C, 3)
+    d = cd[..., :3] - c[:, None, :]  # (S, C, 3)
     d = d - box * jnp.round(d / box)
     # p_i = sum_j R_ij d_j, expanded (K=3 einsums are pathological on TPU)
     d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
@@ -149,7 +154,7 @@ def sdf_accumulate_cl(
         ],
         axis=-1,
     )
-    w = twt[cand] * ok.astype(jnp.float32)
+    w = cd[..., 3] * ok.astype(jnp.float32)
     origin = jnp.full((3,), -extent, jnp.float32)
     voxel = jnp.full((3,), 2.0 * extent / dims, jnp.float32)
     return splat_trilinear(
