@@ -732,20 +732,33 @@ def _within(c: _Compiler, node, args):
     idx = sel.mask.indices()
     if not idx.size:
         return c.atom_selection(np.zeros(c.n, bool), dynamic=True)
-    # host-side distance check on the reference frame
-    from viamd_tpu.ops.pbc import min_image
-
+    # host-side distance check on the reference frame. A KD-tree with
+    # periodic boxsize handles the orthorhombic case in O(n log n); the
+    # general (triclinic/aperiodic) fallback chunks the query side so
+    # memory stays O(chunk·|sel|) instead of O(n·|sel|).
     x = c.x0
-    d = x[:, None, :] - x[None, idx, :]
-    dd = np.asarray(
-        min_image(
-            jnp.asarray(d.reshape(-1, 3)),
-            jnp.asarray(c.basis0),
-            jnp.asarray(c.inv_basis0),
-        )
-    ).reshape(d.shape)
-    dist2 = (dd * dd).sum(-1)
-    mask = (dist2 <= float(cutoff) ** 2).any(axis=1)
+    cut = float(cutoff)
+    if c.sys.cell.is_orthorhombic:
+        from scipy.spatial import cKDTree
+
+        box = np.asarray(c.sys.cell.extent(), np.float64)
+        xw = np.mod(x.astype(np.float64), box)  # boxsize requires [0, L)
+        tree = cKDTree(xw[idx], boxsize=box)
+        hits = tree.query_ball_point(xw, r=cut, return_length=True)
+        mask = np.asarray(hits) > 0
+    else:
+        from viamd_tpu.ops.pbc import min_image
+
+        mask = np.zeros(c.n, bool)
+        xs = jnp.asarray(x[idx])
+        bj, ij = jnp.asarray(c.basis0), jnp.asarray(c.inv_basis0)
+        chunk = max(1, (1 << 24) // max(idx.size, 1))
+        for beg in range(0, c.n, chunk):
+            xc = jnp.asarray(x[beg : beg + chunk])
+            d = xc[:, None, :] - xs[None, :, :]
+            dd = min_image(d.reshape(-1, 3), bj, ij).reshape(d.shape)
+            dist2 = np.asarray(jnp.min(jnp.sum(dd * dd, -1), axis=1))
+            mask[beg : beg + chunk] = dist2 <= cut * cut
     c.warnings.append(
         "within(): evaluated on the reference frame (static selection)"
     )
