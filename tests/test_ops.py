@@ -584,6 +584,56 @@ class TestPallasRDF:
         )
         np.testing.assert_allclose(hw1, dense, atol=1e-2)
 
+    def test_fuzz_matches_dense(self):
+        """Randomized configs: box shapes, selection sparsity, radii,
+        symmetric mode — pallas (interpret) vs dense must agree exactly."""
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        for seed in (3, 17, 99):
+            rng = np.random.RandomState(seed)
+            L = float(rng.uniform(18.0, 40.0))
+            n = int(rng.randint(150, 500))
+            rmax = float(rng.uniform(3.0, 6.0))
+            x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+            wa = (rng.rand(n) < rng.uniform(0.2, 1.0)).astype(np.float32)
+            sym = bool(rng.rand() < 0.5)
+            wb = wa if sym else (rng.rand(n) < 0.5).astype(np.float32)
+            if wa.sum() == 0 or wb.sum() == 0:
+                continue
+            basis, inv = ortho_cell(L)
+            dense = np.asarray(
+                rdf.pair_dist_histogram(
+                    jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                    basis, inv, 128, rmax, tile=64,
+                )
+            )
+            idx_a = np.nonzero(wa)[0].astype(np.int32)
+            idx_b = np.nonzero(wb)[0].astype(np.int32)
+            radius = int(rng.choice([1, 2]))
+            dims, cap_a = choose_grid_r(
+                np.array([L] * 3), rmax, idx_a.size, radius=radius
+            )
+            _, cap_b = choose_grid_r(
+                np.array([L] * 3), rmax, idx_b.size, radius=radius
+            )
+            cap_a += 8  # fuzz configs are tiny: kill Poisson-drop noise
+            cap_b += 8
+            if min(dims) < (3 if radius == 1 else 5):
+                continue
+            h = np.asarray(
+                pallas_rdf.pair_dist_histogram_pl(
+                    jnp.asarray(x), jnp.asarray(idx_a), jnp.asarray(idx_b),
+                    jnp.asarray([L, L, L], jnp.float32), 128, rmax,
+                    dims, cap_a, cap_b, radius=radius, symmetric=sym,
+                    widths=tuple(L / d for d in dims), interpret=True,
+                )
+            )
+            np.testing.assert_allclose(
+                h, dense, atol=1e-2,
+                err_msg=f"seed={seed} radius={radius} sym={sym}",
+            )
+
     def test_matches_dense_interpret(self):
         from viamd_tpu.ops import pallas_rdf
         from viamd_tpu.ops.neighbors import choose_grid

@@ -138,68 +138,89 @@ def _raster_impl(
     diry = gy / proj[1, 1]
     # direction (dirx, diry, -1), unnormalized; t = distance along -z
 
-    # per-tile pixel blocks
-    def render_tile(tid):
-        tyx = tid // tiles_x
-        txx = tid % tiles_x
-        x0 = txx * TILE
-        y0 = tyx * TILE
-        dx = jax.lax.dynamic_slice(dirx, (y0, x0), (TILE, TILE))
-        dy = jax.lax.dynamic_slice(diry, (y0, x0), (TILE, TILE))
-        prim_ids = table[tid]  # (K,)
-        pv = tvalid[tid]
-        c = centers[prim_ids]  # (K,3)
-        r = radii[prim_ids]
-        col = colors[prim_ids]
+    # ALL tiles processed together: one gather hoists every per-tile
+    # primitive attribute out of the loop, then a single K-step fori_loop
+    # runs dense (T, TILE²) vector ops. (The earlier lax.map over tiles ran
+    # 8k+ sequential tiny-block iterations with gathers inside the loop
+    # body — XLA pessimizes both — and measured ~9 s/frame at 1080p/100k
+    # atoms; this form is ~milliseconds.)
+    T = tiles_x * tiles_y
+    P = TILE * TILE
+    # packed (x, y, z, r, red, green, blue) per (tile, slot): ONE gather
+    prim7 = jnp.concatenate(
+        [centers, radii[:, None], colors[:, :3]], axis=1
+    )[table]  # (T, K, 7)
+    pid_t = table  # (T, K)
+    pv_t = tvalid  # (T, K)
 
-        # ray: o=0, d=(dx,dy,-1); sphere at c radius r
-        # |t*d - c|^2 = r^2 → t^2 (d·d) - 2 t (d·c) + |c|^2 - r^2 = 0
-        dd = dx * dx + dy * dy + 1.0  # (T,T)
-        best_t = jnp.full((TILE, TILE), 1e30)
-        best_id = jnp.full((TILE, TILE), -1, jnp.int32)
-        best_n = jnp.zeros((TILE, TILE, 3))
-        best_rgb = jnp.zeros((TILE, TILE, 3))
+    def tile_major(img2d):  # (H', W') → (T, P)
+        a = img2d.reshape(tiles_y, TILE, tiles_x, TILE)
+        return a.transpose(0, 2, 1, 3).reshape(T, P)
 
-        def body(k, carry):
-            bt, bid, bn, brgb = carry
-            ck = c[k]
-            rk = r[k]
-            dc = dx * ck[0] + dy * ck[1] - ck[2]  # d·c
-            cc = ck[0] ** 2 + ck[1] ** 2 + ck[2] ** 2 - rk * rk
-            disc = dc * dc - dd * cc
-            ok = (disc > 0) & pv[k]
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t = (dc - sq) / dd
-            ok = ok & (t > 1e-6) & (t < bt)
-            hx = dx * t - ck[0]
-            hy = dy * t - ck[1]
-            hz = -t - ck[2]
-            inv = 1.0 / jnp.maximum(rk, 1e-12)
-            nrm = jnp.stack([hx * inv, hy * inv, hz * inv], -1)
-            bt = jnp.where(ok, t, bt)
-            bid = jnp.where(ok, prim_ids[k], bid)
-            bn = jnp.where(ok[..., None], nrm, bn)
-            brgb = jnp.where(ok[..., None], col[None, None, k, :3], brgb)
-            return bt, bid, bn, brgb
+    Wp, Hp = tiles_x * TILE, tiles_y * TILE
+    dirx_p = jnp.pad(dirx, ((0, Hp - H), (0, Wp - W)))
+    diry_p = jnp.pad(diry, ((0, Hp - H), (0, Wp - W)))
+    dx = tile_major(dirx_p)  # (T, P)
+    dy = tile_major(diry_p)
+    dd = dx * dx + dy * dy + 1.0
 
-        best_t, best_id, best_n, best_rgb = jax.lax.fori_loop(
-            0, s.capacity, body, (best_t, best_id, best_n, best_rgb)
+    best_t = jnp.full((T, P), 1e30)
+    best_id = jnp.full((T, P), -1, jnp.int32)
+    best_nx = jnp.zeros((T, P))
+    best_ny = jnp.zeros((T, P))
+    best_nz = jnp.zeros((T, P))
+    best_r = jnp.zeros((T, P))
+    best_g = jnp.zeros((T, P))
+    best_b = jnp.zeros((T, P))
+
+    def body(k, carry):
+        bt, bid, bnx, bny, bnz, br, bg_, bb = carry
+        p7 = jax.lax.dynamic_index_in_dim(
+            prim7, k, axis=1, keepdims=False
+        )  # (T, 7)
+        cx, cy, cz, rk = (
+            p7[:, 0:1], p7[:, 1:2], p7[:, 2:3], p7[:, 3:4]
+        )  # (T, 1) broadcast over pixels
+        pvk = jax.lax.dynamic_index_in_dim(pv_t, k, axis=1)  # (T, 1)
+        pidk = jax.lax.dynamic_index_in_dim(pid_t, k, axis=1)
+        # ray: o=0, d=(dx,dy,-1); |t·d − c|² = r²
+        dc = dx * cx + dy * cy - cz
+        cc = cx * cx + cy * cy + cz * cz - rk * rk
+        disc = dc * dc - dd * cc
+        ok = (disc > 0) & pvk
+        t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) / dd
+        ok = ok & (t > 1e-6) & (t < bt)
+        inv = 1.0 / jnp.maximum(rk, 1e-12)
+        bt = jnp.where(ok, t, bt)
+        bid = jnp.where(ok, pidk, bid)
+        bnx = jnp.where(ok, (dx * t - cx) * inv, bnx)
+        bny = jnp.where(ok, (dy * t - cy) * inv, bny)
+        bnz = jnp.where(ok, (-t - cz) * inv, bnz)
+        br = jnp.where(ok, p7[:, 4:5], br)
+        bg_ = jnp.where(ok, p7[:, 5:6], bg_)
+        bb = jnp.where(ok, p7[:, 6:7], bb)
+        return bt, bid, bnx, bny, bnz, br, bg_, bb
+
+    best_t, best_id, best_nx, best_ny, best_nz, best_r, best_g, best_b = (
+        jax.lax.fori_loop(
+            0, s.capacity, body,
+            (best_t, best_id, best_nx, best_ny, best_nz,
+             best_r, best_g, best_b),
         )
-        hit = best_id >= 0
-        vd = jnp.stack(
-            [-dx, -dy, jnp.ones_like(dx)], -1
-        )
-        vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-12)
-        shaded = _shade(best_rgb, best_n, light, vd, s)
-        bg = jnp.asarray(s.background, jnp.float32)
-        rgb = jnp.where(hit[..., None], shaded, bg[:3] * bg[3])
-        alpha = jnp.where(hit, 1.0, 0.0)
-        depth = jnp.where(hit, best_t, jnp.inf)
-        return rgb, alpha, depth, best_id
+    )
+    hit = best_id >= 0
+    best_n = jnp.stack([best_nx, best_ny, best_nz], -1)
+    best_rgb = jnp.stack([best_r, best_g, best_b], -1)
+    vd = jnp.stack([-dx, -dy, jnp.ones_like(dx)], -1)
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-12)
+    shaded = _shade(best_rgb, best_n, light, vd, s)
+    bg = jnp.asarray(s.background, jnp.float32)
+    rgb_t = jnp.where(hit[..., None], shaded, bg[:3] * bg[3])
+    a_t = jnp.where(hit, 1.0, 0.0)
+    d_t = jnp.where(hit, best_t, jnp.inf)
+    id_t = best_id
 
-    tids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
-    rgb_t, a_t, d_t, id_t = jax.lax.map(render_tile, tids)
-    # reassemble tiles → image
+    # reassemble tile-major buffers → image
     def assemble(tiles, ch):
         t = tiles.reshape(tiles_y, tiles_x, TILE, TILE, *ch)
         t = jnp.moveaxis(t, 2, 1).reshape(tiles_y * TILE, tiles_x * TILE, *ch)
