@@ -212,6 +212,43 @@ class TestRaster:
         )
         assert pick[16, 16] == 1  # nearer sphere wins
 
+    def test_pallas_engine_matches_xla(self):
+        """Halo-row Pallas kernel (interpret) vs the XLA reference form:
+        identical picking, identical hit mask, color equal to 8-bit
+        packing quantization."""
+        from viamd_tpu.render.raster import _raster_impl, RasterSettings
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(7)
+        n = 250
+        cen = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+        cen[:, 2] -= 25
+        rad = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        col = rng.rand(n, 4).astype(np.float32)
+        proj = np.eye(4, dtype=np.float32)
+        proj[0, 0] = 1.2
+        proj[1, 1] = 1.6
+        bonds = jnp.zeros((0, 2), jnp.int32)
+        args = (jnp.asarray(cen), jnp.asarray(rad), jnp.asarray(col), bonds,
+                jnp.asarray(proj))
+        a = _raster_impl(
+            *args,
+            RasterSettings(width=176, height=128, engine="xla", capacity=128),
+        )
+        b = _raster_impl(
+            *args,
+            RasterSettings(
+                width=176, height=128, engine="pallas", home_capacity=48
+            ),
+        )
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+        ia, ib = np.asarray(a[0]), np.asarray(b[0])
+        np.testing.assert_allclose(ia, ib, atol=6e-3)
+        da, db = np.asarray(a[1]), np.asarray(b[1])
+        assert (np.isfinite(da) == np.isfinite(db)).all()
+        m = np.isfinite(da)
+        np.testing.assert_allclose(da[m], db[m], atol=5e-3)
+
     def test_licorice_bonds(self, ala_system):
         from viamd_tpu.render import raster as R
         from viamd_tpu.render import color as CL

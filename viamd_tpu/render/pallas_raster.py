@@ -1,0 +1,438 @@
+"""Pallas TPU kernel: tiled sphere-impostor raster (the md_gl analog).
+
+The XLA form in render/raster.py runs one K-step fori_loop over dense
+(T, 256) pixel buffers with 8 loop carries — every step round-trips
+~130 MB of carry state through HBM (measured 29 ms at 1080p / 100k
+atoms, HBM-bound). This kernel keeps the nearest-hit state in VMEM
+scratch, reads each input plane once, and shades in-kernel so normals
+never touch HBM.
+
+Layout (chosen for zero in-kernel relayouts, as in ops/pallas_rdf):
+- a program covers 128 screen tiles in the LANE dim; the 256 pixels
+  of each 16x16 tile live in SUBLANES → pixel state is (256, 128);
+- per-candidate attributes arrive as ONE (8, K, T) array: row
+  [c, k, :] is a (1, 128) lane vector that broadcasts over the 256
+  pixel sublanes natively (the cheap TPU broadcast direction);
+- ray directions are computed in-kernel from the tile-id lane vector
+  + iota (no pixel-direction inputs at all); the projection scalars
+  ride in SMEM so camera changes don't retrace;
+- candidate slots come in 9 offset groups (3x3 tile neighborhood of
+  home-binned primitives); slot blocks are gated per offset by the
+  program's max home occupancy (`pl.when`), the ops/pallas_rdf
+  pass-skipping idiom;
+- tiles stay in scanline order: an occupancy-rank permutation was
+  measured NET-NEGATIVE — the scattered (T, K, 8) row gather plus the
+  (8, K, T) relayout it forces cost more than tighter per-program
+  gating saves (sorted-tile floor 10.0 ms vs ~8 ms total without).
+
+Reference capability: mdlib md_gl rasterizer draw-op path
+(/root/reference/src/main.cpp:6878-6925, :6991) + GBuffer picking
+attachment (/root/reference/src/viamd.h:1687-1760).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+P = 256  # pixels per 16x16 screen tile (sublane dim)
+BTL = 128  # screen tiles per program (lane dim)
+KB = 8  # candidate slots per gated block
+
+# 3x3 tile-neighborhood offsets (row, col); order fixed — the SMEM
+# occupancy table columns and the kernel's group loop must agree
+OFFS = (
+    (-1, -1), (-1, 0), (-1, 1),
+    (0, -1), (0, 0), (0, 1),
+    (1, -1), (1, 0), (1, 1),
+)
+
+
+def _raster_row_kernel(
+    occ_ref,  # SMEM (ty, 9) int32 per-offset max home occupancy
+    pr_ref,  # SMEM (1, 2) f32: proj[0,0], proj[1,1]
+    hp_ref, hc_ref, hn_ref,  # VMEM (6, cap, BTL) prev/cur/next row attrs:
+    #   cx cy cz(poisoned) r rgb-packed pid   (all f32 values; pid -1 inv)
+    o_r, o_g, o_b, o_a, o_d, o_id,  # VMEM (P, BTL) outputs
+    rot_s,  # VMEM (6, cap, BTL) lane-rotated attr scratch
+    bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s,  # VMEM (P, BTL) hit state
+    *,
+    cap: int,
+    width: int,
+    height: int,
+    ambient: float,
+    specular: float,
+    shininess: float,
+    light: tuple,
+    background: tuple,
+):
+    """One program = one 128-tile row of the (ty, 128)-padded tile grid.
+    The 3x3 neighborhood never materializes: row offsets are the three
+    halo input refs, column offsets are one lane roll per offset group
+    (grid pad columns are empty, so lane wrap never imports real atoms).
+    Per-slot work is hoisted hard: cc and the candidate row are (1, BTL)
+    ops, normals/colors resolve once per pixel after the slot loops."""
+    pid = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 0)
+    px = lane * 16 + sub % 16
+    py = pid * 16 + sub // 16
+    inv00 = 1.0 / pr_ref[0, 0]
+    inv11 = 1.0 / pr_ref[0, 1]
+    dx = ((px.astype(jnp.float32) + 0.5) * (2.0 / width) - 1.0) * inv00
+    dy = ((py.astype(jnp.float32) + 0.5) * (2.0 / height) - 1.0) * inv11
+    dd = dx * dx + dy * dy + 1.0
+    inv_dd = 1.0 / dd
+
+    bt_s[...] = jnp.full_like(bt_s, 1e30)
+    pi_s[...] = jnp.full_like(pi_s, -1.0)
+    cx_s[...] = jnp.zeros_like(cx_s)
+    cy_s[...] = jnp.zeros_like(cy_s)
+    cz_s[...] = jnp.zeros_like(cz_s)
+    rk_s[...] = jnp.full_like(rk_s, 1.0)
+    cl_s[...] = jnp.zeros_like(cl_s)
+
+    for o, (oy, ox) in enumerate(OFFS):
+        occ = occ_ref[pid, o]
+        src_ref = (hp_ref, hc_ref, hn_ref)[oy + 1]
+
+        @pl.when(occ > 0)
+        def _rot(src_ref=src_ref, ox=ox):
+            if ox == 0:
+                rot_s[...] = src_ref[...]
+            else:
+                # shifted[l] = src[l + ox] (roll wants non-negative shift)
+                rot_s[...] = pltpu.roll(src_ref[...], (-ox) % BTL, 2)
+
+        for k0 in range(0, cap, KB):
+
+            @pl.when(occ > k0)
+            def _blk(k0=k0):
+                bt = bt_s[...]
+                bpi = pi_s[...]
+                bcx = cx_s[...]
+                bcy = cy_s[...]
+                bcz = cz_s[...]
+                brk = rk_s[...]
+                bcl = cl_s[...]
+                for j in range(min(KB, cap - k0)):
+                    ks = slice(k0 + j, k0 + j + 1)
+                    cx = rot_s[0, ks, :]  # (1, BTL) sublane-broadcasts
+                    cy = rot_s[1, ks, :]
+                    cz = rot_s[2, ks, :]
+                    rk = rot_s[3, ks, :]
+                    cc = cx * cx + cy * cy + cz * cz - rk * rk  # (1, BTL)
+                    # ray o=0, d=(dx,dy,-1): |t d - c|^2 = r^2. Invalid
+                    # slots are poisoned (cz=+1e6) → t < 0 → rejected,
+                    # no validity compare needed.
+                    dc = dx * cx + dy * cy - cz
+                    disc = dc * dc - dd * cc
+                    t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_dd
+                    ok = (disc > 0) & (t > 1e-6) & (t < bt)
+                    bt = jnp.where(ok, t, bt)
+                    bpi = jnp.where(ok, rot_s[5, ks, :], bpi)
+                    bcx = jnp.where(ok, cx, bcx)
+                    bcy = jnp.where(ok, cy, bcy)
+                    bcz = jnp.where(ok, cz, bcz)
+                    brk = jnp.where(ok, rk, brk)
+                    bcl = jnp.where(ok, rot_s[4, ks, :], bcl)
+                bt_s[...] = bt
+                pi_s[...] = bpi
+                cx_s[...] = bcx
+                cy_s[...] = bcy
+                cz_s[...] = bcz
+                rk_s[...] = brk
+                cl_s[...] = bcl
+
+    # resolve winner normals + colors once per pixel, then shade
+    bt = bt_s[...]
+    inv = 1.0 / jnp.maximum(rk_s[...], 1e-12)
+    nx = (dx * bt - cx_s[...]) * inv
+    ny = (dy * bt - cy_s[...]) * inv
+    nz = (-bt - cz_s[...]) * inv
+    pcl = cl_s[...]
+    ri = jnp.floor(pcl * (1.0 / 65536.0))
+    rem = pcl - ri * 65536.0
+    gi = jnp.floor(rem * (1.0 / 256.0))
+    bi = rem - gi * 256.0
+    lx, ly, lz = light
+    ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    vn = jax.lax.rsqrt(dd)
+    vx = -dx * vn
+    vy = -dy * vn
+    vz = vn
+    hx = lx + vx
+    hy = ly + vy
+    hz = lz + vz
+    hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+    ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hn, 0.0)
+    lum = (ambient + (1.0 - ambient) * ndl) * (1.0 / 255.0)
+    spec = specular * ndh**shininess
+    hit = pi_s[...] >= 0
+    bgr, bgg, bgb, bga = background
+    o_r[...] = jnp.where(hit, ri * lum + spec, bgr * bga)
+    o_g[...] = jnp.where(hit, gi * lum + spec, bgg * bga)
+    o_b[...] = jnp.where(hit, bi * lum + spec, bgb * bga)
+    o_a[...] = jnp.where(hit, 1.0, 0.0)
+    o_d[...] = bt
+    o_id[...] = pi_s[...].astype(jnp.int32)
+
+
+def raster_rows_pl(
+    attr6,  # (6, cap, ty*128): cx cy cz(poisoned) r rgb-packed pid
+    occ9,  # (ty, 9) int32 per-(row, offset) max home occupancy
+    p00, p11,  # () f32 projection diagonal (dynamic — rides in SMEM)
+    *,
+    cap: int,
+    tiles_y: int,
+    width: int,
+    height: int,
+    ambient: float,
+    specular: float,
+    shininess: float,
+    light: tuple,
+    background: tuple,
+    interpret: bool = False,
+):
+    """Halo-row raster → 6 (ty*128, P) planes (tile-major over the
+    PADDED 128-column grid): shaded r/g/b, alpha, view depth, picking.
+    Requires the real tile grid to be ≤ 127 columns wide (pad columns
+    must be empty for the lane-wrap argument to hold)."""
+    Tp = attr6.shape[2]
+    assert attr6.shape == (6, cap, Tp) and Tp == tiles_y * BTL
+    prs = jnp.stack([p00, p11]).reshape(1, 2).astype(jnp.float32)
+
+    def row_spec(delta):
+        if delta < 0:
+            return pl.BlockSpec(
+                (6, cap, BTL),
+                lambda i: (0, 0, jnp.maximum(i - 1, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        if delta > 0:
+            return pl.BlockSpec(
+                (6, cap, BTL),
+                lambda i: (0, 0, jnp.minimum(i + 1, tiles_y - 1)),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (6, cap, BTL), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    pix_spec = pl.BlockSpec((P, BTL), lambda i: (0, i), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(
+            _raster_row_kernel,
+            cap=cap,
+            width=width,
+            height=height,
+            ambient=ambient,
+            specular=specular,
+            shininess=shininess,
+            light=light,
+            background=background,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((P, Tp), jnp.float32) for _ in range(5)
+        ]
+        + [jax.ShapeDtypeStruct((P, Tp), jnp.int32)],
+        grid=(tiles_y,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec(-1),
+            row_spec(0),
+            row_spec(1),
+        ],
+        out_specs=[pix_spec] * 6,
+        scratch_shapes=[pltpu.VMEM((6, cap, BTL), jnp.float32)]
+        + [pltpu.VMEM((P, BTL), jnp.float32) for _ in range(7)],
+        interpret=interpret,
+    )(occ9, prs, attr6, attr6, attr6)
+    return [o.T for o in outs]
+
+
+def _raster_kernel(
+    occ_ref,  # SMEM (nprog, n_off) int32 per-offset max occupancy
+    pr_ref,  # SMEM (1, 2) f32: proj[0,0], proj[1,1]
+    attr_ref,  # VMEM (8, K, BTL): cx cy cz r red grn blu pid (f32; -1 inv)
+    o_r, o_g, o_b, o_a, o_d, o_id,  # VMEM (P, BTL) outputs
+    bt_s, pi_s, nx_s, ny_s, nz_s, cr_s, cg_s, cb_s,  # VMEM (P, BTL) scratch
+    *,
+    cap: int,
+    n_off: int,
+    tiles_x: int,
+    width: int,
+    height: int,
+    ambient: float,
+    specular: float,
+    shininess: float,
+    light: tuple,
+    background: tuple,
+):
+    pid = pl.program_id(0)
+
+    # ray directions from tile id + pixel-in-tile iota (z = -1)
+    tid = pid * BTL + jax.lax.broadcasted_iota(jnp.int32, (1, BTL), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 0)
+    px = (tid % tiles_x) * 16 + sub % 16
+    py = (tid // tiles_x) * 16 + sub // 16
+    inv_p00 = 1.0 / pr_ref[0, 0]
+    inv_p11 = 1.0 / pr_ref[0, 1]
+    dx = ((px.astype(jnp.float32) + 0.5) * (2.0 / width) - 1.0) * inv_p00
+    dy = ((py.astype(jnp.float32) + 0.5) * (2.0 / height) - 1.0) * inv_p11
+    dd = dx * dx + dy * dy + 1.0
+
+    bt_s[...] = jnp.full_like(bt_s, 1e30)
+    pi_s[...] = jnp.full_like(pi_s, -1.0)
+    nx_s[...] = jnp.zeros_like(nx_s)
+    ny_s[...] = jnp.zeros_like(ny_s)
+    nz_s[...] = jnp.zeros_like(nz_s)
+    cr_s[...] = jnp.zeros_like(cr_s)
+    cg_s[...] = jnp.zeros_like(cg_s)
+    cb_s[...] = jnp.zeros_like(cb_s)
+
+    for o in range(n_off):
+        occ = occ_ref[pid, o]
+        for k0 in range(0, cap, KB):
+
+            @pl.when(occ > k0)
+            def _block(o=o, k0=k0):
+                bt = bt_s[...]
+                bpi = pi_s[...]
+                bnx = nx_s[...]
+                bny = ny_s[...]
+                bnz = nz_s[...]
+                br = cr_s[...]
+                bg = cg_s[...]
+                bb = cb_s[...]
+                for j in range(min(KB, cap - k0)):
+                    ks = slice(o * cap + k0 + j, o * cap + k0 + j + 1)
+                    cx = attr_ref[0, ks, :]  # (1, BTL) sublane-broadcasts
+                    cy = attr_ref[1, ks, :]
+                    cz = attr_ref[2, ks, :]
+                    rk = attr_ref[3, ks, :]
+                    pidk = attr_ref[7, ks, :]
+                    # ray o=0, d=(dx,dy,-1): |t d - c|^2 = r^2
+                    dc = dx * cx + dy * cy - cz
+                    cc = cx * cx + cy * cy + cz * cz - rk * rk
+                    disc = dc * dc - dd * cc
+                    t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) / dd
+                    ok = (disc > 0) & (pidk >= 0) & (t > 1e-6) & (t < bt)
+                    inv = 1.0 / jnp.maximum(rk, 1e-12)
+                    bt = jnp.where(ok, t, bt)
+                    bpi = jnp.where(ok, pidk, bpi)
+                    bnx = jnp.where(ok, (dx * t - cx) * inv, bnx)
+                    bny = jnp.where(ok, (dy * t - cy) * inv, bny)
+                    bnz = jnp.where(ok, (-t - cz) * inv, bnz)
+                    br = jnp.where(ok, attr_ref[4, ks, :], br)
+                    bg = jnp.where(ok, attr_ref[5, ks, :], bg)
+                    bb = jnp.where(ok, attr_ref[6, ks, :], bb)
+                bt_s[...] = bt
+                pi_s[...] = bpi
+                nx_s[...] = bnx
+                ny_s[...] = bny
+                nz_s[...] = bnz
+                cr_s[...] = br
+                cg_s[...] = bg
+                cb_s[...] = bb
+
+    # shade in-kernel (raster.py _shade on the winning-hit state so
+    # normals never round-trip HBM)
+    lx, ly, lz = light
+    nx = nx_s[...]
+    ny = ny_s[...]
+    nz = nz_s[...]
+    ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    vn = jax.lax.rsqrt(dd)
+    vx = -dx * vn
+    vy = -dy * vn
+    vz = vn
+    hx = lx + vx
+    hy = ly + vy
+    hz = lz + vz
+    hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
+    ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hn, 0.0)
+    lum = ambient + (1.0 - ambient) * ndl
+    spec = specular * ndh**shininess
+    hit = pi_s[...] >= 0
+    bgr, bgg, bgb, bga = background
+    o_r[...] = jnp.where(hit, cr_s[...] * lum + spec, bgr * bga)
+    o_g[...] = jnp.where(hit, cg_s[...] * lum + spec, bgg * bga)
+    o_b[...] = jnp.where(hit, cb_s[...] * lum + spec, bgb * bga)
+    o_a[...] = jnp.where(hit, 1.0, 0.0)
+    o_d[...] = bt_s[...]
+    o_id[...] = pi_s[...].astype(jnp.int32)
+
+
+def raster_tiles_pl(
+    attrT,  # (8, K, T): cx cy cz r red grn blu pid (pid = exact f32, -1 inv)
+    counts9,  # (T, n_off) int32 per-offset candidate counts
+    p00, p11,  # () f32 projection diagonal (dynamic — rides in SMEM)
+    *,
+    cap: int,  # slots per offset group (K = n_off * cap)
+    tiles_x: int,
+    tiles_y: int,
+    width: int,
+    height: int,
+    ambient: float,
+    specular: float,
+    shininess: float,
+    light: tuple,
+    background: tuple,
+    interpret: bool = False,
+):
+    """Nearest-hit + shade over screen tiles → 6 (T, P) planes:
+    shaded r/g/b, alpha, view depth (1e30 = miss), int32 picking id."""
+    _, K, T = attrT.shape
+    n_off = counts9.shape[1]
+    assert K == n_off * cap and T == tiles_x * tiles_y
+    nprog = -(-T // BTL)
+    pad = nprog * BTL - T
+    if pad:
+        attrT = jnp.pad(
+            attrT, ((0, 0), (0, 0), (0, pad)), constant_values=-1.0
+        )
+        counts9 = jnp.pad(counts9, ((0, pad), (0, 0)))
+    occ = jnp.max(
+        counts9.reshape(nprog, BTL, n_off), axis=1
+    ).astype(jnp.int32)
+    prs = jnp.stack([p00, p11]).reshape(1, 2).astype(jnp.float32)
+
+    pix_spec = pl.BlockSpec((P, BTL), lambda i: (0, i), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(
+            _raster_kernel,
+            cap=cap,
+            n_off=n_off,
+            tiles_x=tiles_x,
+            width=width,
+            height=height,
+            ambient=ambient,
+            specular=specular,
+            shininess=shininess,
+            light=light,
+            background=background,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((P, nprog * BTL), jnp.float32)
+            for _ in range(5)
+        ]
+        + [jax.ShapeDtypeStruct((P, nprog * BTL), jnp.int32)],
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, K, BTL), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[pix_spec] * 6,
+        scratch_shapes=[pltpu.VMEM((P, BTL), jnp.float32) for _ in range(8)],
+        interpret=interpret,
+    )(occ, prs, attrT)
+    return [o.T[:T] for o in outs]

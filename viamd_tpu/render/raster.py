@@ -38,12 +38,16 @@ class RasterSettings:
     rep: str = "spacefill"  # spacefill | licorice | ballstick
     radius_scale: float = 1.0
     licorice_radius: float = 0.25
-    capacity: int = 64  # primitives per tile
+    capacity: int = 64  # primitives per tile (XLA engine union table)
+    home_capacity: int = 32  # per home-tile slots (Pallas engine)
     ambient: float = 0.25
     specular: float = 0.35
     shininess: float = 48.0
     light_dir: tuple = (0.4, 0.7, 0.6)
     background: tuple = (0.0, 0.0, 0.0, 0.0)
+    # auto → Pallas kernel on TPU, XLA everywhere else; "pallas" on a CPU
+    # backend runs the kernel in interpret mode (tests)
+    engine: str = "auto"  # auto | xla | pallas
 
 
 def _build_tile_table(
@@ -84,7 +88,57 @@ def _build_tile_table(
     count = (starts[1:] - starts[:-1])[:, None]
     tvalid = slot < count
     table = prim_s[jnp.minimum(pos, n * FOOT * FOOT - 1)]
-    return table, tvalid
+    counts = jnp.minimum(count[:, 0], capacity)
+    return table, tvalid, counts
+
+
+def _build_home_table(
+    sx, sy, valid, tiles_x: int, tiles_y: int, cap: int,
+    stride_x: int | None = None,
+    depth=None,
+):
+    """Bin primitives into their HOME screen tile only: (T, cap) ids +
+    validity + per-tile counts. One sort of n keys — the 3×3 footprint
+    union is expanded afterwards by rolls / halo reads (the XLA union
+    table sorts n·9 keys; TPU bitonic sort cost is the prep bottleneck
+    at ~n log² n element-passes). `stride_x` pads the grid to that many
+    columns per row (pad tiles stay empty). `depth` (view distance per
+    primitive) orders each tile's slots NEAREST-FIRST, so capacity
+    overflow drops the farthest primitives of a crowded tile — the ones
+    almost certainly occluded by the ≥cap nearer spheres in the same
+    16-px footprint."""
+    n = sx.shape[0]
+    sxx = stride_x or tiles_x
+    T = sxx * tiles_y
+    tx = jnp.clip((sx // TILE).astype(jnp.int32), 0, tiles_x - 1)
+    ty = jnp.clip((sy // TILE).astype(jnp.int32), 0, tiles_y - 1)
+    tid = jnp.where(valid, ty * sxx + tx, T)
+    idx_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    if depth is not None:
+        # 8-bit depth bucket in the key's low bits; the tiebreak is a
+        # payload (argsort) since id bits no longer fit
+        d = jnp.where(valid, depth, 0.0)
+        d_lo = jnp.min(d)
+        scale = 255.0 / jnp.maximum(jnp.max(d) - d_lo, 1e-6)
+        dq = ((d - d_lo) * scale).astype(jnp.int32)
+        order = jnp.argsort((tid << 8) | dq).astype(jnp.int32)
+        tid_sorted = tid[order]
+    elif idx_bits + int(np.ceil(np.log2(T + 1))) + 1 <= 31:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        packed = jnp.sort((tid << idx_bits) | iota)
+        order = (packed & ((1 << idx_bits) - 1)).astype(jnp.int32)
+        tid_sorted = (packed >> idx_bits).astype(jnp.int32)
+    else:
+        order = jnp.argsort(tid).astype(jnp.int32)
+        tid_sorted = tid[order]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (T + 1, 1), 0)[:, 0]
+    starts = jnp.searchsorted(tid_sorted, bins, side="left").astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (T, cap), 1)
+    pos = starts[:-1][:, None] + slot
+    count = (starts[1:] - starts[:-1])[:, None]
+    tvalid = slot < count
+    table = order[jnp.minimum(pos, n - 1)]
+    return table, tvalid, jnp.minimum(count[:, 0], cap)
 
 
 def _shade(base_rgb, normal, light, view_dir, s: RasterSettings):
@@ -123,9 +177,16 @@ def _raster_impl(
     sy = (px_y / jnp.maximum(cw, 1e-6) * 0.5 + 0.5) * H
     rpx = radii * proj[1, 1] / jnp.maximum(cw, 1e-6) * 0.5 * H
 
-    table, tvalid = _build_tile_table(
-        sx, sy, rpx, valid, tiles_x, tiles_y, s.capacity
-    )  # (T, K)
+    engine = s.engine
+    if engine == "auto":
+        engine = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if engine == "pallas" and n >= (1 << 24):
+        engine = "xla"  # ids must stay exact as f32 values
+
+    if engine == "xla":
+        table, tvalid, tcounts = _build_tile_table(
+            sx, sy, rpx, valid, tiles_x, tiles_y, s.capacity
+        )  # (T, K)
 
     light = jnp.asarray(s.light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
@@ -146,12 +207,6 @@ def _raster_impl(
     # atoms; this form is ~milliseconds.)
     T = tiles_x * tiles_y
     P = TILE * TILE
-    # packed (x, y, z, r, red, green, blue) per (tile, slot): ONE gather
-    prim7 = jnp.concatenate(
-        [centers, radii[:, None], colors[:, :3]], axis=1
-    )[table]  # (T, K, 7)
-    pid_t = table  # (T, K)
-    pv_t = tvalid  # (T, K)
 
     def tile_major(img2d):  # (H', W') → (T, P)
         a = img2d.reshape(tiles_y, TILE, tiles_x, TILE)
@@ -162,7 +217,159 @@ def _raster_impl(
     diry_p = jnp.pad(diry, ((0, Hp - H), (0, Wp - W)))
     dx = tile_major(dirx_p)  # (T, P)
     dy = tile_major(diry_p)
+
+    if engine == "pallas":
+        from viamd_tpu.render.pallas_raster import (
+            BTL, OFFS, raster_rows_pl, raster_tiles_pl,
+        )
+
+        cap = s.home_capacity
+        lt = np.asarray(s.light_dir, np.float32)
+        lt = tuple((lt / np.linalg.norm(lt)).tolist())
+        if tiles_x <= BTL - 1:
+            # halo-row path: the 3×3 union never materializes (prev/cur/
+            # next row halo refs + in-kernel lane rolls)
+            TX = BTL
+            table_h, tvalid_h, counts_h = _build_home_table(
+                sx, sy, valid, tiles_x, tiles_y, cap, stride_x=TX, depth=cw
+            )
+            rgbp = (
+                jnp.round(jnp.clip(colors[:, 0], 0, 1) * 255) * 65536.0
+                + jnp.round(jnp.clip(colors[:, 1], 0, 1) * 255) * 256.0
+                + jnp.round(jnp.clip(colors[:, 2], 0, 1) * 255)
+            )
+            prim6 = jnp.stack(
+                [
+                    centers[:, 0], centers[:, 1], centers[:, 2], radii,
+                    rgbp, jnp.arange(n, dtype=jnp.float32),
+                ],
+                axis=1,
+            )
+            ah = prim6[table_h]  # (T', cap, 6) — ONE row gather
+            ah = jnp.stack(
+                [
+                    ah[..., 0],
+                    ah[..., 1],
+                    # poison invalid slots: t comes out negative, no
+                    # per-slot validity compare in the kernel
+                    jnp.where(tvalid_h, ah[..., 2], 1e6),
+                    jnp.where(tvalid_h, ah[..., 3], 1.0),
+                    ah[..., 4],
+                    jnp.where(tvalid_h, ah[..., 5], -1.0),
+                ],
+                axis=-1,
+            )
+            attr6 = ah.transpose(2, 1, 0)  # (6, cap, T')
+            cnt = counts_h.reshape(tiles_y, TX)
+            rws = jnp.arange(tiles_y)
+            occ_cols = []
+            for oy, ox in OFFS:
+                c = jnp.roll(cnt, (-oy, -ox), axis=(0, 1))
+                c = jnp.where(
+                    ((rws + oy >= 0) & (rws + oy < tiles_y))[:, None], c, 0
+                )
+                occ_cols.append(jnp.max(c[:, :tiles_x], axis=1))
+            occ9 = jnp.stack(occ_cols, -1).astype(jnp.int32)
+            rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_rows_pl(
+                attr6, occ9, proj[0, 0], proj[1, 1],
+                cap=cap, tiles_y=tiles_y, width=W, height=H,
+                ambient=s.ambient, specular=s.specular,
+                shininess=s.shininess, light=lt,
+                background=tuple(s.background),
+                interpret=jax.default_backend() == "cpu",
+            )
+            rgb_t = jnp.stack([rgb_r, rgb_g, rgb_b], -1)
+            d_t = jnp.where(id_t >= 0, d_t, jnp.inf)
+
+            def assemble_p(tiles, ch):
+                t = tiles.reshape(tiles_y, TX, TILE, TILE, *ch)
+                t = jnp.moveaxis(t, 2, 1).reshape(
+                    tiles_y * TILE, TX * TILE, *ch
+                )
+                return t[:H, :W]
+
+            img = jnp.concatenate(
+                [assemble_p(rgb_t, (3,)), assemble_p(a_t, ())[..., None]],
+                axis=-1,
+            )
+            return img, assemble_p(d_t, ()), assemble_p(id_t, ())
+
+        table_h, tvalid_h, counts_h = _build_home_table(
+            sx, sy, valid, tiles_x, tiles_y, cap
+        )
+        # packed (x,y,z,r,rgb,id) candidate attrs: ONE gather; ids ride
+        # as exact f32 VALUES (int bit patterns are flushed denormals)
+        prim8 = jnp.concatenate(
+            [
+                centers, radii[:, None], colors[:, :3],
+                jnp.arange(n, dtype=jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+        # gather + transpose on the SMALL pre-union home table, then the
+        # 3×3 footprint union by rolls directly in the kernel's (8, K, T)
+        # layout (a post-union (T,K,8)→(8,K,T) relayout of the 9× array
+        # measured ~2 ms; this form never materializes channel-minor data)
+        ah = prim8[table_h]  # (T, cap, 8)
+        ah = jnp.concatenate(
+            [
+                ah[..., :7],
+                jnp.where(tvalid_h, ah[..., 7], -1.0)[..., None],
+            ],
+            axis=-1,
+        )
+        a8 = ah.transpose(2, 1, 0).reshape(8, cap, tiles_y, tiles_x)
+        cnt = counts_h.reshape(tiles_y, tiles_x)
+        ry = jnp.arange(tiles_y)
+        rx = jnp.arange(tiles_x)
+        planes = []
+        cnts = []
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                r = jnp.roll(a8, (-oy, -ox), axis=(2, 3))
+                c = jnp.roll(cnt, (-oy, -ox), axis=(0, 1))
+                m = ((ry + oy >= 0) & (ry + oy < tiles_y))[:, None] & (
+                    (rx + ox >= 0) & (rx + ox < tiles_x)
+                )[None, :]
+                pidp = jnp.where(m[None], r[7], -1.0)
+                planes.append(jnp.concatenate([r[:7], pidp[None]], 0))
+                cnts.append(jnp.where(m, c, 0))
+        # concat on the slot axis lands directly in the kernel's
+        # offset-group-major (8, K, T) layout — no post-union relayout
+        attrT = jnp.concatenate(planes, axis=1).reshape(8, 9 * cap, T)
+        counts9 = jnp.stack(cnts, -1).reshape(T, 9)
+        lt = np.asarray(s.light_dir, np.float32)
+        lt = tuple((lt / np.linalg.norm(lt)).tolist())
+        rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_tiles_pl(
+            attrT, counts9, proj[0, 0], proj[1, 1],
+            cap=cap, tiles_x=tiles_x, tiles_y=tiles_y, width=W, height=H,
+            ambient=s.ambient, specular=s.specular,
+            shininess=s.shininess, light=lt, background=tuple(s.background),
+            interpret=jax.default_backend() == "cpu",
+        )
+        rgb_t = jnp.stack([rgb_r, rgb_g, rgb_b], -1)
+        d_t = jnp.where(id_t >= 0, d_t, jnp.inf)
+
+        def assemble(tiles, ch):
+            t = tiles.reshape(tiles_y, tiles_x, TILE, TILE, *ch)
+            t = jnp.moveaxis(t, 2, 1).reshape(
+                tiles_y * TILE, tiles_x * TILE, *ch
+            )
+            return t[:H, :W]
+
+        img = jnp.concatenate(
+            [assemble(rgb_t, (3,)), assemble(a_t, ())[..., None]], axis=-1
+        )
+        return img, assemble(d_t, ()), assemble(id_t, ())
+
     dd = dx * dx + dy * dy + 1.0
+
+    # packed (x, y, z, r, red, green, blue) per (tile, slot): ONE gather
+    prim7 = jnp.concatenate(
+        [centers, radii[:, None], colors[:, :3]], axis=1
+    )[table]  # (T, K, 7)
+    pid_t = table  # (T, K)
+    pv_t = tvalid  # (T, K)
 
     best_t = jnp.full((T, P), 1e30)
     best_id = jnp.full((T, P), -1, jnp.int32)
