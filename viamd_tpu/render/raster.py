@@ -39,7 +39,10 @@ class RasterSettings:
     radius_scale: float = 1.0
     licorice_radius: float = 0.25
     capacity: int = 64  # primitives per tile (XLA engine union table)
-    home_capacity: int = 32  # per home-tile slots (Pallas engine)
+    # per home-tile slots (Pallas engine); 0 → auto from primitive count
+    # vs tile count in render_molecules (nearest-first slot ordering makes
+    # overflow drop only the most-occluded primitives of a crowded tile)
+    home_capacity: int = 0
     ambient: float = 0.25
     specular: float = 0.35
     shininess: float = 48.0
@@ -224,6 +227,13 @@ def _raster_impl(
         )
 
         cap = s.home_capacity
+        if cap == 0:
+            # static per (n, W, H): ~2× the mean primitives-per-tile,
+            # clamped (slot loops are unrolled in the kernel — compile
+            # time bounds the ceiling; nearest-first ordering makes
+            # overflow drop only occluded primitives)
+            auto = int(np.ceil(2.0 * n / T / 8.0)) * 8
+            cap = min(max(auto, 16), 96)
         lt = np.asarray(s.light_dir, np.float32)
         lt = tuple((lt / np.linalg.norm(lt)).tolist())
         if tiles_x <= BTL - 1:
