@@ -411,6 +411,90 @@ class TestVeloxchem:
         assert np.isfinite(img).all()
         assert img[..., 3].max() > 0  # isosurfaces visible
 
+    def _h2_excited(self):
+        """H2-like data + one excited state: pure HOMO→LUMO transition."""
+        from viamd_tpu.io.vlx import ExcitedStates
+
+        qm = self._h2_like()
+        qm.excited = ExcitedStates(
+            energies_ev=np.array([10.0]),
+            oscillator_strengths=np.array([0.5]),
+            rotatory_strengths=np.array([-2.0]),
+            transition_dms=np.array([[[1.0]]], np.float32),  # (S=1,1,1)
+        )
+        return qm
+
+    def test_ntos_pure_transition(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_excited())
+        lam, holes, parts = vlx.ntos(0)
+        assert lam.shape == (1,) and abs(lam[0] - 1.0) < 1e-6
+        # hole == ±HOMO, particle == ±LUMO
+        C = vlx.qm.mo_coeffs
+        assert np.allclose(np.abs(holes[:, 0]), np.abs(C[:, 0]), atol=1e-6)
+        assert np.allclose(np.abs(parts[:, 0]), np.abs(C[:, 1]), atol=1e-6)
+
+    def test_transition_density_equals_product(self, ala_session):
+        """Pure HOMO→LUMO: ρ_T = ψ_HOMO·ψ_LUMO pointwise."""
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_excited())
+        td, origin, vox = vlx.transition_density_grid(0, dims=20)
+        g0, _, _ = vlx.orbital_grid(0, dims=20)
+        g1, _, _ = vlx.orbital_grid(1, dims=20)
+        np.testing.assert_allclose(td, g0 * g1, atol=1e-5)
+
+    def test_nto_and_attachment_grids(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_excited())
+        hole, part, origin, vox = vlx.nto_grid(0, dims=16)
+        g0, _, _ = vlx.orbital_grid(0, dims=16)
+        np.testing.assert_allclose(np.abs(hole), np.abs(g0), atol=1e-5)
+        det, att, _, _ = vlx.attachment_detachment_grids(0, dims=16)
+        assert (det >= -1e-6).all() and (att >= -1e-6).all()
+        np.testing.assert_allclose(det, g0 * g0, atol=1e-5)
+
+    def test_spectra(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_excited())
+        x, y = vlx.absorption_spectrum(broadening_ev=0.4)
+        assert np.isfinite(y).all() and y.max() > 0
+        # peak at the excitation energy
+        assert abs(x[np.argmax(y)] - 10.0) < 0.2
+        x2, y2 = vlx.ecd_spectrum()
+        assert y2.min() < 0  # negative rotatory strength
+        xg, yg = vlx.absorption_spectrum(shape="gaussian")
+        assert np.isfinite(yg).all()
+        # both line shapes integrate to ~the same total strength
+        assert abs(np.trapezoid(yg, xg) - np.trapezoid(y, x)) < 0.05
+
+    def test_transition_analysis(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._h2_excited())
+        ta = vlx.transition_analysis(0)
+        assert ta["energy_ev"] == 10.0
+        assert ta["excitations"][0]["from"] == 0
+        assert ta["excitations"][0]["to"] == 1
+        assert abs(ta["excitations"][0]["weight"] - 1.0) < 1e-6
+        assert ta["rotatory_strength"] == -2.0
+
+
+class TestRamachandranSelection:
+    def test_select_in_plot(self, ala_session):
+        rama = ala_session.components["ramachandran"]
+        phi, psi = rama.compute_angles()
+        # full box selects every residue with finite angles
+        res, mask = rama.select_in_plot((-180, 180), (-180, 180))
+        finite = np.isfinite(phi).any(0) & np.isfinite(psi).any(0)
+        assert res.size == int(finite.sum())
+        assert mask.popcount() > 0
+        # empty box selects nothing
+        res0, mask0 = rama.select_in_plot((179.9, 180), (179.9, 180))
+        if res0.size == 0:
+            assert mask0.popcount() == 0
+        # wrap-around range covers the whole circle minus a sliver
+        resw, _ = rama.select_in_plot((-180, 180), (170, -170))
+        assert resw.size <= res.size
+
 
 class TestSelectionUtils:
     def test_grow_by_bonds(self, ala_session):

@@ -145,3 +145,39 @@ class RamachandranComponent:
             k = np.searchsorted(csum, f * total)
             out.append(float(flat[min(k, flat.size - 1)]))
         return out
+
+
+    def select_in_plot(
+        self, phi_range, psi_range, frame: int | None = None,
+        degrees: bool = True,
+    ):
+        """The plot's interactive selection (reference: click/drag in the
+        Ramachandran window selects the residues whose (φ, ψ) fall in the
+        box, ramachandran.cpp). Returns (residue_indices, atom_bitfield)
+        for backbone residues inside [phi_lo, phi_hi] × [psi_lo, psi_hi]
+        at `frame` (None → all frames, a residue matches if ANY frame
+        does). Ranges in degrees by default; wrap-around ranges (lo > hi)
+        are honored."""
+        from viamd_tpu.core.bitfield import Bitfield
+
+        phi, psi = self.angles()
+        if frame is not None:
+            phi, psi = phi[frame : frame + 1], psi[frame : frame + 1]
+        if degrees:
+            phi = np.degrees(phi)
+            psi = np.degrees(psi)
+
+        def in_range(a, lo, hi):
+            return (a >= lo) & (a <= hi) if lo <= hi else (a >= lo) | (a <= hi)
+
+        ok = (
+            in_range(phi, *phi_range)
+            & in_range(psi, *psi_range)
+            & np.isfinite(phi)
+            & np.isfinite(psi)
+        ).any(axis=0)
+        sys = self.session.system
+        bb = sys.backbone
+        res = np.asarray(bb.res_idx)[ok]
+        sel = np.isin(np.asarray(sys.atom_res_idx), res)
+        return res, Bitfield.from_bools(sel)

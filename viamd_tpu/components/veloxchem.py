@@ -114,3 +114,170 @@ class VeloxchemComponent:
             cam.proj_matrix(width, height), settings,
         )
         return np.asarray(img), np.asarray(depth)
+
+    # ---- excited states (rsp data: response spectra + transition
+    # analysis + NTO windows, veloxchem.cpp) ----
+
+    def _excited(self):
+        if self.qm is None or self.qm.excited is None:
+            raise ValueError("no excited-state (rsp) data loaded")
+        return self.qm.excited
+
+    def _split_occ_virt(self):
+        qm = self.qm
+        no = qm.n_occupied
+        return qm.mo_coeffs[:, :no], qm.mo_coeffs[:, no:]
+
+    def ntos(self, state: int):
+        """Natural transition orbitals of one excited state.
+
+        SVD of the occ×virt transition amplitude matrix: T = U Σ Vᵀ →
+        hole_k = C_occ·u_k, particle_k = C_virt·v_k with weight λ_k = σ_k²
+        (Σλ = ‖T‖²). Returns (weights (R,), holes (nbasis, R),
+        particles (nbasis, R)) sorted by descending weight."""
+        exc = self._excited()
+        if exc.transition_dms is None:
+            raise ValueError("rsp data has no transition density matrices")
+        T = np.asarray(exc.transition_dms[state], np.float64)
+        Co, Cv = self._split_occ_virt()
+        if T.shape != (Co.shape[1], Cv.shape[1]):
+            raise ValueError(
+                f"transition matrix {T.shape} vs occ/virt "
+                f"({Co.shape[1]}, {Cv.shape[1]})"
+            )
+        U, sig, Vt = np.linalg.svd(T, full_matrices=False)
+        holes = (Co @ U).astype(np.float32)
+        parts = (Cv @ Vt.T).astype(np.float32)
+        return (sig**2).astype(np.float64), holes, parts
+
+    def nto_grid(self, state: int, pair: int = 0, dims: int = 64):
+        """(hole_grid, particle_grid, origin, voxel) of one NTO pair."""
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.gto import eval_gto_grid
+
+        _, holes, parts = self.ntos(state)
+        origin, vox = self._grid_geometry(dims)
+        out = []
+        for vec in (holes[:, pair], parts[:, pair]):
+            centers, exps, c, lmn = self.qm.primitives_for_vectors(vec)
+            g = eval_gto_grid(
+                jnp.asarray(centers), jnp.asarray(exps),
+                jnp.asarray(c[:, 0]), jnp.asarray(lmn),
+                jnp.asarray(origin), jnp.asarray(vox), (dims, dims, dims),
+            )
+            out.append(np.asarray(g))
+        return out[0], out[1], origin, vox
+
+    def transition_density_grid(self, state: int, dims: int = 64):
+        """ρ_T(r) = Σ_ia T_ia ψ_i ψ_a → (grid, origin, voxel)."""
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.gto import transition_density_grid
+
+        exc = self._excited()
+        if exc.transition_dms is None:
+            raise ValueError("rsp data has no transition density matrices")
+        Co, Cv = self._split_occ_virt()
+        centers, exps, Cop, lmn = self.qm.primitives_for_vectors(Co)
+        _, _, Cvp, _ = self.qm.primitives_for_vectors(Cv)
+        origin, vox = self._grid_geometry(dims)
+        g = transition_density_grid(
+            jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(Cop),
+            jnp.asarray(Cvp), exc.transition_dms[state], jnp.asarray(lmn),
+            jnp.asarray(origin), jnp.asarray(vox), (dims, dims, dims),
+        )
+        return np.asarray(g), origin, vox
+
+    def attachment_detachment_grids(self, state: int, dims: int = 64):
+        """Attachment (particle) and detachment (hole) densities from the
+        NTO decomposition: Σ_k λ_k ψ²  → (detach, attach, origin, voxel)."""
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.gto import density_grid
+
+        lam, holes, parts = self.ntos(state)
+        origin, vox = self._grid_geometry(dims)
+        out = []
+        for vecs in (holes, parts):
+            centers, exps, C, lmn = self.qm.primitives_for_vectors(vecs)
+            g = density_grid(
+                jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
+                jnp.asarray(lmn), jnp.asarray(origin), jnp.asarray(vox),
+                (dims, dims, dims), occupations=lam.astype(np.float32),
+            )
+            out.append(np.asarray(g))
+        return out[0], out[1], origin, vox
+
+    def transition_analysis(self, state: int, top: int = 8):
+        """Dominant orbital excitations of one state (the transition
+        analysis window): list of dicts {from, to, amplitude, weight}
+        sorted by |amplitude|, plus the state's energy/strengths."""
+        exc = self._excited()
+        if exc.transition_dms is None:
+            raise ValueError("rsp data has no transition density matrices")
+        T = np.asarray(exc.transition_dms[state])
+        no = self.qm.n_occupied
+        norm2 = float((T**2).sum()) or 1.0
+        flat = np.argsort(-np.abs(T).ravel())[:top]
+        rows = [
+            {
+                "from": int(i // T.shape[1]),  # occupied MO index
+                "to": int(no + i % T.shape[1]),  # virtual MO index
+                "amplitude": float(T.ravel()[i]),
+                "weight": float(T.ravel()[i] ** 2 / norm2),
+            }
+            for i in flat
+        ]
+        out = {
+            "energy_ev": float(exc.energies_ev[state]),
+            "oscillator_strength": float(exc.oscillator_strengths[state]),
+            "excitations": rows,
+        }
+        if exc.rotatory_strengths is not None:
+            out["rotatory_strength"] = float(exc.rotatory_strengths[state])
+        return out
+
+    def absorption_spectrum(
+        self, x_ev: np.ndarray | None = None, broadening_ev: float = 0.3,
+        shape: str = "lorentzian",
+    ):
+        """Broadened one-photon absorption spectrum from oscillator
+        strengths (the response spectra window) → (x_ev, intensity)."""
+        exc = self._excited()
+        return _broaden(
+            exc.energies_ev, exc.oscillator_strengths, x_ev, broadening_ev,
+            shape,
+        )
+
+    def ecd_spectrum(
+        self, x_ev: np.ndarray | None = None, broadening_ev: float = 0.3,
+        shape: str = "lorentzian",
+    ):
+        """Electronic circular dichroism from rotatory strengths →
+        (x_ev, Δε arbitrary units)."""
+        exc = self._excited()
+        if exc.rotatory_strengths is None:
+            raise ValueError("rsp data has no rotatory strengths")
+        return _broaden(
+            exc.energies_ev, exc.rotatory_strengths, x_ev, broadening_ev,
+            shape,
+        )
+
+
+def _broaden(centers_ev, strengths, x_ev, width_ev, shape):
+    c = np.asarray(centers_ev, np.float64)
+    s = np.asarray(strengths, np.float64)
+    if x_ev is None:
+        lo = max(c.min() - 5 * width_ev, 0.0)
+        x_ev = np.linspace(lo, c.max() + 5 * width_ev, 512)
+    x = np.asarray(x_ev, np.float64)
+    d = x[:, None] - c[None, :]
+    if shape == "lorentzian":
+        g = (width_ev / (2 * np.pi)) / (d**2 + (width_ev / 2) ** 2)
+    elif shape == "gaussian":
+        sg = width_ev / 2.3548200450309493  # FWHM → σ
+        g = np.exp(-0.5 * (d / sg) ** 2) / (sg * np.sqrt(2 * np.pi))
+    else:
+        raise ValueError(f"unknown line shape '{shape}'")
+    return x, g @ s

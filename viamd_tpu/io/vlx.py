@@ -40,6 +40,30 @@ class Shell:
     contraction: np.ndarray  # (nprim,)
 
 
+HARTREE_EV = 27.211386245988
+
+
+@dataclass
+class ExcitedStates:
+    """Response/excited-state results (the md_vlx rsp data: reference
+    veloxchem.cpp response spectra + transition analysis windows).
+
+    `transition_dms[s]` is the occ×virt transition amplitude matrix of
+    state s in the MO basis (CI/response eigenvector reshaped); NTOs and
+    transition densities derive from it."""
+
+    energies_ev: np.ndarray  # (S,)
+    oscillator_strengths: np.ndarray  # (S,)
+    rotatory_strengths: np.ndarray | None = None  # (S,) 10⁻⁴⁰ cgs
+    transition_dms: np.ndarray | None = None  # (S, nocc, nvirt)
+    electric_tdms: np.ndarray | None = None  # (S, 3) a.u.
+    magnetic_tdms: np.ndarray | None = None  # (S, 3) a.u.
+
+    @property
+    def n_states(self) -> int:
+        return len(self.energies_ev)
+
+
 @dataclass
 class QMData:
     atom_coords: np.ndarray  # (na, 3) Bohr
@@ -48,8 +72,15 @@ class QMData:
     mo_coeffs: np.ndarray  # (nbasis_cart, nmo)
     mo_energies: np.ndarray | None = None
     mo_occupations: np.ndarray | None = None
+    excited: ExcitedStates | None = None
     # expanded primitive arrays (built lazily)
     _prims: tuple | None = field(default=None, repr=False)
+
+    @property
+    def n_occupied(self) -> int:
+        if self.mo_occupations is not None:
+            return int(np.sum(np.asarray(self.mo_occupations) > 0))
+        return int(np.sum(self.atom_numbers)) // 2
 
     @property
     def n_orbitals(self) -> int:
@@ -66,6 +97,18 @@ class QMData:
         """(centers, exponents, coeff_matrix (K, nmo), lmn)."""
         centers, exps, lmn, basis_idx, cnorm = self._expand()
         C = self.mo_coeffs[basis_idx, :] * cnorm[:, None]
+        return centers, exps, C.astype(np.float32), lmn
+
+    def primitives_for_vectors(self, vectors: np.ndarray):
+        """Primitive expansion of arbitrary orbitals given as MO-basis
+        columns already contracted to the AO basis: `vectors` is
+        (nbasis_cart, M) — e.g. NTO hole/particle vectors C_occ @ U.
+        Returns (centers, exponents, coeffs (K, M), lmn)."""
+        centers, exps, lmn, basis_idx, cnorm = self._expand()
+        V = np.asarray(vectors, np.float32)
+        if V.ndim == 1:
+            V = V[:, None]
+        C = V[basis_idx, :] * cnorm[:, None]
         return centers, exps, C.astype(np.float32), lmn
 
     def _expand(self):
@@ -159,10 +202,55 @@ def load_vlx_h5(path: str) -> QMData:
                 f"no basis group in '{path}' — construct QMData.from_arrays "
                 "with an explicit shell list"
             )
+        # response section (best-effort, same drift caveat): energies in
+        # Hartree unless a key says eV
+        exc = None
+        ev = _find(
+            f, "rsp/eigenvalues", "rsp/excitation_energies",
+            "excitation_energies", "rsp/energies",
+        )
+        osc = _find(
+            f, "rsp/oscillator_strengths", "oscillator_strengths",
+            "rsp/oscillator strengths",
+        )
+        if ev is not None and osc is not None:
+            rot = _find(
+                f, "rsp/rotatory_strengths", "rotatory_strengths",
+                "rsp/rotatory strengths",
+            )
+            tdm = _find(
+                f, "rsp/transition_density_matrices", "rsp/eigenvectors",
+                "transition_density_matrices",
+            )
+            etdm = _find(
+                f, "rsp/electric_transition_dipoles",
+                "electric_transition_dipoles",
+            )
+            mtdm = _find(
+                f, "rsp/magnetic_transition_dipoles",
+                "magnetic_transition_dipoles",
+            )
+            exc = ExcitedStates(
+                energies_ev=np.asarray(ev, np.float64) * HARTREE_EV,
+                oscillator_strengths=np.asarray(osc, np.float64),
+                rotatory_strengths=(
+                    np.asarray(rot, np.float64) if rot is not None else None
+                ),
+                transition_dms=(
+                    np.asarray(tdm, np.float32) if tdm is not None else None
+                ),
+                electric_tdms=(
+                    np.asarray(etdm, np.float64) if etdm is not None else None
+                ),
+                magnetic_tdms=(
+                    np.asarray(mtdm, np.float64) if mtdm is not None else None
+                ),
+            )
         return QMData(
             np.asarray(coords, np.float32),
             np.asarray(charges).astype(np.int32),
             shells,
             np.asarray(C, np.float32),
             mo_energies=energies,
+            excited=exc,
         )

@@ -150,3 +150,40 @@ def density_grid(
 
     _, vals = jax.lax.scan(body, 0, None, length=P_pad // chunk)
     return vals.reshape(-1)[:P].reshape(nx, ny, nz)
+
+
+def transition_density_grid(
+    centers, exponents, C_occ, C_virt, T, lmn, origin, voxel, dims,
+    chunk: int = 8192,
+):
+    """One-particle transition density ρ_T(r) = Σ_ia T_ia ψ_i(r) ψ_a(r)
+    on a grid — the md_gto transition-density capability behind the
+    reference's transition analysis window (veloxchem.cpp orbital grids).
+
+    C_occ: (K, nocc) primitive-expanded occupied MOs, C_virt: (K, nvirt),
+    T: (nocc, nvirt) transition amplitudes. Both Φ blocks and the
+    (chunk, nocc) @ (nocc, nvirt) contraction run on the MXU."""
+    import jax.numpy as jnp
+
+    T = jnp.asarray(T, jnp.float32)
+    nx, ny, nz = dims
+    P = nx * ny * nz
+    ii = jnp.arange(P, dtype=jnp.int32)
+    iz = ii % nz
+    iy = (ii // nz) % ny
+    ix = ii // (ny * nz)
+    pts = origin[None, :] + (
+        jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5
+    ) * voxel[None, :]
+    P_pad = -(-P // chunk) * chunk
+    pts = jnp.pad(pts, ((0, P_pad - P), (0, 0)))
+
+    def body(c0, _):
+        block = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
+        phi_o = eval_gto(block, centers, exponents, C_occ, lmn)  # (c, nocc)
+        phi_v = eval_gto(block, centers, exponents, C_virt, lmn)  # (c, nvirt)
+        mixed = jnp.dot(phi_o, T, preferred_element_type=jnp.float32)
+        return c0 + chunk, jnp.sum(mixed * phi_v, axis=1)
+
+    _, vals = jax.lax.scan(body, 0, None, length=P_pad // chunk)
+    return vals.reshape(-1)[:P].reshape(nx, ny, nz)
