@@ -128,6 +128,29 @@ class TestSession:
         hits = pick[pick >= 0]
         assert hits.size > 0
 
+    def test_select_at_and_rect(self, ala_session):
+        s = ala_session
+        _, _, pick = s.render(64, 64)
+        ys, xs = np.nonzero(pick >= 0)
+        y, x = int(ys[len(ys) // 2]), int(xs[len(ys) // 2])
+        atom = int(pick[y, x])
+        # atom-level pick-select
+        m = s.select_at(x, y, "atom", 64, 64)
+        assert m.popcount() == 1 and m.test_bit(atom)
+        # residue-level covers the atom's whole residue
+        mr = s.select_at(x, y, "residue", 64, 64)
+        res = int(s.system.atom_res_idx[atom])
+        n_in_res = int((np.asarray(s.system.atom_res_idx) == res).sum())
+        assert mr.popcount() == n_in_res and mr.test_bit(atom)
+        # rect select over the full viewport sees every visible atom
+        mrect = s.select_rect(0, 0, 63, 63, 64, 64)
+        assert mrect.popcount() == np.unique(pick[pick >= 0]).size
+        # add/remove modes compose
+        s.select_rect(0, 0, 63, 63, 64, 64, mode="replace")
+        before = s.selection.popcount()
+        s.select_at(x, y, "atom", 64, 64, mode="remove")
+        assert s.selection.popcount() == before - 1
+
     def test_async_eval(self, ala_session):
         s = ala_session
         s.set_script("d1 = distance(1, 6);")

@@ -503,6 +503,59 @@ class Session:
         _, _, picking = self.render(width, height)
         return int(picking[y, x])
 
+    def select_at(
+        self, x: int, y: int, level: str = "atom",
+        width: int = 512, height: int = 512, mode: str = "replace",
+    ) -> Bitfield:
+        """Select the atom/residue/chain under a pixel (the click-select +
+        granularity popup behavior, main.cpp draw_context_popup:2747).
+        `mode`: replace | add | remove (the reference's click modifiers)."""
+        idx = self.pick(x, y, width, height)
+        mask = Bitfield(self.system.natoms)
+        if idx >= 0:
+            if level == "atom":
+                mask.set_bit(idx)
+            elif level == "residue":
+                r = int(self.system.atom_res_idx[idx])
+                mask = Bitfield.from_bools(
+                    np.asarray(self.system.atom_res_idx) == r
+                )
+            elif level == "chain":
+                ch = np.asarray(self.system.atom_chain_idx)
+                mask = Bitfield.from_bools(ch == int(ch[idx]))
+            else:
+                raise ValueError(f"unknown level '{level}'")
+        return self._combine_selection(mask, mode)
+
+    def select_rect(
+        self, x0: int, y0: int, x1: int, y1: int,
+        width: int = 512, height: int = 512, mode: str = "replace",
+    ) -> Bitfield:
+        """Region (drag-rectangle) selection from the picking buffer —
+        the interaction surface's region-select (viamd.h:1739-1763):
+        every atom whose impostor is visible inside the rect."""
+        _, _, picking = self.render(width, height)
+        xa, xb = sorted((int(x0), int(x1)))
+        ya, yb = sorted((int(y0), int(y1)))
+        ids = picking[ya : yb + 1, xa : xb + 1]
+        ids = np.unique(ids[ids >= 0]).astype(np.int64)
+        sel = np.zeros(self.system.natoms, bool)
+        sel[ids] = True
+        return self._combine_selection(Bitfield.from_bools(sel), mode)
+
+    def _combine_selection(self, mask: Bitfield, mode: str) -> Bitfield:
+        if mode == "replace":
+            self.selection = mask
+        elif mode == "add":
+            self.selection = (self.selection | mask) if self.selection else mask
+        elif mode == "remove":
+            if self.selection:
+                self.selection = self.selection.andnot(mask)
+        else:
+            raise ValueError(f"unknown selection mode '{mode}'")
+        self.events.broadcast(EventType.SELECTION_CHANGED, self)
+        return self.selection
+
     # -- tick (main-loop analog) ---------------------------------------------
     def tick(self):
         """Process queued events + pinned tasks (one main-loop iteration's
