@@ -798,3 +798,97 @@ class TestAtomSharding:
             )
         )
         np.testing.assert_allclose(sharded, dense, atol=1e-2)
+
+
+class TestPBCInvariants:
+    """Property tests (SURVEY §4): analysis results must be invariant to
+    lattice translations and whole-box wraps of the input coordinates."""
+
+    def _rand_sys(self, seed, n=200, L=24.0):
+        rng = np.random.RandomState(seed)
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        return x, L
+
+    def test_rdf_translation_invariant(self):
+        from viamd_tpu.ops import rdf as rdf_ops
+
+        x, L = self._rand_sys(11)
+        basis, inv = ortho_cell(L)
+        wa = np.zeros(len(x), np.float32)
+        wa[::2] = 1
+        wb = np.zeros(len(x), np.float32)
+        wb[1::2] = 1
+        h0 = np.asarray(rdf_ops.pair_dist_histogram(
+            jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+            basis, inv, 64, 6.0, tile=64))
+        rng = np.random.RandomState(12)
+        for _ in range(3):
+            shift = rng.uniform(-2 * L, 2 * L, 3).astype(np.float32)
+            xs = (x + shift) % L  # translate + wrap
+            h1 = np.asarray(rdf_ops.pair_dist_histogram(
+                jnp.asarray(xs), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, 64, 6.0, tile=64))
+            np.testing.assert_allclose(h1, h0, atol=1e-2)
+
+    def test_pallas_rdf_translation_invariant(self):
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        x, L = self._rand_sys(13, n=400)
+        idx = np.arange(0, len(x), 2, dtype=np.int32)
+        r_max = 5.0
+        dims, cap = choose_grid_r(np.array([L] * 3), r_max, idx.size, radius=1)
+        cap += 8
+        box = jnp.asarray([L, L, L], jnp.float32)
+
+        def hist(xx):
+            return np.asarray(pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(xx), jnp.asarray(idx), jnp.asarray(idx), box,
+                128, r_max, dims, cap, cap, radius=1, symmetric=True,
+                widths=tuple(L / d for d in dims), interpret=True))
+
+        h0 = hist(x)
+        rng = np.random.RandomState(14)
+        shift = rng.uniform(-L, L, 3).astype(np.float32)
+        np.testing.assert_allclose(hist((x + shift) % L), h0, atol=1e-2)
+
+    def test_com_wrap_invariant(self):
+        from viamd_tpu.ops import com as com_ops
+        from viamd_tpu.ops.pbc import min_image
+
+        x, L = self._rand_sys(15, n=40)
+        basis, inv = ortho_cell(L)
+        # cluster the atoms so the COM is well-defined under PBC
+        x = (x * 0.1 + L * 0.7).astype(np.float32) % L
+        w = np.ones(len(x), np.float32)
+        c0 = np.asarray(com_ops.com(
+            jnp.asarray(x), jnp.asarray(w), basis, inv))
+        shift = np.array([L * 0.4, -L * 0.8, L * 1.3], np.float32)
+        c1 = np.asarray(com_ops.com(
+            jnp.asarray((x + shift) % L), jnp.asarray(w), basis, inv))
+        # COMs must agree up to the same lattice translation (min-image 0)
+        d = np.asarray(min_image(
+            jnp.asarray((c1 - (c0 + shift)) % L)[None], basis, inv))[0]
+        assert np.linalg.norm(d) < 1e-2
+
+    def test_shape_weights_rigid_motion_invariant(self):
+        from viamd_tpu.ops import covariance as cov_ops
+
+        rng = np.random.RandomState(16)
+        x = rng.normal(size=(60, 3)).astype(np.float32) * [3.0, 1.5, 0.5]
+        w = np.ones(60, np.float32)
+
+        big = ortho_cell(1e6)  # effectively aperiodic
+
+        def weights(xx):
+            return np.asarray(
+                cov_ops.shape_weights(jnp.asarray(xx), jnp.asarray(w), *big)
+            )
+
+        w0 = weights(x)
+        # random rotation + translation
+        q = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        w1 = weights(x @ q.T + np.float32(7.5))
+        np.testing.assert_allclose(w1, w0, atol=1e-4)
