@@ -128,6 +128,26 @@ class TestSession:
         hits = pick[pick >= 0]
         assert hits.size > 0
 
+    def test_load_demo_default_script(self):
+        """The built-in demo runs the reference's DEFAULT SCRIPT verbatim
+        (main.cpp:513-530) — selection slice, distance, angle-in-context,
+        rdf, sdf and shape_weights all compile and evaluate."""
+        from viamd_tpu.app import Session
+
+        s = Session(num_workers=2)
+        try:
+            s.load_demo(n_res=12, n_frames=6)
+            assert s.compiled is not None and not s.script_errors
+            res = s.evaluate(chunk=3)
+            assert res.n_frames_done == 6
+            assert set(res.temporal) == {"d1", "a1", "lin", "plan", "iso"}
+            assert list(res.distributions) == ["r"]
+            assert list(res.volumes) == ["v"]
+            img, _, pick = s.render(64, 64)
+            assert (pick >= 0).sum() > 0
+        finally:
+            s.shutdown()
+
     def test_select_at_and_rect(self, ala_session):
         s = ala_session
         _, _, pick = s.render(64, 64)

@@ -24,7 +24,12 @@ def _load_session(files):
 
     s = Session()
     for f in files:
-        s.load(f)
+        if f == "demo":
+            # built-in demo dataset + the reference's default script
+            # (main.cpp:513-530): `viamd-tpu eval demo`, `render demo`, …
+            s.load_demo()
+        else:
+            s.load(f)
     return s
 
 
@@ -46,7 +51,10 @@ def cmd_eval(args):
     script = (
         open(args.script_file).read() if args.script_file else args.script
     )
-    s.set_script(script)
+    if script or not s.script_text:
+        s.set_script(script)
+    elif s.compiled is None:
+        s.compile_script()  # keep a script injected by the loaded files
     if s.script_errors:
         print("script error:", s.script_errors[0], file=sys.stderr)
         return 1

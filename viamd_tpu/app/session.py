@@ -125,6 +125,35 @@ class Session:
             self.events.broadcast(EventType.TRAJECTORY_INIT, self)
         return self
 
+    def load_demo(self, n_res: int = 64, n_frames: int = 100) -> "Session":
+        """Load the built-in demo: a poly-alanine helix trajectory + the
+        reference's default script (main.cpp:513-530 ships 1ALA-500.pdb
+        with exactly this script — selection, distance, angle, rdf, sdf
+        and shape_weights as a standing smoke test)."""
+        from viamd_tpu.datagen import polyala_helix
+
+        sys, traj = polyala_helix(n_res=n_res, n_frames=n_frames)
+        self.system = sys
+        self.files["system"] = "<demo:polyala>"
+        lo, hi = sys.aabb()
+        self.camera = cam_mod.compute_optimal_view(lo, hi)
+        self.selection = Bitfield(sys.natoms)
+        self.highlight = Bitfield(sys.natoms)
+        if not self.representations:
+            self.representations.append(Representation())
+        self._update_representations()
+        self.events.broadcast(EventType.SYSTEM_INIT, self)
+        self.set_trajectory(traj)
+        self.set_script(
+            's1 = resname("ALA")[2:8];\n'
+            "d1 = distance(10,30);\n"
+            'a1 = angle(2,1,3) in resname("ALA");\n'
+            "r = rdf(element('C'), element('H'), 10.0);\n"
+            "v = sdf(s1, element('H'), 10.0);\n"
+            "{lin,plan,iso} = shape_weights(all);"
+        )
+        return self
+
     def set_trajectory(self, traj: Trajectory):
         self.trajectory = CachedTrajectory(traj)
         self.events.broadcast(EventType.TRAJECTORY_INIT, self)
