@@ -212,6 +212,39 @@ class TestRaster:
         )
         assert pick[16, 16] == 1  # nearer sphere wins
 
+    def test_bond_capsules(self):
+        """Licorice bonds are true cylinder impostors: continuous
+        coverage along the bond, split color + picking at the midpoint
+        (md_gl LICORICE semantics)."""
+        from viamd_tpu.render import raster as R
+
+        cam = C.Camera(
+            eye=np.array([0.0, 0, 10.0]), center=np.zeros(3),
+            up=np.array([0.0, 1, 0]),
+        )
+        pos = np.array([[-2.0, 0, 0], [2.0, 0, 0]], np.float32)
+        radii = np.array([1.0, 1.0], np.float32)
+        cols = np.array([[1, 0, 0, 1], [0, 0, 1, 1]], np.float32)
+        bonds = np.array([[0, 1]], np.int32)
+        s = R.RasterSettings(width=96, height=96, rep="licorice")
+        img, depth, pick = R.render_molecules(
+            pos, radii, cols, cam.view_matrix(), cam.proj_matrix(96, 96),
+            s, bonds=bonds,
+        )
+        row = img[48]  # scanline through the bond axis
+        xs = np.nonzero(row[:, 3] > 0)[0]
+        # continuous: no gaps along the bond between the two atoms
+        assert xs.size > 0 and np.all(np.diff(xs) == 1)
+        # midpoint halves pick their OWNER atoms and carry their colors
+        mid = 48
+        left = pick[48, mid - 6]
+        right = pick[48, mid + 6]
+        assert left == 0 and right == 1
+        assert row[mid - 6, 0] > row[mid - 6, 2]  # red half
+        assert row[mid + 6, 2] > row[mid + 6, 0]  # blue half
+        # bond pixels sit at the capsule radius depth, not background
+        assert np.isfinite(depth[48, mid - 6])
+
     def test_pallas_engine_matches_xla(self):
         """Halo-row Pallas kernel (interpret) vs the XLA reference form:
         identical picking, identical hit mask, color equal to 8-bit
@@ -228,7 +261,7 @@ class TestRaster:
         proj = np.eye(4, dtype=np.float32)
         proj[0, 0] = 1.2
         proj[1, 1] = 1.6
-        bonds = jnp.zeros((0, 2), jnp.int32)
+        bonds = jnp.zeros((0, 12), jnp.float32)
         args = (jnp.asarray(cen), jnp.asarray(rad), jnp.asarray(col), bonds,
                 jnp.asarray(proj))
         a = _raster_impl(

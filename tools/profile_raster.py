@@ -34,7 +34,7 @@ def main():
         perspective(np.radians(45.0), 1920 / 1080, 1.0, 500.0), jnp.float32
     )
     st = RasterSettings(width=1920, height=1080, rep="spacefill")
-    bonds = jnp.zeros((0, 2), jnp.int32)
+    bonds = jnp.zeros((0, 12), jnp.float32)
 
     @jax.jit
     def many(xx, rr, cc, vv, pp):

@@ -161,7 +161,7 @@ def _raster_impl(
     centers,  # (n,3) view-space sphere centers
     radii,  # (n,)
     colors,  # (n,4)
-    bond_pairs,  # (m,2) int32 (may be (0,2))
+    cyl12,  # (m,12) view-space cylinders: p0(3) axis(3) len r rgb(3) pick
     proj,  # (4,4)
     settings: RasterSettings,
 ):
@@ -169,6 +169,7 @@ def _raster_impl(
     W, H = s.width, s.height
     tiles_x, tiles_y = -(-W // TILE), -(-H // TILE)
     n = centers.shape[0]
+    m_cyl = cyl12.shape[0]
 
     # project to screen
     x, y, z = centers[:, 0], centers[:, 1], centers[:, 2]
@@ -185,6 +186,8 @@ def _raster_impl(
         engine = "xla" if jax.default_backend() == "cpu" else "pallas"
     if engine == "pallas" and n >= (1 << 24):
         engine = "xla"  # ids must stay exact as f32 values
+    if m_cyl:
+        engine = "xla"  # capsule impostors: XLA engine only (for now)
 
     if engine == "xla":
         table, tvalid, tcounts = _build_tile_table(
@@ -425,6 +428,81 @@ def _raster_impl(
              best_r, best_g, best_b),
         )
     )
+
+    if m_cyl:
+        # bond capsules: open finite cylinders (the sphere impostors at
+        # the endpoints are the caps — md_gl LICORICE/BALL_AND_STICK).
+        # Each cylinder registers into the tile table at BOTH endpoint
+        # projections, so screen-long bonds still land in every tile
+        # their halves touch.
+        p0 = cyl12[:, 0:3]
+        p1 = p0 + cyl12[:, 3:6] * cyl12[:, 6:7]
+        sxy = []
+        for pe in (p0, p1):
+            cwc = jnp.maximum(-pe[:, 2], 1e-6)
+            sxy.append(
+                (
+                    (proj[0, 0] * pe[:, 0] / cwc * 0.5 + 0.5) * W,
+                    (proj[1, 1] * pe[:, 1] / cwc * 0.5 + 0.5) * H,
+                    -pe[:, 2] > 1e-6,
+                )
+            )
+        csx = jnp.concatenate([a[0] for a in sxy])
+        csy = jnp.concatenate([a[1] for a in sxy])
+        cvalid = jnp.concatenate([a[2] for a in sxy])
+        crpx = jnp.concatenate(
+            [cyl12[:, 7] * proj[1, 1] / jnp.maximum(-pe[:, 2], 1e-6)
+             * 0.5 * H for pe in (p0, p1)]
+        )
+        ctable, ctvalid, _ = _build_tile_table(
+            csx, csy, crpx, cvalid, tiles_x, tiles_y, s.capacity
+        )
+        cyl_t = cyl12[ctable % m_cyl]  # (T, K, 12)
+        cv_t = ctvalid
+
+        def cbody(k, carry):
+            bt, bid, bnx, bny, bnz, br, bg_, bb = carry
+            c12 = jax.lax.dynamic_index_in_dim(
+                cyl_t, k, axis=1, keepdims=False
+            )  # (T, 12)
+            px, py, pz = c12[:, 0:1], c12[:, 1:2], c12[:, 2:3]
+            ax, ay, az = c12[:, 3:4], c12[:, 4:5], c12[:, 5:6]
+            Lk, rk = c12[:, 6:7], c12[:, 7:8]
+            cvk = jax.lax.dynamic_index_in_dim(cv_t, k, axis=1)
+            # ray o=0, d=(dx,dy,-1) vs infinite cylinder about (p, a),
+            # then clamp the axial parameter to [0, L]
+            da = dx * ax + dy * ay - az
+            dp = dx * px + dy * py - pz
+            pa = px * ax + py * ay + pz * az
+            pp = px * px + py * py + pz * pz
+            A = jnp.maximum(dd - da * da, 1e-9)
+            B = dp - da * pa
+            C = pp - pa * pa - rk * rk
+            disc = B * B - A * C
+            t = (B - jnp.sqrt(jnp.maximum(disc, 0.0))) / A
+            sax = t * da - pa
+            ok = (
+                cvk & (disc > 0) & (t > 1e-6) & (t < bt)
+                & (sax >= 0) & (sax <= Lk)
+            )
+            inv = 1.0 / jnp.maximum(rk, 1e-12)
+            bt = jnp.where(ok, t, bt)
+            bid = jnp.where(ok, c12[:, 11:12].astype(jnp.int32), bid)
+            bnx = jnp.where(ok, (dx * t - px - sax * ax) * inv, bnx)
+            bny = jnp.where(ok, (dy * t - py - sax * ay) * inv, bny)
+            bnz = jnp.where(ok, (-t - pz - sax * az) * inv, bnz)
+            br = jnp.where(ok, c12[:, 8:9], br)
+            bg_ = jnp.where(ok, c12[:, 9:10], bg_)
+            bb = jnp.where(ok, c12[:, 10:11], bb)
+            return bt, bid, bnx, bny, bnz, br, bg_, bb
+
+        (best_t, best_id, best_nx, best_ny, best_nz, best_r, best_g,
+         best_b) = jax.lax.fori_loop(
+            0, s.capacity, cbody,
+            (best_t, best_id, best_nx, best_ny, best_nz,
+             best_r, best_g, best_b),
+        )
+
     hit = best_id >= 0
     best_n = jnp.stack([best_nx, best_ny, best_nz], -1)
     best_rgb = jnp.stack([best_r, best_g, best_b], -1)
@@ -471,41 +549,49 @@ def render_molecules(
     vm = np.asarray(view, np.float32)
     pv = pos @ vm[:3, :3].T + vm[:3, 3]
     rad = np.asarray(radii, np.float32) * s.radius_scale
+    cyl12 = np.zeros((0, 12), np.float32)
     if s.rep in ("licorice", "ballstick"):
         atom_r = (
             np.full_like(rad, s.licorice_radius)
             if s.rep == "licorice"
             else rad * 0.35
         )
-        prim_pos = [pv]
-        prim_rad = [atom_r]
-        prim_col = [np.asarray(colors, np.float32)]
+        rad = atom_r
+        cols = np.asarray(colors, np.float32)
+        pick_src = np.arange(pos.shape[0], dtype=np.int32)
         if bonds is not None and len(bonds):
-            # capsule approximated by spheres along the bond (impostor chain)
+            # bonds as TRUE capsule impostors: two half-cylinders per
+            # bond, each colored + picked by its atom (the md_gl
+            # LICORICE split-color convention); the endpoint atom
+            # spheres are the caps
             b = np.asarray(bonds)
             pa, pb = pv[b[:, 0]], pv[b[:, 1]]
-            ca = np.asarray(colors, np.float32)
-            for t in (0.25, 0.5, 0.75):
-                prim_pos.append(pa * (1 - t) + pb * t)
-                prim_rad.append(np.full(len(b), s.licorice_radius, np.float32))
-                prim_col.append(
-                    ca[b[:, 0]] if t < 0.5 else ca[b[:, 1]]
+            mid = (pa + pb) * 0.5
+            halves = []
+            for p_from, owner in ((pa, b[:, 0]), (pb, b[:, 1])):
+                axis = mid - p_from
+                length = np.linalg.norm(axis, axis=1, keepdims=True)
+                axis = axis / np.maximum(length, 1e-12)
+                halves.append(
+                    np.concatenate(
+                        [
+                            p_from, axis, length,
+                            np.full((len(b), 1), s.licorice_radius,
+                                    np.float32),
+                            cols[owner][:, :3],
+                            owner[:, None].astype(np.float32),
+                        ],
+                        axis=1,
+                    )
                 )
-        pv = np.concatenate(prim_pos)
-        rad = np.concatenate(prim_rad)
-        cols = np.concatenate(prim_col)
-        # picking ids: only real atoms keep their index
-        pick_src = np.concatenate(
-            [np.arange(pos.shape[0], dtype=np.int32)]
-            + [np.full(p.shape[0], -1, np.int32) for p in prim_pos[1:]]
-        )
+            cyl12 = np.concatenate(halves).astype(np.float32)
     else:
         cols = np.asarray(colors, np.float32)
         pick_src = np.arange(pos.shape[0], dtype=np.int32)
 
     img, depth, pick_idx = _raster_impl(
         jnp.asarray(pv), jnp.asarray(rad), jnp.asarray(cols),
-        jnp.zeros((0, 2), jnp.int32), jnp.asarray(proj), s,
+        jnp.asarray(cyl12), jnp.asarray(proj), s,
     )
     # map primitive ids back to atom ids
     pick_np = np.asarray(pick_idx)
