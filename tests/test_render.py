@@ -245,6 +245,37 @@ class TestRaster:
         # bond pixels sit at the capsule radius depth, not background
         assert np.isfinite(depth[48, mid - 6])
 
+    def test_pallas_capsules_match_xla(self):
+        """Licorice (spheres + bond cylinders) through the halo-row
+        Pallas kernel's second slot region vs the XLA engine."""
+        from viamd_tpu.render import raster as R
+
+        cam = C.Camera(
+            eye=np.array([0.0, 0, 10.0]), center=np.zeros(3),
+            up=np.array([0.0, 1, 0]),
+        )
+        rng = np.random.RandomState(3)
+        n = 40
+        pos = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        rad = np.full(n, 0.6, np.float32)
+        cols = rng.rand(n, 4).astype(np.float32)
+        bonds = np.array([[i, i + 1] for i in range(0, n - 1, 2)], np.int32)
+        args = (pos, rad, cols, cam.view_matrix(), cam.proj_matrix(96, 96))
+        a = R.render_molecules(
+            *args,
+            R.RasterSettings(width=96, height=96, rep="licorice",
+                             engine="xla", capacity=128),
+            bonds=bonds,
+        )
+        b = R.render_molecules(
+            *args,
+            R.RasterSettings(width=96, height=96, rep="licorice",
+                             engine="pallas", home_capacity=32),
+            bonds=bonds,
+        )
+        np.testing.assert_array_equal(a[2], b[2])
+        np.testing.assert_allclose(a[0], b[0], atol=6e-3)
+
     def test_pallas_engine_matches_xla(self):
         """Halo-row Pallas kernel (interpret) vs the XLA reference form:
         identical picking, identical hit mask, color equal to 8-bit

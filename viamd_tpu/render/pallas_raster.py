@@ -57,11 +57,9 @@ def _raster_row_kernel(
     pr_ref,  # SMEM (1, 2) f32: proj[0,0], proj[1,1]
     hp_ref, hc_ref, hn_ref,  # VMEM (6, cap, BTL) prev/cur/next row attrs:
     #   cx cy cz(poisoned) r rgb-packed pid   (all f32 values; pid -1 inv)
-    o_r, o_g, o_b, o_a, o_d, o_id,  # VMEM (P, BTL) outputs
-    rot_s,  # VMEM (6, cap, BTL) lane-rotated attr scratch
-    bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s,  # VMEM (P, BTL) hit state
-    *,
+    *rest,  # [coc_ref, cp_ref, cc_ref, cn_ref]? then outputs + scratch
     cap: int,
+    ccap: int,
     width: int,
     height: int,
     ambient: float,
@@ -75,7 +73,23 @@ def _raster_row_kernel(
     halo input refs, column offsets are one lane roll per offset group
     (grid pad columns are empty, so lane wrap never imports real atoms).
     Per-slot work is hoisted hard: cc and the candidate row are (1, BTL)
-    ops, normals/colors resolve once per pixel after the slot loops."""
+    ops, normals/colors resolve once per pixel after the slot loops.
+
+    With ccap > 0 a second slot region of bond-capsule cylinders runs
+    after the spheres: 10 channels (p0 xyz, axis xyz, len, r, rgb-packed,
+    pid), invalid slots poisoned with len = -1 (the axial test can never
+    pass), normals finished in-loop and flagged with the rk = -1
+    sentinel so the per-pixel resolve knows not to re-derive them."""
+    if ccap > 0:
+        cocc_ref, cp_ref, cc_ref, cn_ref = rest[:4]
+        rest = rest[4:]
+    (o_r, o_g, o_b, o_a, o_d, o_id) = rest[:6]
+    rot_s = rest[6]
+    if ccap > 0:
+        crot_s = rest[7]
+        bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s = rest[8:]
+    else:
+        bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s = rest[7:]
     pid = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 0)
@@ -148,12 +162,82 @@ def _raster_row_kernel(
                 rk_s[...] = brk
                 cl_s[...] = bcl
 
+    if ccap > 0:
+        for o, (oy, ox) in enumerate(OFFS):
+            occ = cocc_ref[pid, o]
+            src_ref = (cp_ref, cc_ref, cn_ref)[oy + 1]
+
+            @pl.when(occ > 0)
+            def _crot(src_ref=src_ref, ox=ox):
+                if ox == 0:
+                    crot_s[...] = src_ref[...]
+                else:
+                    crot_s[...] = pltpu.roll(src_ref[...], (-ox) % BTL, 2)
+
+            for k0 in range(0, ccap, KB):
+
+                @pl.when(occ > k0)
+                def _cblk(k0=k0):
+                    bt = bt_s[...]
+                    bpi = pi_s[...]
+                    bcx = cx_s[...]
+                    bcy = cy_s[...]
+                    bcz = cz_s[...]
+                    brk = rk_s[...]
+                    bcl = cl_s[...]
+                    for j in range(min(KB, ccap - k0)):
+                        ks = slice(k0 + j, k0 + j + 1)
+                        qx = crot_s[0, ks, :]  # p0 (1, BTL)
+                        qy = crot_s[1, ks, :]
+                        qz = crot_s[2, ks, :]
+                        ax = crot_s[3, ks, :]  # unit axis
+                        ay = crot_s[4, ks, :]
+                        az = crot_s[5, ks, :]
+                        Lr = crot_s[6, ks, :]
+                        rr = crot_s[7, ks, :]
+                        pa = qx * ax + qy * ay + qz * az  # (1, BTL)
+                        cc2 = (
+                            qx * qx + qy * qy + qz * qz - pa * pa - rr * rr
+                        )
+                        # ray vs infinite cylinder about (p0, axis), then
+                        # the axial parameter clamps to [0, len]
+                        da = dx * ax + dy * ay - az
+                        dp = dx * qx + dy * qy - qz
+                        A = jnp.maximum(dd - da * da, 1e-9)
+                        Bq = dp - da * pa
+                        disc = Bq * Bq - A * cc2
+                        t = (Bq - jnp.sqrt(jnp.maximum(disc, 0.0))) / A
+                        sax = t * da - pa
+                        ok = (
+                            (disc > 0) & (t > 1e-6) & (t < bt)
+                            & (sax >= 0) & (sax <= Lr)
+                        )
+                        inv = 1.0 / jnp.maximum(rr, 1e-12)
+                        bt = jnp.where(ok, t, bt)
+                        bpi = jnp.where(ok, crot_s[9, ks, :], bpi)
+                        bcx = jnp.where(ok, (dx * t - qx - sax * ax) * inv,
+                                        bcx)
+                        bcy = jnp.where(ok, (dy * t - qy - sax * ay) * inv,
+                                        bcy)
+                        bcz = jnp.where(ok, (-t - qz - sax * az) * inv, bcz)
+                        brk = jnp.where(ok, -1.0, brk)
+                        bcl = jnp.where(ok, crot_s[8, ks, :], bcl)
+                    bt_s[...] = bt
+                    pi_s[...] = bpi
+                    cx_s[...] = bcx
+                    cy_s[...] = bcy
+                    cz_s[...] = bcz
+                    rk_s[...] = brk
+                    cl_s[...] = bcl
+
     # resolve winner normals + colors once per pixel, then shade
     bt = bt_s[...]
-    inv = 1.0 / jnp.maximum(rk_s[...], 1e-12)
-    nx = (dx * bt - cx_s[...]) * inv
-    ny = (dy * bt - cy_s[...]) * inv
-    nz = (-bt - cz_s[...]) * inv
+    rk = rk_s[...]
+    inv = 1.0 / jnp.maximum(rk, 1e-12)
+    is_norm = rk < 0  # cylinder hits stored the finished normal
+    nx = jnp.where(is_norm, cx_s[...], (dx * bt - cx_s[...]) * inv)
+    ny = jnp.where(is_norm, cy_s[...], (dy * bt - cy_s[...]) * inv)
+    nz = jnp.where(is_norm, cz_s[...], (-bt - cz_s[...]) * inv)
     pcl = cl_s[...]
     ri = jnp.floor(pcl * (1.0 / 65536.0))
     rem = pcl - ri * 65536.0
@@ -186,6 +270,8 @@ def raster_rows_pl(
     attr6,  # (6, cap, ty*128): cx cy cz(poisoned) r rgb-packed pid
     occ9,  # (ty, 9) int32 per-(row, offset) max home occupancy
     p00, p11,  # () f32 projection diagonal (dynamic — rides in SMEM)
+    cattr10=None,  # (10, ccap, ty*128) capsule cylinders (len=-1 inv)
+    cocc9=None,  # (ty, 9) int32 cylinder occupancy
     *,
     cap: int,
     tiles_y: int,
@@ -204,30 +290,51 @@ def raster_rows_pl(
     must be empty for the lane-wrap argument to hold)."""
     Tp = attr6.shape[2]
     assert attr6.shape == (6, cap, Tp) and Tp == tiles_y * BTL
+    ccap = 0 if cattr10 is None else cattr10.shape[1]
     prs = jnp.stack([p00, p11]).reshape(1, 2).astype(jnp.float32)
 
-    def row_spec(delta):
+    def row_spec(delta, nch, kcap):
         if delta < 0:
             return pl.BlockSpec(
-                (6, cap, BTL),
+                (nch, kcap, BTL),
                 lambda i: (0, 0, jnp.maximum(i - 1, 0)),
                 memory_space=pltpu.VMEM,
             )
         if delta > 0:
             return pl.BlockSpec(
-                (6, cap, BTL),
+                (nch, kcap, BTL),
                 lambda i: (0, 0, jnp.minimum(i + 1, tiles_y - 1)),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (6, cap, BTL), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (nch, kcap, BTL), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
     pix_spec = pl.BlockSpec((P, BTL), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        row_spec(-1, 6, cap),
+        row_spec(0, 6, cap),
+        row_spec(1, 6, cap),
+    ]
+    inputs = [occ9, prs, attr6, attr6, attr6]
+    scratch = [pltpu.VMEM((6, cap, BTL), jnp.float32)]
+    if ccap:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec(-1, 10, ccap),
+            row_spec(0, 10, ccap),
+            row_spec(1, 10, ccap),
+        ]
+        inputs += [cocc9, cattr10, cattr10, cattr10]
+        scratch.append(pltpu.VMEM((10, ccap, BTL), jnp.float32))
+    scratch += [pltpu.VMEM((P, BTL), jnp.float32) for _ in range(7)]
     outs = pl.pallas_call(
         functools.partial(
             _raster_row_kernel,
             cap=cap,
+            ccap=ccap,
             width=width,
             height=height,
             ambient=ambient,
@@ -241,18 +348,11 @@ def raster_rows_pl(
         ]
         + [jax.ShapeDtypeStruct((P, Tp), jnp.int32)],
         grid=(tiles_y,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row_spec(-1),
-            row_spec(0),
-            row_spec(1),
-        ],
+        in_specs=in_specs,
         out_specs=[pix_spec] * 6,
-        scratch_shapes=[pltpu.VMEM((6, cap, BTL), jnp.float32)]
-        + [pltpu.VMEM((P, BTL), jnp.float32) for _ in range(7)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(occ9, prs, attr6, attr6, attr6)
+    )(*inputs)
     return [o.T for o in outs]
 
 

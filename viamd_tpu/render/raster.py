@@ -186,8 +186,8 @@ def _raster_impl(
         engine = "xla" if jax.default_backend() == "cpu" else "pallas"
     if engine == "pallas" and n >= (1 << 24):
         engine = "xla"  # ids must stay exact as f32 values
-    if m_cyl:
-        engine = "xla"  # capsule impostors: XLA engine only (for now)
+    if m_cyl and engine == "pallas" and tiles_x > 127:
+        engine = "xla"  # capsules live in the halo-row kernel only
 
     if engine == "xla":
         table, tvalid, tcounts = _build_tile_table(
@@ -283,8 +283,57 @@ def _raster_impl(
                 )
                 occ_cols.append(jnp.max(c[:, :tiles_x], axis=1))
             occ9 = jnp.stack(occ_cols, -1).astype(jnp.int32)
+            cattr10 = cocc9 = None
+            if m_cyl:
+                # bond capsules: home-bin each cylinder at BOTH endpoint
+                # projections (2m points, idx % m recovers the cylinder)
+                ccap = min(max(int(np.ceil(4.0 * m_cyl / T / 8.0)) * 8, 8),
+                           96)
+                cp0 = cyl12[:, 0:3]
+                cax = cyl12[:, 3:6]
+                clen = cyl12[:, 6:7]
+                pts = jnp.concatenate([cp0, cp0 + cax * clen], 0)
+                cwc = jnp.maximum(-pts[:, 2], 1e-6)
+                cvalid = -pts[:, 2] > 1e-6
+                csx = (proj[0, 0] * pts[:, 0] / cwc * 0.5 + 0.5) * W
+                csy = (proj[1, 1] * pts[:, 1] / cwc * 0.5 + 0.5) * H
+                ctab, ctv, ccnt = _build_home_table(
+                    csx, csy, cvalid, tiles_x, tiles_y, ccap,
+                    stride_x=TX, depth=cwc,
+                )
+                crgbp = (
+                    jnp.round(jnp.clip(cyl12[:, 8], 0, 1) * 255) * 65536.0
+                    + jnp.round(jnp.clip(cyl12[:, 9], 0, 1) * 255) * 256.0
+                    + jnp.round(jnp.clip(cyl12[:, 10], 0, 1) * 255)
+                )
+                prim10 = jnp.concatenate(
+                    [cp0, cax, clen, cyl12[:, 7:8], crgbp[:, None],
+                     cyl12[:, 11:12]],
+                    axis=1,
+                )
+                ahc = prim10[ctab % m_cyl]  # (T', ccap, 10)
+                ahc = jnp.concatenate(
+                    [
+                        ahc[..., :6],
+                        # poison: len = -1 ⇒ the axial test never passes
+                        jnp.where(ctv, ahc[..., 6], -1.0)[..., None],
+                        ahc[..., 7:],
+                    ],
+                    axis=-1,
+                )
+                cattr10 = ahc.transpose(2, 1, 0)
+                ccnt_g = ccnt.reshape(tiles_y, TX)
+                ccols = []
+                for oy, ox in OFFS:
+                    c = jnp.roll(ccnt_g, (-oy, -ox), axis=(0, 1))
+                    c = jnp.where(
+                        ((rws + oy >= 0) & (rws + oy < tiles_y))[:, None],
+                        c, 0,
+                    )
+                    ccols.append(jnp.max(c[:, :tiles_x], axis=1))
+                cocc9 = jnp.stack(ccols, -1).astype(jnp.int32)
             rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_rows_pl(
-                attr6, occ9, proj[0, 0], proj[1, 1],
+                attr6, occ9, proj[0, 0], proj[1, 1], cattr10, cocc9,
                 cap=cap, tiles_y=tiles_y, width=W, height=H,
                 ambient=s.ambient, specular=s.specular,
                 shininess=s.shininess, light=lt,
