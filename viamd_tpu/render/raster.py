@@ -600,14 +600,18 @@ def render_molecules(
     rad = np.asarray(radii, np.float32) * s.radius_scale
     cyl12 = np.zeros((0, 12), np.float32)
     if s.rep in ("licorice", "ballstick"):
+        keep = rad > 0  # radius-0 = culled (filtered-out) atoms
         atom_r = (
-            np.full_like(rad, s.licorice_radius)
+            np.where(keep, s.licorice_radius, 0.0).astype(np.float32)
             if s.rep == "licorice"
             else rad * 0.35
         )
         rad = atom_r
         cols = np.asarray(colors, np.float32)
         pick_src = np.arange(pos.shape[0], dtype=np.int32)
+        if bonds is not None and len(bonds):
+            bonds = np.asarray(bonds)
+            bonds = bonds[keep[bonds[:, 0]] & keep[bonds[:, 1]]]
         if bonds is not None and len(bonds):
             # bonds as TRUE capsule impostors: two half-cylinders per
             # bond, each colored + picked by its atom (the md_gl
