@@ -206,7 +206,7 @@ class TestRaster:
         pos = np.array([[0.0, 0, 0], [0.0, 0, 3.0]], np.float32)
         radii = np.array([1.0, 0.5], np.float32)
         cols = np.array([[1, 0, 0, 1], [0, 1, 0, 1]], np.float32)
-        s = R.RasterSettings(width=32, height=32, jitter=False) if False else R.RasterSettings(width=32, height=32)
+        s = R.RasterSettings(width=32, height=32)
         img, depth, pick = R.render_molecules(
             pos, radii, cols, cam.view_matrix(), cam.proj_matrix(32, 32), s
         )
