@@ -148,6 +148,18 @@ class TestSession:
         finally:
             s.shutdown()
 
+    def test_render_accumulated(self, ala_session):
+        """TAA-converged screenshot: jittered accumulation antialiases
+        edges (partial-coverage alpha appears at silhouettes)."""
+        s = ala_session
+        img1 = np.asarray(s.render(96, 96)[0])
+        imgA, depth, pick = s.render_accumulated(96, 96, samples=4)
+        edge1 = ((img1[..., 3] > 0.01) & (img1[..., 3] < 0.99)).sum()
+        edgeA = ((imgA[..., 3] > 0.01) & (imgA[..., 3] < 0.99)).sum()
+        assert edgeA > edge1
+        assert np.isfinite(imgA).all()
+        assert (np.asarray(pick) >= 0).sum() > 0
+
     def test_select_at_and_rect(self, ala_session):
         s = ala_session
         _, _, pick = s.render(64, 64)

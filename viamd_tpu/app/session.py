@@ -417,6 +417,7 @@ class Session:
         show_box: bool = False,
         show_script_vis: bool = False,
         overlay=None,
+        jitter=(0.0, 0.0),
     ):
         """Render enabled representations → (rgba, depth, picking).
 
@@ -478,7 +479,7 @@ class Session:
                 settings = raster.RasterSettings(width=width, height=height)
                 rgba, d, p = raster.render_molecules(
                     pts, radii_t, tcols, cam.view_matrix(),
-                    cam.proj_matrix(width, height), settings,
+                    cam.proj_matrix(width, height, jitter), settings,
                 )
                 # picking: map tube-point hits back to their CA atoms
                 p = np.where(p >= 0, src[np.maximum(p, 0)], -1)
@@ -493,7 +494,7 @@ class Session:
                 )
                 rgba, d, p = raster.render_molecules(
                     coords, radii, cols, cam.view_matrix(),
-                    cam.proj_matrix(width, height), settings,
+                    cam.proj_matrix(width, height, jitter), settings,
                     bonds=sys.bonds if rep.type != "spacefill" else None,
                 )
             if img is None:
@@ -513,7 +514,7 @@ class Session:
             q.add_script_visualization(self.compiled.visualization, coords)
         if not q.is_empty():
             o_img, o_depth, o_pick = q.render(
-                cam.view_matrix(), cam.proj_matrix(width, height),
+                cam.view_matrix(), cam.proj_matrix(width, height, jitter),
                 width, height,
             )
             if img is None:
@@ -525,6 +526,27 @@ class Session:
                 depth = np.minimum(depth, o_depth)
         self.events.broadcast(EventType.RENDER, self)
         return img, depth, pick
+
+    def render_accumulated(
+        self, width: int = 512, height: int = 512, samples: int = 8, **kw
+    ):
+        """TAA-converged screenshot render (the accumulation path of
+        create_screenshot, main.cpp:6794-6820): average `samples` renders
+        under the Halton(2,3) sub-pixel jitter sequence → antialiased
+        (rgba, depth, picking). Depth/picking come from the centered
+        sample."""
+        jit = cam_mod.taa_jitter_sequence(samples)
+        acc = None
+        depth = picking = None
+        for i in range(samples):
+            rgba, d, p = self.render(
+                width, height, jitter=tuple(jit[i]), **kw
+            )
+            rgba = np.asarray(rgba, np.float64)
+            acc = rgba if acc is None else acc + rgba
+            if i == 0:
+                depth, picking = d, p
+        return (acc / samples).astype(np.float32), depth, picking
 
     def pick(self, x: int, y: int, width: int = 512, height: int = 512) -> int:
         """Atom index under a pixel (the async PBO picking readback,

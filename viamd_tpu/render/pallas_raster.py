@@ -54,7 +54,7 @@ OFFS = (
 
 def _raster_row_kernel(
     occ_ref,  # SMEM (ty, 9) int32 per-offset max home occupancy
-    pr_ref,  # SMEM (1, 2) f32: proj[0,0], proj[1,1]
+    pr_ref,  # SMEM (1, 4) f32: proj00, proj11, jitter02, jitter12
     hp_ref, hc_ref, hn_ref,  # VMEM (6, cap, BTL) prev/cur/next row attrs:
     #   cx cy cz(poisoned) r rgb-packed pid   (all f32 values; pid -1 inv)
     *rest,  # [coc_ref, cp_ref, cc_ref, cn_ref]? then outputs + scratch
@@ -97,8 +97,13 @@ def _raster_row_kernel(
     py = pid * 16 + sub // 16
     inv00 = 1.0 / pr_ref[0, 0]
     inv11 = 1.0 / pr_ref[0, 1]
-    dx = ((px.astype(jnp.float32) + 0.5) * (2.0 / width) - 1.0) * inv00
-    dy = ((py.astype(jnp.float32) + 0.5) * (2.0 / height) - 1.0) * inv11
+    # pr_ref[0, 2:4] carry the TAA sub-pixel jitter (proj[0,2], proj[1,2])
+    dx = (
+        (px.astype(jnp.float32) + 0.5) * (2.0 / width) - 1.0 + pr_ref[0, 2]
+    ) * inv00
+    dy = (
+        (py.astype(jnp.float32) + 0.5) * (2.0 / height) - 1.0 + pr_ref[0, 3]
+    ) * inv11
     dd = dx * dx + dy * dy + 1.0
     inv_dd = 1.0 / dd
 
@@ -269,7 +274,7 @@ def _raster_row_kernel(
 def raster_rows_pl(
     attr6,  # (6, cap, ty*128): cx cy cz(poisoned) r rgb-packed pid
     occ9,  # (ty, 9) int32 per-(row, offset) max home occupancy
-    p00, p11,  # () f32 projection diagonal (dynamic — rides in SMEM)
+    p00, p11, p02, p12,  # () f32 proj diag + jitter (dynamic — SMEM)
     cattr10=None,  # (10, ccap, ty*128) capsule cylinders (len=-1 inv)
     cocc9=None,  # (ty, 9) int32 cylinder occupancy
     *,
@@ -291,7 +296,7 @@ def raster_rows_pl(
     Tp = attr6.shape[2]
     assert attr6.shape == (6, cap, Tp) and Tp == tiles_y * BTL
     ccap = 0 if cattr10 is None else cattr10.shape[1]
-    prs = jnp.stack([p00, p11]).reshape(1, 2).astype(jnp.float32)
+    prs = jnp.stack([p00, p11, p02, p12]).reshape(1, 4).astype(jnp.float32)
 
     def row_spec(delta, nch, kcap):
         if delta < 0:
@@ -358,7 +363,7 @@ def raster_rows_pl(
 
 def _raster_kernel(
     occ_ref,  # SMEM (nprog, n_off) int32 per-offset max occupancy
-    pr_ref,  # SMEM (1, 2) f32: proj[0,0], proj[1,1]
+    pr_ref,  # SMEM (1, 4) f32: proj00, proj11, jitter02, jitter12
     attr_ref,  # VMEM (8, K, BTL): cx cy cz r red grn blu pid (f32; -1 inv)
     o_r, o_g, o_b, o_a, o_d, o_id,  # VMEM (P, BTL) outputs
     bt_s, pi_s, nx_s, ny_s, nz_s, cr_s, cg_s, cb_s,  # VMEM (P, BTL) scratch
@@ -472,7 +477,7 @@ def _raster_kernel(
 def raster_tiles_pl(
     attrT,  # (8, K, T): cx cy cz r red grn blu pid (pid = exact f32, -1 inv)
     counts9,  # (T, n_off) int32 per-offset candidate counts
-    p00, p11,  # () f32 projection diagonal (dynamic — rides in SMEM)
+    p00, p11, p02, p12,  # () f32 proj diag + jitter (dynamic — SMEM)
     *,
     cap: int,  # slots per offset group (K = n_off * cap)
     tiles_x: int,
@@ -501,7 +506,7 @@ def raster_tiles_pl(
     occ = jnp.max(
         counts9.reshape(nprog, BTL, n_off), axis=1
     ).astype(jnp.int32)
-    prs = jnp.stack([p00, p11]).reshape(1, 2).astype(jnp.float32)
+    prs = jnp.stack([p00, p11, p02, p12]).reshape(1, 4).astype(jnp.float32)
 
     pix_spec = pl.BlockSpec((P, BTL), lambda i: (0, i), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(

@@ -197,12 +197,13 @@ def _raster_impl(
     light = jnp.asarray(s.light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
 
-    # pixel rays in view space (from origin through pixel)
+    # pixel rays in view space (from origin through pixel); proj[0,2]/
+    # proj[1,2] carry the TAA sub-pixel jitter (camera.perspective)
     ppx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2 - 1
     ppy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2 - 1
     gx, gy = jnp.meshgrid(ppx, ppy)
-    dirx = gx / proj[0, 0]
-    diry = gy / proj[1, 1]
+    dirx = (gx + proj[0, 2]) / proj[0, 0]
+    diry = (gy + proj[1, 2]) / proj[1, 1]
     # direction (dirx, diry, -1), unnormalized; t = distance along -z
 
     # ALL tiles processed together: one gather hoists every per-tile
@@ -333,7 +334,8 @@ def _raster_impl(
                     ccols.append(jnp.max(c[:, :tiles_x], axis=1))
                 cocc9 = jnp.stack(ccols, -1).astype(jnp.int32)
             rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_rows_pl(
-                attr6, occ9, proj[0, 0], proj[1, 1], cattr10, cocc9,
+                attr6, occ9, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
+                cattr10, cocc9,
                 cap=cap, tiles_y=tiles_y, width=W, height=H,
                 ambient=s.ambient, specular=s.specular,
                 shininess=s.shininess, light=lt,
@@ -403,7 +405,7 @@ def _raster_impl(
         lt = np.asarray(s.light_dir, np.float32)
         lt = tuple((lt / np.linalg.norm(lt)).tolist())
         rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_tiles_pl(
-            attrT, counts9, proj[0, 0], proj[1, 1],
+            attrT, counts9, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
             cap=cap, tiles_x=tiles_x, tiles_y=tiles_y, width=W, height=H,
             ambient=s.ambient, specular=s.specular,
             shininess=s.shininess, light=lt, background=tuple(s.background),
