@@ -148,6 +148,36 @@ class TestSession:
         finally:
             s.shutdown()
 
+    def test_transparent_rep(self, ala_session, tmp_path):
+        """Transparent reps blend over the opaque result (the reference's
+        RenderTransparent stage) and alpha round-trips the workspace."""
+        from viamd_tpu.app import Session
+
+        s = ala_session
+        s.add_representation(
+            name="glow", filter="all", type="spacefill",
+            color_mapping="uniform", uniform_color=(0, 0, 1, 1),
+            radius_scale=1.6, alpha=0.35,
+        )
+        img0 = np.asarray(s.render(96, 96, rep_index=0)[0])
+        img, d, p = s.render(96, 96)
+        img = np.asarray(img)
+        hit = img0[..., 3] > 0
+        # tinted toward the transparent rep's blue where the base hits
+        assert img[..., 2][hit].mean() > img0[..., 2][hit].mean() + 0.01
+        # halo region exists; picking stays opaque-only there
+        halo = (~hit) & (img[..., 3] > 0)
+        assert halo.sum() > 0 and (np.asarray(p)[halo] == -1).all()
+        ws = str(tmp_path / "t.via")
+        s.save_workspace(ws)
+        s2 = Session(num_workers=2)
+        s2.load_workspace(ws)
+        try:
+            assert any(abs(r.alpha - 0.35) < 1e-6 for r in
+                       s2.representations)
+        finally:
+            s2.shutdown()
+
     def test_render_accumulated(self, ala_session):
         """TAA-converged screenshot: jittered accumulation antialiases
         edges (partial-coverage alpha appears at silhouettes)."""

@@ -39,6 +39,7 @@ class Representation:
     color_mapping: str = "cpk"
     uniform_color: tuple = (0.6, 0.6, 0.9, 1.0)
     radius_scale: float = 1.0
+    alpha: float = 1.0  # < 1 → drawn in the transparent pass, blended over
     enabled: bool = True
     # derived
     mask: Optional[Bitfield] = None
@@ -437,6 +438,7 @@ class Session:
             if rep_index is not None
             else [r for r in self.representations if r.enabled]
         )
+        transparent = []
         for rep in reps:
             if rep.dynamic:
                 # dynamic filters (within/x/y/z) track the playback frame
@@ -497,13 +499,35 @@ class Session:
                     cam.proj_matrix(width, height, jitter), settings,
                     bonds=sys.bonds if rep.type != "spacefill" else None,
                 )
-            if img is None:
+            if rep.alpha < 1.0:
+                transparent.append((rep.alpha, rgba, d, p))
+            elif img is None:
                 img, depth, pick = rgba, d, p
-            else:  # depth-composite subsequent reps
+            else:  # depth-composite subsequent opaque reps
                 closer = d < depth
                 img = np.where(closer[..., None], rgba, img)
                 pick = np.where(closer, p, pick)
                 depth = np.minimum(depth, d)
+        # transparent pass (the reference's RenderTransparent stage,
+        # main.cpp:6612-6700): blend where the transparent rep is nearer
+        # than the opaque depth; picking/depth stay opaque-only
+        for a, rgba, d, p in transparent:
+            if img is None:
+                img = np.concatenate(
+                    [rgba[..., :3] * a, rgba[..., 3:] * a], axis=-1
+                )
+                depth = np.full(d.shape, np.inf, np.float32)
+                pick = np.full(d.shape, -1, np.int32)
+                continue
+            vis = (np.asarray(rgba[..., 3]) > 0) & (d < depth)
+            w = (a * vis).astype(np.float32)[..., None]
+            img = np.concatenate(
+                [
+                    rgba[..., :3] * w + np.asarray(img[..., :3]) * (1 - w),
+                    np.maximum(img[..., 3:], w),
+                ],
+                axis=-1,
+            )
         # overlay pass: simulation box, script geometry, user primitives
         from viamd_tpu.render.overlay import OverlayQueue
 

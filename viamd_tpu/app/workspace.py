@@ -93,6 +93,8 @@ def save_workspace(session, path: str):
         w.entry("ColorMapping", rep.color_mapping)
         w.entry("Enabled", int(rep.enabled))
         w.entry("RadiusScale", rep.radius_scale)
+        w.entry("Alpha", rep.alpha)
+        w.entry("UniformColor", *rep.uniform_color)
 
     for name, bf in session.stored_selections.items():
         w.section("Selection")
@@ -155,6 +157,13 @@ def load_workspace(session, path: str):
                     color_mapping=entries.get("ColorMapping", "cpk"),
                     enabled=bool(int(entries.get("Enabled", "1") or 1)),
                     radius_scale=float(entries.get("RadiusScale", "1") or 1),
+                    alpha=float(entries.get("Alpha", "1") or 1),
+                    uniform_color=tuple(
+                        float(v)
+                        for v in entries.get(
+                            "UniformColor", "0.6,0.6,0.9,1"
+                        ).replace(",", " ").split()
+                    ),
                 )
             )
         elif name == "Selection":
