@@ -148,6 +148,25 @@ class TestSession:
         finally:
             s.shutdown()
 
+    def test_selection_visuals(self, ala_session):
+        """An active selection desaturates non-selected atoms and draws
+        an outline (the selection stencil + desaturation passes,
+        main.cpp:6612-6700); show_selection=False restores the plain
+        render."""
+        s = ala_session
+        base = np.asarray(s.render(96, 96)[0])
+        s.select("element('C')")
+        img = np.asarray(s.render(96, 96)[0])
+        assert np.abs(img - base).sum() > 1.0
+        # outline pixels in the selection-outline color are present
+        outline = (
+            np.abs(img[..., :3] - np.array([1.0, 0.6, 0.1])).sum(-1) < 0.05
+        )
+        assert outline.sum() > 10
+        off = np.asarray(s.render(96, 96, show_selection=False)[0])
+        np.testing.assert_allclose(off, base, atol=1e-5)
+        s.selection.clear()
+
     def test_transparent_rep(self, ala_session, tmp_path):
         """Transparent reps blend over the opaque result (the reference's
         RenderTransparent stage) and alpha round-trips the workspace."""

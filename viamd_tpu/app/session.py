@@ -419,6 +419,7 @@ class Session:
         show_script_vis: bool = False,
         overlay=None,
         jitter=(0.0, 0.0),
+        show_selection: bool = True,
     ):
         """Render enabled representations → (rgba, depth, picking).
 
@@ -467,6 +468,10 @@ class Session:
                 cols = color_mod.color_atoms_uniform(sys, rep.uniform_color)
             if rep.mask is not None:
                 cols = color_mod.filter_colors(cols, rep.mask)
+            if show_selection and self.selection and self.selection.popcount():
+                # selection visuals (main.cpp:6612-6700): non-selected
+                # atoms desaturate; the outline draws after compositing
+                cols = color_mod.desaturate_colors(cols, ~self.selection)
 
             if rep.type in ("tube", "ribbons", "cartoon"):
                 from viamd_tpu.render.backbone_rep import backbone_tube
@@ -548,8 +553,43 @@ class Session:
                 img = np.where(closer[..., None], o_img, img)
                 pick = np.where(closer, o_pick, pick)
                 depth = np.minimum(depth, o_depth)
+        if (
+            show_selection
+            and img is not None
+            and self.selection
+            and self.selection.popcount()
+        ):
+            img = self._draw_selection_outline(img, pick, self.selection)
+        if (
+            show_selection
+            and img is not None
+            and self.highlight
+            and self.highlight.popcount()
+        ):
+            img = self._draw_selection_outline(
+                img, pick, self.highlight, color=(1.0, 0.85, 0.3)
+            )
         self.events.broadcast(EventType.RENDER, self)
         return img, depth, pick
+
+    @staticmethod
+    def _draw_selection_outline(img, pick, mask, color=(1.0, 0.6, 0.1)):
+        """Screen-space outline of the atoms in `mask` (the selection
+        stencil pass): boundary pixels of the selected-coverage mask."""
+        bools = mask.to_bools()
+        p = np.asarray(pick)
+        sel = np.zeros(p.shape, bool)
+        inside = p >= 0
+        sel[inside] = bools[p[inside]]
+        edge = np.zeros_like(sel)
+        for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            edge |= sel != np.roll(sel, sh, axis=ax)
+        edge &= sel | (np.roll(sel, 1, 0) | np.roll(sel, -1, 0)
+                       | np.roll(sel, 1, 1) | np.roll(sel, -1, 1))
+        out = np.array(img, np.float32, copy=True)
+        out[edge, :3] = np.asarray(color, np.float32)
+        out[edge, 3] = 1.0
+        return out
 
     def render_accumulated(
         self, width: int = 512, height: int = 512, samples: int = 8, **kw
