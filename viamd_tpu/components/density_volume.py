@@ -63,8 +63,14 @@ class DensityVolumeComponent:
         height: int = 512,
         camera: Optional[cam_mod.Camera] = None,
         normalized: bool = True,
+        color_volume=None,
     ):
-        """Render a volume property → ((H,W,4) RGBA, (H,W) depth)."""
+        """Render a volume property → ((H,W,4) RGBA, (H,W) depth).
+
+        `color_volume`: optional (D,D,D,3) RGB grid (ops.density.
+        splat_color_volume) — DVR color comes from it instead of the TF
+        (the colvol raycaster variants; routes through the ray-marcher).
+        """
         res = self._last_result or self.session.eval_result
         if res is None:
             raise ValueError("no evaluation result — run session.evaluate()")
@@ -106,7 +112,7 @@ class DensityVolumeComponent:
         # slice compositing — 1080p×128³ in ~15 ms on one v5e; the general
         # ray-marcher is gather-bound and only sensible for small frames);
         # it falls back to the ray-marcher itself for degenerate cameras
-        if width * height >= 256 * 256:
+        if color_volume is None and width * height >= 256 * 256:
             from viamd_tpu.render.shearwarp import render_volume_shearwarp
 
             img, depth = render_volume_shearwarp(
@@ -117,5 +123,6 @@ class DensityVolumeComponent:
             img, depth = vol_mod.render_volume(
                 grid, tf, model, camera.view_matrix(),
                 camera.proj_matrix(width, height), settings,
+                color_volume=color_volume,
             )
         return np.asarray(img), np.asarray(depth)

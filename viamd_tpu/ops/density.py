@@ -198,3 +198,31 @@ def gaussian_blur_3d(grid: jnp.ndarray, sigma_voxels: float, radius: int = 0) ->
     for ax in range(grid.ndim):
         grid = conv_axis(grid, ax)
     return grid
+
+
+def splat_color_volume(
+    pts, colors, weights, dims, origin, voxel, blur_sigma: float = 0.0
+):
+    """Shepard-weighted color volume from colored points → (dx,dy,dz,3)
+    RGB + (dx,dy,dz) weight density.
+
+    The splat_color.comp capability (gaussian Shepard splat of per-atom
+    colors into an RGBA 3D texture feeding the colvol raycaster
+    variants): per-channel trilinear splats of w·rgb and w through the
+    sort-once/MXU machinery, optional gaussian smoothing applied to BOTH
+    numerator and denominator (which preserves the Shepard average), then
+    normalization."""
+    import jax.numpy as jnp
+
+    w = jnp.asarray(weights, jnp.float32)
+    cols = jnp.asarray(colors, jnp.float32)
+    den = splat_trilinear(pts, w, dims, origin, voxel)
+    chans = [
+        splat_trilinear(pts, w * cols[:, i], dims, origin, voxel)
+        for i in range(3)
+    ]
+    if blur_sigma > 0:
+        den = gaussian_blur_3d(den, blur_sigma)
+        chans = [gaussian_blur_3d(c, blur_sigma) for c in chans]
+    rgb = jnp.stack(chans, axis=-1) / jnp.maximum(den, 1e-12)[..., None]
+    return rgb, den

@@ -50,6 +50,9 @@ class VolumeRenderSettings:
     ambient: float = 0.2
     specular: float = 0.4
     shininess: float = 32.0
+    # DVR takes its color from a (D,D,D,3) color volume instead of the TF
+    # (the raycaster.frag colvol program variants; alpha stays TF-driven)
+    use_color_volume: bool = False
 
 
 def _sample_trilinear(grid: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +73,25 @@ def _sample_trilinear(grid: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
             jnp.where(jnp.asarray(off) == 1, f, 1.0 - f), axis=-1
         )
         out = out + wt * grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+    return out
+
+
+def _sample_trilinear_c(grid: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of a channelful (D0,D1,D2,C) grid → (P,C)."""
+    dims = jnp.array(grid.shape[:3], jnp.float32)
+    g = p * dims - 0.5
+    g0 = jnp.floor(g)
+    f = g - g0
+    g0 = g0.astype(jnp.int32)
+    out = jnp.zeros((p.shape[0], grid.shape[3]), grid.dtype)
+    maxi = jnp.array(grid.shape[:3], jnp.int32) - 1
+    for corner in range(8):
+        off = np.array([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1])
+        idx = jnp.clip(g0 + off, 0, maxi)
+        wt = jnp.prod(
+            jnp.where(jnp.asarray(off) == 1, f, 1.0 - f), axis=-1
+        )
+        out = out + wt[:, None] * grid[idx[:, 0], idx[:, 1], idx[:, 2]]
     return out
 
 
@@ -116,8 +138,10 @@ def ray_box(
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _render_impl(
     grid, tf, model, view, proj, seed, settings: "VolumeRenderSettings",
-    y0=0.0, y1=1.0,
+    y0=0.0, y1=1.0, cvol=None,
 ):
+    if cvol is None:
+        cvol = jnp.zeros((1, 1, 1, 3), jnp.float32)
     # y0/y1 are DYNAMIC (all equal-height bands share one compilation)
     W, H = settings.width, settings.height  # H = rows in THIS band
     P = W * H
@@ -241,7 +265,11 @@ def _render_impl(
                 tex_dt * REF_SAMPLING_RATE,
             )
             a_eff = jnp.where(live, trans * a_corr, 0.0)
-            rgb = rgb + c[:, :3] * a_eff[:, None]
+            if settings.use_color_volume:
+                base_rgb = _sample_trilinear_c(cvol, p)
+            else:
+                base_rgb = c[:, :3]
+            rgb = rgb + base_rgb * a_eff[:, None]
             alpha = alpha + a_eff
             depth = jnp.where(
                 (alpha > 0.5) & (depth >= 1e30), t, depth
@@ -273,6 +301,7 @@ def render_volume(
     proj: np.ndarray,
     settings: VolumeRenderSettings,
     seed: int = 0,
+    color_volume=None,
 ):
     """Render a density grid → ((H,W,4) float32 RGBA, (H,W) depth).
 
@@ -291,6 +320,7 @@ def render_volume(
         background=tuple(s.background),
         jitter=s.jitter, light_dir=tuple(s.light_dir),
         ambient=s.ambient, specular=s.specular, shininess=s.shininess,
+        use_color_volume=color_volume is not None,
     )
     gridj = jnp.asarray(grid, jnp.float32)
     tfj = jnp.asarray(tf, jnp.float32)
@@ -301,9 +331,14 @@ def render_volume(
     # ray-march program crashes the TPU worker above ~0.3 Mpixel (gather
     # buffer blowup); banding keeps arbitrary resolutions working
     MAXP = 1 << 18
+    cvolj = (
+        jnp.asarray(color_volume, jnp.float32)
+        if color_volume is not None
+        else None
+    )
     if s.width * s.height <= MAXP:
         return _render_impl(gridj, tfj, modelj, viewj, projj, seed,
-                            _Frozen(frozen), 0.0, 1.0)
+                            _Frozen(frozen), 0.0, 1.0, cvolj)
     rows_per = max(1, MAXP // s.width)
     imgs, deps = [], []
     y = 0
@@ -312,7 +347,7 @@ def render_volume(
         band = dataclasses.replace(frozen, height=h)
         img, dep = _render_impl(
             gridj, tfj, modelj, viewj, projj, seed, _Frozen(band),
-            y / s.height, (y + h) / s.height,
+            y / s.height, (y + h) / s.height, cvolj,
         )
         imgs.append(img)
         deps.append(dep)
@@ -329,7 +364,7 @@ class _Frozen:
             s.width, s.height, s.samples_per_voxel, s.enable_dvr,
             s.enable_iso, s.iso_values, s.iso_colors, s.value_range,
             s.background, s.jitter, s.light_dir, s.ambient, s.specular,
-            s.shininess,
+            s.shininess, s.use_color_volume,
         )
 
     def __getattr__(self, k):
