@@ -52,14 +52,19 @@ OFFS = (
 )
 
 
+OFFS4 = ((-1, -1), (-1, 0), (0, -1), (0, 0))  # TL-corner binning reach
+
+
 def _raster_row_kernel(
-    occ_ref,  # SMEM (ty, 9) int32 per-offset max home occupancy
+    occ_ref,  # SMEM (ty, 4) int32: small-sphere per-offset max occupancy
     pr_ref,  # SMEM (1, 4) f32: proj00, proj11, jitter02, jitter12
-    hp_ref, hc_ref, hn_ref,  # VMEM (6, cap, BTL) prev/cur/next row attrs:
+    sp_ref, sc_ref,  # VMEM (6, cap, BTL) prev/cur row TL-binned spheres:
     #   cx cy cz(poisoned) r rgb-packed pid   (all f32 values; pid -1 inv)
-    *rest,  # [coc_ref, cp_ref, cc_ref, cn_ref]? then outputs + scratch
+    *rest,  # [battr, bcnt]? [cocc, cp, cc, cn]? outputs, scratch
     cap: int,
+    bcap: int,
     ccap: int,
+    tiles_y: int,
     width: int,
     height: int,
     ambient: float,
@@ -69,27 +74,41 @@ def _raster_row_kernel(
     background: tuple,
 ):
     """One program = one 128-tile row of the (ty, 128)-padded tile grid.
-    The 3x3 neighborhood never materializes: row offsets are the three
-    halo input refs, column offsets are one lane roll per offset group
-    (grid pad columns are empty, so lane wrap never imports real atoms).
-    Per-slot work is hoisted hard: cc and the candidate row are (1, BTL)
-    ops, normals/colors resolve once per pixel after the slot loops.
+    Candidate neighborhoods never materialize: row offsets are halo input
+    refs (BlockSpec index maps i-1 / i / i+1 clamped), column offsets are
+    one lane roll per offset group (grid pad columns are empty, so lane
+    wrap never imports real atoms). Per-slot work is hoisted hard: per-
+    candidate values are (1, BTL) rows that sublane-broadcast; normals/
+    colors resolve once per pixel after the slot loops.
 
-    With ccap > 0 a second slot region of bond-capsule cylinders runs
-    after the spheres: 10 channels (p0 xyz, axis xyz, len, r, rgb-packed,
-    pid), invalid slots poisoned with len = -1 (the axial test can never
-    pass), normals finished in-loop and flagged with the rk = -1
-    sentinel so the per-pixel resolve knows not to re-derive them."""
+    THREE slot regions, each gated per (row, offset) by max occupancy in
+    SMEM (the ops/pallas_rdf pass-skipping idiom):
+    - small spheres (pixel radius < 8, the bulk): binned by the FOOTPRINT
+      TOP-LEFT corner tile, so the gather needs only the 2x2 offsets
+      OFFS4 — 2.25x fewer slot groups than a 3x3 center-binned union;
+    - big spheres (radius ≥ 8 px, few, near camera): per-ROW lists
+      lane-replicated in VMEM, gathered over a ±2-row halo window
+      (bcap > 0; reach 40 px radius — wider than the XLA union's 3×3);
+    - bond capsules (ccap > 0): 10 channels (p0, axis, len, r,
+      rgb-packed, pid), poisoned via len = -1, normals finished in-loop
+      and flagged with the rk = -1 sentinel."""
+    i = 0
+    if bcap > 0:
+        bocc_ref = rest[i]  # SMEM (ty, 5) per-(row, delta) counts
+        brefs = rest[i + 1 : i + 6]  # VMEM (6, bcap, BTL) rows i-2..i+2
+        i += 6
     if ccap > 0:
-        cocc_ref, cp_ref, cc_ref, cn_ref = rest[:4]
-        rest = rest[4:]
-    (o_r, o_g, o_b, o_a, o_d, o_id) = rest[:6]
-    rot_s = rest[6]
+        cocc_ref, cp_ref, cc_ref, cn_ref = rest[i : i + 4]
+        i += 4
+    (o_r, o_g, o_b, o_a, o_d, o_id) = rest[i : i + 6]
+    i += 6
+    rot_s = rest[i]
+    i += 1
     if ccap > 0:
-        crot_s = rest[7]
-        bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s = rest[8:]
-    else:
-        bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s = rest[7:]
+        crot_s = rest[i]
+        i += 1
+    bt_s, pi_s, cx_s, cy_s, cz_s, rk_s, cl_s = rest[i:]
+
     pid = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 0)
@@ -115,57 +134,108 @@ def _raster_row_kernel(
     rk_s[...] = jnp.full_like(rk_s, 1.0)
     cl_s[...] = jnp.zeros_like(cl_s)
 
-    for o, (oy, ox) in enumerate(OFFS):
-        occ = occ_ref[pid, o]
-        src_ref = (hp_ref, hc_ref, hn_ref)[oy + 1]
+    def sphere_region(occ_sm, refs_by_row, offsets, kcap):
+        for o, (oy, ox) in enumerate(offsets):
+            occ = occ_sm[pid, o]
+            src_ref = refs_by_row[oy]
 
-        @pl.when(occ > 0)
-        def _rot(src_ref=src_ref, ox=ox):
-            if ox == 0:
-                rot_s[...] = src_ref[...]
-            else:
-                # shifted[l] = src[l + ox] (roll wants non-negative shift)
-                rot_s[...] = pltpu.roll(src_ref[...], (-ox) % BTL, 2)
+            @pl.when(occ > 0)
+            def _rot(src_ref=src_ref, ox=ox, kcap=kcap):
+                # rot_s is sized for the larger sphere tier; write the
+                # leading kcap slots
+                if ox == 0:
+                    rot_s[:, 0:kcap, :] = src_ref[...]
+                else:
+                    # shifted[l] = src[l + ox] (non-negative roll shift)
+                    rot_s[:, 0:kcap, :] = pltpu.roll(
+                        src_ref[...], (-ox) % BTL, 2
+                    )
 
-        for k0 in range(0, cap, KB):
+            for k0 in range(0, kcap, KB):
 
-            @pl.when(occ > k0)
-            def _blk(k0=k0):
-                bt = bt_s[...]
-                bpi = pi_s[...]
-                bcx = cx_s[...]
-                bcy = cy_s[...]
-                bcz = cz_s[...]
-                brk = rk_s[...]
-                bcl = cl_s[...]
-                for j in range(min(KB, cap - k0)):
-                    ks = slice(k0 + j, k0 + j + 1)
-                    cx = rot_s[0, ks, :]  # (1, BTL) sublane-broadcasts
-                    cy = rot_s[1, ks, :]
-                    cz = rot_s[2, ks, :]
-                    rk = rot_s[3, ks, :]
-                    cc = cx * cx + cy * cy + cz * cz - rk * rk  # (1, BTL)
-                    # ray o=0, d=(dx,dy,-1): |t d - c|^2 = r^2. Invalid
-                    # slots are poisoned (cz=+1e6) → t < 0 → rejected,
-                    # no validity compare needed.
-                    dc = dx * cx + dy * cy - cz
-                    disc = dc * dc - dd * cc
-                    t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_dd
-                    ok = (disc > 0) & (t > 1e-6) & (t < bt)
-                    bt = jnp.where(ok, t, bt)
-                    bpi = jnp.where(ok, rot_s[5, ks, :], bpi)
-                    bcx = jnp.where(ok, cx, bcx)
-                    bcy = jnp.where(ok, cy, bcy)
-                    bcz = jnp.where(ok, cz, bcz)
-                    brk = jnp.where(ok, rk, brk)
-                    bcl = jnp.where(ok, rot_s[4, ks, :], bcl)
-                bt_s[...] = bt
-                pi_s[...] = bpi
-                cx_s[...] = bcx
-                cy_s[...] = bcy
-                cz_s[...] = bcz
-                rk_s[...] = brk
-                cl_s[...] = bcl
+                @pl.when(occ > k0)
+                def _blk(k0=k0):
+                    bt = bt_s[...]
+                    bpi = pi_s[...]
+                    bcx = cx_s[...]
+                    bcy = cy_s[...]
+                    bcz = cz_s[...]
+                    brk = rk_s[...]
+                    bcl = cl_s[...]
+                    for j in range(min(KB, kcap - k0)):
+                        ks = slice(k0 + j, k0 + j + 1)
+                        cx = rot_s[0, ks, :]  # (1, BTL) sublane-broadcast
+                        cy = rot_s[1, ks, :]
+                        cz = rot_s[2, ks, :]
+                        rk = rot_s[3, ks, :]
+                        cc = cx * cx + cy * cy + cz * cz - rk * rk
+                        # ray o=0, d=(dx,dy,-1): |t d - c|^2 = r^2.
+                        # Invalid slots are poisoned (cz=+1e6) → t < 0 →
+                        # rejected, no validity compare needed.
+                        dc = dx * cx + dy * cy - cz
+                        disc = dc * dc - dd * cc
+                        t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_dd
+                        ok = (disc > 0) & (t > 1e-6) & (t < bt)
+                        bt = jnp.where(ok, t, bt)
+                        bpi = jnp.where(ok, rot_s[5, ks, :], bpi)
+                        bcx = jnp.where(ok, cx, bcx)
+                        bcy = jnp.where(ok, cy, bcy)
+                        bcz = jnp.where(ok, cz, bcz)
+                        brk = jnp.where(ok, rk, brk)
+                        bcl = jnp.where(ok, rot_s[4, ks, :], bcl)
+                    bt_s[...] = bt
+                    pi_s[...] = bpi
+                    cx_s[...] = bcx
+                    cy_s[...] = bcy
+                    cz_s[...] = bcz
+                    rk_s[...] = brk
+                    cl_s[...] = bcl
+
+    sphere_region(occ_ref, {-1: sp_ref, 0: sc_ref}, OFFS4, cap)
+
+    if bcap > 0:
+        # big spheres (pixel radius ≥ 8, few): a per-ROW list replicated
+        # across lanes, gathered over a ±2-row halo window (footprint
+        # reach 40 px radius; the whole row tests each one — they cover
+        # many tiles anyway). Gating is per (program, row-delta).
+        for d_i, bref in enumerate(brefs):
+            occ = bocc_ref[pid, d_i]
+            for k0 in range(0, bcap, KB):
+
+                @pl.when(occ > k0)
+                def _bblk(k0=k0, bref=bref):
+                    bt = bt_s[...]
+                    bpi = pi_s[...]
+                    bcx = cx_s[...]
+                    bcy = cy_s[...]
+                    bcz = cz_s[...]
+                    brk = rk_s[...]
+                    bcl = cl_s[...]
+                    for j in range(min(KB, bcap - k0)):
+                        ks = slice(k0 + j, k0 + j + 1)
+                        cx = bref[0, ks, :]
+                        cy = bref[1, ks, :]
+                        cz = bref[2, ks, :]
+                        rk = bref[3, ks, :]
+                        cc = cx * cx + cy * cy + cz * cz - rk * rk
+                        dc = dx * cx + dy * cy - cz
+                        disc = dc * dc - dd * cc
+                        t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_dd
+                        ok = (disc > 0) & (t > 1e-6) & (t < bt)
+                        bt = jnp.where(ok, t, bt)
+                        bpi = jnp.where(ok, bref[5, ks, :], bpi)
+                        bcx = jnp.where(ok, cx, bcx)
+                        bcy = jnp.where(ok, cy, bcy)
+                        bcz = jnp.where(ok, cz, bcz)
+                        brk = jnp.where(ok, rk, brk)
+                        bcl = jnp.where(ok, bref[4, ks, :], bcl)
+                    bt_s[...] = bt
+                    pi_s[...] = bpi
+                    cx_s[...] = bcx
+                    cy_s[...] = bcy
+                    cz_s[...] = bcz
+                    rk_s[...] = brk
+                    cl_s[...] = bcl
 
     if ccap > 0:
         for o, (oy, ox) in enumerate(OFFS):
@@ -220,10 +290,12 @@ def _raster_row_kernel(
                         inv = 1.0 / jnp.maximum(rr, 1e-12)
                         bt = jnp.where(ok, t, bt)
                         bpi = jnp.where(ok, crot_s[9, ks, :], bpi)
-                        bcx = jnp.where(ok, (dx * t - qx - sax * ax) * inv,
-                                        bcx)
-                        bcy = jnp.where(ok, (dy * t - qy - sax * ay) * inv,
-                                        bcy)
+                        bcx = jnp.where(
+                            ok, (dx * t - qx - sax * ax) * inv, bcx
+                        )
+                        bcy = jnp.where(
+                            ok, (dy * t - qy - sax * ay) * inv, bcy
+                        )
                         bcz = jnp.where(ok, (-t - qz - sax * az) * inv, bcz)
                         brk = jnp.where(ok, -1.0, brk)
                         bcl = jnp.where(ok, crot_s[8, ks, :], bcl)
@@ -272,9 +344,11 @@ def _raster_row_kernel(
 
 
 def raster_rows_pl(
-    attr6,  # (6, cap, ty*128): cx cy cz(poisoned) r rgb-packed pid
-    occ9,  # (ty, 9) int32 per-(row, offset) max home occupancy
+    attr6,  # (6, cap, ty*128) TL-binned small spheres (pixel radius < 8)
+    occ4,  # (ty, 4) int32 per-(row, OFFS4) max occupancy
     p00, p11, p02, p12,  # () f32 proj diag + jitter (dynamic — SMEM)
+    battr=None,  # (6, bcap, ty*128) lane-replicated per-ROW big spheres
+    bocc5=None,  # (ty, 5) int32 per-(row, delta∈-2..2) big counts
     cattr10=None,  # (10, ccap, ty*128) capsule cylinders (len=-1 inv)
     cocc9=None,  # (ty, 9) int32 cylinder occupancy
     *,
@@ -295,6 +369,7 @@ def raster_rows_pl(
     must be empty for the lane-wrap argument to hold)."""
     Tp = attr6.shape[2]
     assert attr6.shape == (6, cap, Tp) and Tp == tiles_y * BTL
+    bcap = 0 if battr is None else battr.shape[1]
     ccap = 0 if cattr10 is None else cattr10.shape[1]
     prs = jnp.stack([p00, p11, p02, p12]).reshape(1, 4).astype(jnp.float32)
 
@@ -321,10 +396,19 @@ def raster_rows_pl(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         row_spec(-1, 6, cap),
         row_spec(0, 6, cap),
-        row_spec(1, 6, cap),
     ]
-    inputs = [occ9, prs, attr6, attr6, attr6]
-    scratch = [pltpu.VMEM((6, cap, BTL), jnp.float32)]
+    inputs = [occ4, prs, attr6, attr6]
+    rot_cap = cap
+    if bcap:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(bocc5)
+        for delta in (-2, -1, 0, 1, 2):
+            def bmap(i, d=delta):
+                return (0, 0, jnp.clip(i + d, 0, tiles_y - 1))
+            in_specs.append(
+                pl.BlockSpec((6, bcap, BTL), bmap, memory_space=pltpu.VMEM)
+            )
+            inputs.append(battr)
     if ccap:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -333,13 +417,17 @@ def raster_rows_pl(
             row_spec(1, 10, ccap),
         ]
         inputs += [cocc9, cattr10, cattr10, cattr10]
+    scratch = [pltpu.VMEM((6, rot_cap, BTL), jnp.float32)]
+    if ccap:
         scratch.append(pltpu.VMEM((10, ccap, BTL), jnp.float32))
     scratch += [pltpu.VMEM((P, BTL), jnp.float32) for _ in range(7)]
     outs = pl.pallas_call(
         functools.partial(
             _raster_row_kernel,
             cap=cap,
+            bcap=bcap,
             ccap=ccap,
+            tiles_y=tiles_y,
             width=width,
             height=height,
             ambient=ambient,

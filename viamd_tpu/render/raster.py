@@ -227,7 +227,7 @@ def _raster_impl(
 
     if engine == "pallas":
         from viamd_tpu.render.pallas_raster import (
-            BTL, OFFS, raster_rows_pl, raster_tiles_pl,
+            BTL, OFFS, OFFS4, raster_rows_pl, raster_tiles_pl,
         )
 
         cap = s.home_capacity
@@ -244,9 +244,57 @@ def _raster_impl(
             # halo-row path: the 3×3 union never materializes (prev/cur/
             # next row halo refs + in-kernel lane rolls)
             TX = BTL
-            table_h, tvalid_h, counts_h = _build_home_table(
-                sx, sy, valid, tiles_x, tiles_y, cap, stride_x=TX, depth=cw
+            Tp = TX * tiles_y
+            BCAP = 16
+            # two sphere tiers, ONE sort: small spheres (radius < 8 px)
+            # key by their footprint TOP-LEFT tile (kernel gathers only
+            # the 2x2 OFFS4 reach); big spheres key into a per-ROW key
+            # space appended after the tile ids (the kernel tests them
+            # row-wide over a ±2-row window). Slots order nearest-first
+            # via an 8-bit depth bucket, so capacity overflow drops the
+            # most-occluded primitives.
+            small = rpx < 8.0
+            tlx = jnp.clip(
+                ((sx - rpx) // TILE).astype(jnp.int32), 0, tiles_x - 1
             )
+            tly = jnp.clip(
+                ((sy - rpx) // TILE).astype(jnp.int32), 0, tiles_y - 1
+            )
+            row_of = jnp.clip(
+                (sy // TILE).astype(jnp.int32), 0, tiles_y - 1
+            )
+            key = jnp.where(
+                valid & small,
+                tly * TX + tlx,
+                jnp.where(valid, Tp + row_of, Tp + tiles_y),
+            )
+            dvals = jnp.where(valid, cw, 0.0)
+            d_lo = jnp.min(dvals)
+            dsc = 255.0 / jnp.maximum(jnp.max(dvals) - d_lo, 1e-6)
+            dq = ((dvals - d_lo) * dsc).astype(jnp.int32)
+            order = jnp.argsort((key << 8) | dq).astype(jnp.int32)
+            key_sorted = key[order]
+            bins = jax.lax.broadcasted_iota(
+                jnp.int32, (Tp + tiles_y + 1, 1), 0
+            )[:, 0]
+            starts = jnp.searchsorted(
+                key_sorted, bins, side="left"
+            ).astype(jnp.int32)
+
+            def slot_table(beg, nbins, kcap):
+                slot = jax.lax.broadcasted_iota(jnp.int32, (nbins, kcap), 1)
+                pos = starts[beg : beg + nbins][:, None] + slot
+                count = (
+                    starts[beg + 1 : beg + nbins + 1]
+                    - starts[beg : beg + nbins]
+                )[:, None]
+                tv = slot < count
+                tb = order[jnp.minimum(pos, n - 1)]
+                return tb, tv, jnp.minimum(count[:, 0], kcap)
+
+            table_h, tvalid_h, counts_h = slot_table(0, Tp, cap)
+            btab, btv, bcnt_rows = slot_table(Tp, tiles_y, BCAP)
+
             rgbp = (
                 jnp.round(jnp.clip(colors[:, 0], 0, 1) * 255) * 65536.0
                 + jnp.round(jnp.clip(colors[:, 1], 0, 1) * 255) * 256.0
@@ -274,16 +322,45 @@ def _raster_impl(
                 axis=-1,
             )
             attr6 = ah.transpose(2, 1, 0)  # (6, cap, T')
+            bah = prim6[btab]  # (ty, BCAP, 6)
+            bpo = jnp.stack(
+                [
+                    bah[..., 0],
+                    bah[..., 1],
+                    jnp.where(btv, bah[..., 2], 1e6),
+                    jnp.where(btv, bah[..., 3], 1.0),
+                    bah[..., 4],
+                    jnp.where(btv, bah[..., 5], -1.0),
+                ],
+                axis=-1,
+            )
+            # lane-replicate each row's list across its 128 tiles
+            battr = jnp.broadcast_to(
+                bpo.transpose(2, 1, 0)[:, :, :, None],
+                (6, BCAP, tiles_y, TX),
+            ).reshape(6, BCAP, Tp)
+            rws = jnp.arange(tiles_y)
+            bocc5 = jnp.stack(
+                [
+                    jnp.where(
+                        (rws + d >= 0) & (rws + d < tiles_y),
+                        bcnt_rows[jnp.clip(rws + d, 0, tiles_y - 1)],
+                        0,
+                    )
+                    for d in (-2, -1, 0, 1, 2)
+                ],
+                axis=-1,
+            ).astype(jnp.int32)
             cnt = counts_h.reshape(tiles_y, TX)
             rws = jnp.arange(tiles_y)
             occ_cols = []
-            for oy, ox in OFFS:
+            for oy, ox in OFFS4:
                 c = jnp.roll(cnt, (-oy, -ox), axis=(0, 1))
                 c = jnp.where(
                     ((rws + oy >= 0) & (rws + oy < tiles_y))[:, None], c, 0
                 )
                 occ_cols.append(jnp.max(c[:, :tiles_x], axis=1))
-            occ9 = jnp.stack(occ_cols, -1).astype(jnp.int32)
+            occ4 = jnp.stack(occ_cols, -1).astype(jnp.int32)
             cattr10 = cocc9 = None
             if m_cyl:
                 # bond capsules: home-bin each cylinder at BOTH endpoint
@@ -334,8 +411,8 @@ def _raster_impl(
                     ccols.append(jnp.max(c[:, :tiles_x], axis=1))
                 cocc9 = jnp.stack(ccols, -1).astype(jnp.int32)
             rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_rows_pl(
-                attr6, occ9, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
-                cattr10, cocc9,
+                attr6, occ4, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
+                battr, bocc5, cattr10, cocc9,
                 cap=cap, tiles_y=tiles_y, width=W, height=H,
                 ambient=s.ambient, specular=s.specular,
                 shininess=s.shininess, light=lt,
