@@ -283,3 +283,32 @@ class TestVlxH5:
             jnp.asarray(cf), jnp.asarray(lmn),
         ))
         assert abs(psi[0]) > abs(psi[1]) * 5
+
+
+class TestSidecarCache:
+    def test_xtc_sidecar_roundtrip(self, tmp_path):
+        """Compressed trajectories write a .vtraj sidecar on first load
+        (the reference's trajectory cache files, loader.cpp:118-121) and
+        reuse it; cache=False disables (DISABLE_CACHE_WRITE analog)."""
+        import os
+
+        from tests.conftest import make_ala_pdb
+        from viamd_tpu.io import load_file
+        from viamd_tpu.io.xtc import write_xtc
+
+        p = tmp_path / "a.pdb"
+        p.write_text(make_ala_pdb(4, n_models=6))
+        r = load_file(str(p))
+        frames = np.stack(
+            [r.trajectory.load_frame(i)[0]
+             for i in range(r.trajectory.num_frames)]
+        )
+        xp = str(tmp_path / "a.xtc")
+        write_xtc(xp, frames, cell=None)
+        r2 = load_file(xp, system=r.system)
+        assert type(r2.trajectory).__name__ == "PackedTrajectory"
+        assert os.path.exists(xp + ".vtraj")
+        x2, _ = r2.trajectory.load_frame(2)
+        np.testing.assert_allclose(x2, frames[2], atol=1e-2)
+        r3 = load_file(xp, system=r.system, cache=False)
+        assert type(r3.trajectory).__name__ == "XTCTrajectory"

@@ -59,13 +59,20 @@ def loader_for_path(path: str) -> tuple[str, LoaderFlags]:
 
 
 def load_file(
-    path: str, system: Optional[System] = None, ext: Optional[str] = None
+    path: str, system: Optional[System] = None, ext: Optional[str] = None,
+    cache: bool = True,
 ) -> LoadResult:
     """Load a system and/or trajectory from `path`.
 
     `system` provides atom-count context for trajectory-only formats
     (mirrors how the reference attaches trajectories to the loaded system,
     src/viamd.cpp:439-467).
+
+    `cache`: compressed trajectory codecs (XTC/TRR) write a `.vtraj`
+    sidecar on first load and reuse it when fresh — the reference's
+    trajectory cache files (loader.cpp:118-121; disable with
+    cache=False ≙ MD_TRAJECTORY_FLAG_DISABLE_CACHE_WRITE). Failures to
+    write (read-only directories) silently fall back to direct reads.
     """
     ext = (ext or os.path.splitext(path)[1].lstrip(".")).lower()
     name, flags = _TABLE.get(ext, ("Undefined", LoaderFlags.NONE))
@@ -98,11 +105,11 @@ def load_file(
     elif ext == "xtc":
         from viamd_tpu.io.xtc import XTCTrajectory
 
-        res.trajectory = XTCTrajectory(path)
+        res.trajectory = _with_sidecar_cache(path, XTCTrajectory, cache)
     elif ext == "trr":
         from viamd_tpu.io.trr import TRRTrajectory
 
-        res.trajectory = TRRTrajectory(path)
+        res.trajectory = _with_sidecar_cache(path, TRRTrajectory, cache)
     elif ext == "dcd":
         from viamd_tpu.io.dcd import DCDTrajectory
 
@@ -124,3 +131,26 @@ def load_file(
             f"system atom count {system.natoms}"
         )
     return res
+
+
+def _with_sidecar_cache(path: str, reader_cls, cache: bool):
+    """Use/refresh a `.vtraj` sidecar next to a compressed trajectory."""
+    sidecar = path + ".vtraj"
+    if cache and os.path.exists(sidecar):
+        try:
+            if os.path.getmtime(sidecar) >= os.path.getmtime(path):
+                from viamd_tpu.io.cache import PackedTrajectory
+
+                return PackedTrajectory(sidecar)
+        except OSError:
+            pass
+    traj = reader_cls(path)
+    if cache:
+        try:
+            from viamd_tpu.io.cache import PackedTrajectory, transcode
+
+            transcode(traj, sidecar)
+            return PackedTrajectory(sidecar)
+        except OSError:
+            pass  # read-only location — keep the direct reader
+    return traj
