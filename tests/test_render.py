@@ -557,3 +557,60 @@ class TestColorVolume:
         c = img[24, 24]
         assert c[3] > 0.3
         assert c[1] > c[0]  # ...but the colvol GREEN wins
+
+
+class TestStripRendering:
+    def test_wide_frame_strips_match_ground_truth(self):
+        """Frames wider than the 127-tile halo grid render as vertical
+        strips; verify picking against brute-force ray tracing at
+        sampled pixels (the XLA engine is NOT the oracle here — its 3x3
+        union reach clips very large spheres that the strip path's big
+        tier handles)."""
+        from viamd_tpu.render import camera as C
+        from viamd_tpu.render.raster import RasterSettings, _raster_impl
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(2)
+        n = 120
+        cen = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+        cen[:, 2] -= 45
+        rad = rng.uniform(0.4, 2.0, n).astype(np.float32)
+        col = rng.rand(n, 4).astype(np.float32)
+        W, H = 2144, 160  # 134x10 tiles -> 2 strips
+        proj = np.asarray(
+            C.perspective(np.radians(45.0), W / H, 1.0, 200.0), np.float32
+        )
+        _, _, pick = _raster_impl(
+            jnp.asarray(cen), jnp.asarray(rad), jnp.asarray(col),
+            jnp.zeros((0, 12), jnp.float32), jnp.asarray(proj),
+            RasterSettings(
+                width=W, height=H, engine="pallas", home_capacity=32
+            ),
+        )
+        pick = np.asarray(pick)
+
+        def brute(y, x):
+            gx = ((x + 0.5) / W * 2 - 1) / proj[0, 0]
+            gy = ((y + 0.5) / H * 2 - 1) / proj[1, 1]
+            dd = gx * gx + gy * gy + 1
+            bt, bi = 1e30, -1
+            for i in range(n):
+                c = cen[i]
+                dc = gx * c[0] + gy * c[1] - c[2]
+                disc = dc * dc - dd * (c @ c - rad[i] * rad[i])
+                if disc <= 0:
+                    continue
+                t = (dc - np.sqrt(disc)) / dd
+                if 1e-6 < t < bt:
+                    bt, bi = t, i
+            return bi
+
+        rs = np.random.RandomState(7)
+        hits = np.argwhere(pick >= 0)
+        sample = [
+            (int(y), int(x))
+            for y, x in hits[rs.choice(len(hits), 40, replace=False)]
+        ] + [(int(rs.randint(H)), int(rs.randint(W))) for _ in range(20)]
+        wrong = sum(1 for y, x in sample if brute(y, x) != pick[y, x])
+        # tolerate a few capacity-drop divergences in pathological piles
+        assert wrong <= 1, f"{wrong} of {len(sample)} pixels disagree"

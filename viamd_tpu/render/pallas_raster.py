@@ -67,6 +67,7 @@ def _raster_row_kernel(
     tiles_y: int,
     width: int,
     height: int,
+    x_off: int,
     ambient: float,
     specular: float,
     shininess: float,
@@ -112,7 +113,9 @@ def _raster_row_kernel(
     pid = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 0)
-    px = lane * 16 + sub % 16
+    # x_off: this call renders a vertical strip of a wider frame (the
+    # halo grid is ≤127 tiles wide); ray dirs use GLOBAL pixel coords
+    px = x_off + lane * 16 + sub % 16
     py = pid * 16 + sub // 16
     inv00 = 1.0 / pr_ref[0, 0]
     inv11 = 1.0 / pr_ref[0, 1]
@@ -361,12 +364,14 @@ def raster_rows_pl(
     shininess: float,
     light: tuple,
     background: tuple,
+    x_off: int = 0,
     interpret: bool = False,
 ):
     """Halo-row raster → 6 (ty*128, P) planes (tile-major over the
     PADDED 128-column grid): shaded r/g/b, alpha, view depth, picking.
     Requires the real tile grid to be ≤ 127 columns wide (pad columns
-    must be empty for the lane-wrap argument to hold)."""
+    must be empty for the lane-wrap argument to hold); wider frames
+    render as vertical strips with `x_off` the strip's pixel origin."""
     Tp = attr6.shape[2]
     assert attr6.shape == (6, cap, Tp) and Tp == tiles_y * BTL
     bcap = 0 if battr is None else battr.shape[1]
@@ -429,6 +434,7 @@ def raster_rows_pl(
             ccap=ccap,
             tiles_y=tiles_y,
             width=width,
+            x_off=x_off,
             height=height,
             ambient=ambient,
             specular=specular,
@@ -447,185 +453,3 @@ def raster_rows_pl(
         interpret=interpret,
     )(*inputs)
     return [o.T for o in outs]
-
-
-def _raster_kernel(
-    occ_ref,  # SMEM (nprog, n_off) int32 per-offset max occupancy
-    pr_ref,  # SMEM (1, 4) f32: proj00, proj11, jitter02, jitter12
-    attr_ref,  # VMEM (8, K, BTL): cx cy cz r red grn blu pid (f32; -1 inv)
-    o_r, o_g, o_b, o_a, o_d, o_id,  # VMEM (P, BTL) outputs
-    bt_s, pi_s, nx_s, ny_s, nz_s, cr_s, cg_s, cb_s,  # VMEM (P, BTL) scratch
-    *,
-    cap: int,
-    n_off: int,
-    tiles_x: int,
-    width: int,
-    height: int,
-    ambient: float,
-    specular: float,
-    shininess: float,
-    light: tuple,
-    background: tuple,
-):
-    pid = pl.program_id(0)
-
-    # ray directions from tile id + pixel-in-tile iota (z = -1)
-    tid = pid * BTL + jax.lax.broadcasted_iota(jnp.int32, (1, BTL), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (P, BTL), 0)
-    px = (tid % tiles_x) * 16 + sub % 16
-    py = (tid // tiles_x) * 16 + sub // 16
-    inv_p00 = 1.0 / pr_ref[0, 0]
-    inv_p11 = 1.0 / pr_ref[0, 1]
-    dx = ((px.astype(jnp.float32) + 0.5) * (2.0 / width) - 1.0) * inv_p00
-    dy = ((py.astype(jnp.float32) + 0.5) * (2.0 / height) - 1.0) * inv_p11
-    dd = dx * dx + dy * dy + 1.0
-
-    bt_s[...] = jnp.full_like(bt_s, 1e30)
-    pi_s[...] = jnp.full_like(pi_s, -1.0)
-    nx_s[...] = jnp.zeros_like(nx_s)
-    ny_s[...] = jnp.zeros_like(ny_s)
-    nz_s[...] = jnp.zeros_like(nz_s)
-    cr_s[...] = jnp.zeros_like(cr_s)
-    cg_s[...] = jnp.zeros_like(cg_s)
-    cb_s[...] = jnp.zeros_like(cb_s)
-
-    for o in range(n_off):
-        occ = occ_ref[pid, o]
-        for k0 in range(0, cap, KB):
-
-            @pl.when(occ > k0)
-            def _block(o=o, k0=k0):
-                bt = bt_s[...]
-                bpi = pi_s[...]
-                bnx = nx_s[...]
-                bny = ny_s[...]
-                bnz = nz_s[...]
-                br = cr_s[...]
-                bg = cg_s[...]
-                bb = cb_s[...]
-                for j in range(min(KB, cap - k0)):
-                    ks = slice(o * cap + k0 + j, o * cap + k0 + j + 1)
-                    cx = attr_ref[0, ks, :]  # (1, BTL) sublane-broadcasts
-                    cy = attr_ref[1, ks, :]
-                    cz = attr_ref[2, ks, :]
-                    rk = attr_ref[3, ks, :]
-                    pidk = attr_ref[7, ks, :]
-                    # ray o=0, d=(dx,dy,-1): |t d - c|^2 = r^2
-                    dc = dx * cx + dy * cy - cz
-                    cc = cx * cx + cy * cy + cz * cz - rk * rk
-                    disc = dc * dc - dd * cc
-                    t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) / dd
-                    ok = (disc > 0) & (pidk >= 0) & (t > 1e-6) & (t < bt)
-                    inv = 1.0 / jnp.maximum(rk, 1e-12)
-                    bt = jnp.where(ok, t, bt)
-                    bpi = jnp.where(ok, pidk, bpi)
-                    bnx = jnp.where(ok, (dx * t - cx) * inv, bnx)
-                    bny = jnp.where(ok, (dy * t - cy) * inv, bny)
-                    bnz = jnp.where(ok, (-t - cz) * inv, bnz)
-                    br = jnp.where(ok, attr_ref[4, ks, :], br)
-                    bg = jnp.where(ok, attr_ref[5, ks, :], bg)
-                    bb = jnp.where(ok, attr_ref[6, ks, :], bb)
-                bt_s[...] = bt
-                pi_s[...] = bpi
-                nx_s[...] = bnx
-                ny_s[...] = bny
-                nz_s[...] = bnz
-                cr_s[...] = br
-                cg_s[...] = bg
-                cb_s[...] = bb
-
-    # shade in-kernel (raster.py _shade on the winning-hit state so
-    # normals never round-trip HBM)
-    lx, ly, lz = light
-    nx = nx_s[...]
-    ny = ny_s[...]
-    nz = nz_s[...]
-    ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
-    vn = jax.lax.rsqrt(dd)
-    vx = -dx * vn
-    vy = -dy * vn
-    vz = vn
-    hx = lx + vx
-    hy = ly + vy
-    hz = lz + vz
-    hn = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-24))
-    ndh = jnp.maximum((nx * hx + ny * hy + nz * hz) * hn, 0.0)
-    lum = ambient + (1.0 - ambient) * ndl
-    spec = specular * ndh**shininess
-    hit = pi_s[...] >= 0
-    bgr, bgg, bgb, bga = background
-    o_r[...] = jnp.where(hit, cr_s[...] * lum + spec, bgr * bga)
-    o_g[...] = jnp.where(hit, cg_s[...] * lum + spec, bgg * bga)
-    o_b[...] = jnp.where(hit, cb_s[...] * lum + spec, bgb * bga)
-    o_a[...] = jnp.where(hit, 1.0, 0.0)
-    o_d[...] = bt_s[...]
-    o_id[...] = pi_s[...].astype(jnp.int32)
-
-
-def raster_tiles_pl(
-    attrT,  # (8, K, T): cx cy cz r red grn blu pid (pid = exact f32, -1 inv)
-    counts9,  # (T, n_off) int32 per-offset candidate counts
-    p00, p11, p02, p12,  # () f32 proj diag + jitter (dynamic — SMEM)
-    *,
-    cap: int,  # slots per offset group (K = n_off * cap)
-    tiles_x: int,
-    tiles_y: int,
-    width: int,
-    height: int,
-    ambient: float,
-    specular: float,
-    shininess: float,
-    light: tuple,
-    background: tuple,
-    interpret: bool = False,
-):
-    """Nearest-hit + shade over screen tiles → 6 (T, P) planes:
-    shaded r/g/b, alpha, view depth (1e30 = miss), int32 picking id."""
-    _, K, T = attrT.shape
-    n_off = counts9.shape[1]
-    assert K == n_off * cap and T == tiles_x * tiles_y
-    nprog = -(-T // BTL)
-    pad = nprog * BTL - T
-    if pad:
-        attrT = jnp.pad(
-            attrT, ((0, 0), (0, 0), (0, pad)), constant_values=-1.0
-        )
-        counts9 = jnp.pad(counts9, ((0, pad), (0, 0)))
-    occ = jnp.max(
-        counts9.reshape(nprog, BTL, n_off), axis=1
-    ).astype(jnp.int32)
-    prs = jnp.stack([p00, p11, p02, p12]).reshape(1, 4).astype(jnp.float32)
-
-    pix_spec = pl.BlockSpec((P, BTL), lambda i: (0, i), memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        functools.partial(
-            _raster_kernel,
-            cap=cap,
-            n_off=n_off,
-            tiles_x=tiles_x,
-            width=width,
-            height=height,
-            ambient=ambient,
-            specular=specular,
-            shininess=shininess,
-            light=light,
-            background=background,
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((P, nprog * BTL), jnp.float32)
-            for _ in range(5)
-        ]
-        + [jax.ShapeDtypeStruct((P, nprog * BTL), jnp.int32)],
-        grid=(nprog,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (8, K, BTL), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[pix_spec] * 6,
-        scratch_shapes=[pltpu.VMEM((P, BTL), jnp.float32) for _ in range(8)],
-        interpret=interpret,
-    )(occ, prs, attrT)
-    return [o.T[:T] for o in outs]

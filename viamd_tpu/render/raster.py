@@ -179,6 +179,10 @@ def _raster_impl(
     valid = cw > 1e-6
     sx = (px_x / jnp.maximum(cw, 1e-6) * 0.5 + 0.5) * W
     sy = (px_y / jnp.maximum(cw, 1e-6) * 0.5 + 0.5) * H
+    # screen-space pixel radii are ANISOTROPIC whenever proj00·W and
+    # proj11·H differ (e.g. off-aspect projection matrices): use per-axis
+    # extents for binning/footprints
+    rpx_x = radii * proj[0, 0] / jnp.maximum(cw, 1e-6) * 0.5 * W
     rpx = radii * proj[1, 1] / jnp.maximum(cw, 1e-6) * 0.5 * H
 
     engine = s.engine
@@ -227,7 +231,7 @@ def _raster_impl(
 
     if engine == "pallas":
         from viamd_tpu.render.pallas_raster import (
-            BTL, OFFS, OFFS4, raster_rows_pl, raster_tiles_pl,
+            BTL, OFFS, OFFS4, raster_rows_pl,
         )
 
         cap = s.home_capacity
@@ -240,12 +244,24 @@ def _raster_impl(
             cap = min(max(auto, 16), 96)
         lt = np.asarray(s.light_dir, np.float32)
         lt = tuple((lt / np.linalg.norm(lt)).tolist())
-        if tiles_x <= BTL - 1:
-            # halo-row path: the 3×3 union never materializes (prev/cur/
-            # next row halo refs + in-kernel lane rolls)
+        # halo-row path: the 3×3/2×2 unions never materialize (halo row
+        # refs + in-kernel lane rolls). The halo grid is ≤127 real tiles
+        # wide; wider frames render as VERTICAL STRIPS — primitives
+        # register into every strip their footprint reaches (validity
+        # masks), ray directions use global pixel coords (x_off), and the
+        # strip images concatenate. 1080p = one strip; 1440p/4K = 2.
+        TXW = BTL - 2
+        n_strips = -(-tiles_x // TXW)
+        strip_tiles = -(-tiles_x // n_strips)
+
+        def halo_strip(tx0: int, txn: int):
             TX = BTL
             Tp = TX * tiles_y
             BCAP = 16
+            x0p = float(tx0 * TILE)
+            x1p = float((tx0 + txn) * TILE)
+            sxl = sx - x0p
+            reach = valid & (sx + rpx_x >= x0p) & (sx - rpx_x <= x1p)
             # two sphere tiers, ONE sort: small spheres (radius < 8 px)
             # key by their footprint TOP-LEFT tile (kernel gathers only
             # the 2x2 OFFS4 reach); big spheres key into a per-ROW key
@@ -253,9 +269,9 @@ def _raster_impl(
             # row-wide over a ±2-row window). Slots order nearest-first
             # via an 8-bit depth bucket, so capacity overflow drops the
             # most-occluded primitives.
-            small = rpx < 8.0
+            small = jnp.maximum(rpx, rpx_x) < 8.0
             tlx = jnp.clip(
-                ((sx - rpx) // TILE).astype(jnp.int32), 0, tiles_x - 1
+                ((sxl - rpx_x) // TILE).astype(jnp.int32), 0, txn - 1
             )
             tly = jnp.clip(
                 ((sy - rpx) // TILE).astype(jnp.int32), 0, tiles_y - 1
@@ -264,9 +280,9 @@ def _raster_impl(
                 (sy // TILE).astype(jnp.int32), 0, tiles_y - 1
             )
             key = jnp.where(
-                valid & small,
+                reach & small,
                 tly * TX + tlx,
-                jnp.where(valid, Tp + row_of, Tp + tiles_y),
+                jnp.where(reach, Tp + row_of, Tp + tiles_y),
             )
             dvals = jnp.where(valid, cw, 0.0)
             d_lo = jnp.min(dvals)
@@ -352,14 +368,13 @@ def _raster_impl(
                 axis=-1,
             ).astype(jnp.int32)
             cnt = counts_h.reshape(tiles_y, TX)
-            rws = jnp.arange(tiles_y)
             occ_cols = []
             for oy, ox in OFFS4:
                 c = jnp.roll(cnt, (-oy, -ox), axis=(0, 1))
                 c = jnp.where(
                     ((rws + oy >= 0) & (rws + oy < tiles_y))[:, None], c, 0
                 )
-                occ_cols.append(jnp.max(c[:, :tiles_x], axis=1))
+                occ_cols.append(jnp.max(c[:, :txn], axis=1))
             occ4 = jnp.stack(occ_cols, -1).astype(jnp.int32)
             cattr10 = cocc9 = None
             if m_cyl:
@@ -372,11 +387,15 @@ def _raster_impl(
                 clen = cyl12[:, 6:7]
                 pts = jnp.concatenate([cp0, cp0 + cax * clen], 0)
                 cwc = jnp.maximum(-pts[:, 2], 1e-6)
-                cvalid = -pts[:, 2] > 1e-6
                 csx = (proj[0, 0] * pts[:, 0] / cwc * 0.5 + 0.5) * W
                 csy = (proj[1, 1] * pts[:, 1] / cwc * 0.5 + 0.5) * H
+                cvalid = (
+                    (-pts[:, 2] > 1e-6)
+                    & (csx >= x0p - 32.0)
+                    & (csx <= x1p + 32.0)
+                )
                 ctab, ctv, ccnt = _build_home_table(
-                    csx, csy, cvalid, tiles_x, tiles_y, ccap,
+                    csx - x0p, csy, cvalid, txn, tiles_y, ccap,
                     stride_x=TX, depth=cwc,
                 )
                 crgbp = (
@@ -408,7 +427,7 @@ def _raster_impl(
                         ((rws + oy >= 0) & (rws + oy < tiles_y))[:, None],
                         c, 0,
                     )
-                    ccols.append(jnp.max(c[:, :tiles_x], axis=1))
+                    ccols.append(jnp.max(c[:, :txn], axis=1))
                 cocc9 = jnp.stack(ccols, -1).astype(jnp.int32)
             rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_rows_pl(
                 attr6, occ4, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
@@ -417,6 +436,7 @@ def _raster_impl(
                 ambient=s.ambient, specular=s.specular,
                 shininess=s.shininess, light=lt,
                 background=tuple(s.background),
+                x_off=tx0 * TILE,
                 interpret=jax.default_backend() == "cpu",
             )
             rgb_t = jnp.stack([rgb_r, rgb_g, rgb_b], -1)
@@ -427,81 +447,29 @@ def _raster_impl(
                 t = jnp.moveaxis(t, 2, 1).reshape(
                     tiles_y * TILE, TX * TILE, *ch
                 )
-                return t[:H, :W]
+                return t[:H, : txn * TILE]
 
-            img = jnp.concatenate(
+            img_s = jnp.concatenate(
                 [assemble_p(rgb_t, (3,)), assemble_p(a_t, ())[..., None]],
                 axis=-1,
             )
-            return img, assemble_p(d_t, ()), assemble_p(id_t, ())
+            return img_s, assemble_p(d_t, ()), assemble_p(id_t, ())
 
-        table_h, tvalid_h, counts_h = _build_home_table(
-            sx, sy, valid, tiles_x, tiles_y, cap
-        )
-        # packed (x,y,z,r,rgb,id) candidate attrs: ONE gather; ids ride
-        # as exact f32 VALUES (int bit patterns are flushed denormals)
-        prim8 = jnp.concatenate(
-            [
-                centers, radii[:, None], colors[:, :3],
-                jnp.arange(n, dtype=jnp.float32)[:, None],
-            ],
-            axis=1,
-        )
-        # gather + transpose on the SMALL pre-union home table, then the
-        # 3×3 footprint union by rolls directly in the kernel's (8, K, T)
-        # layout (a post-union (T,K,8)→(8,K,T) relayout of the 9× array
-        # measured ~2 ms; this form never materializes channel-minor data)
-        ah = prim8[table_h]  # (T, cap, 8)
-        ah = jnp.concatenate(
-            [
-                ah[..., :7],
-                jnp.where(tvalid_h, ah[..., 7], -1.0)[..., None],
-            ],
-            axis=-1,
-        )
-        a8 = ah.transpose(2, 1, 0).reshape(8, cap, tiles_y, tiles_x)
-        cnt = counts_h.reshape(tiles_y, tiles_x)
-        ry = jnp.arange(tiles_y)
-        rx = jnp.arange(tiles_x)
-        planes = []
-        cnts = []
-        for oy in (-1, 0, 1):
-            for ox in (-1, 0, 1):
-                r = jnp.roll(a8, (-oy, -ox), axis=(2, 3))
-                c = jnp.roll(cnt, (-oy, -ox), axis=(0, 1))
-                m = ((ry + oy >= 0) & (ry + oy < tiles_y))[:, None] & (
-                    (rx + ox >= 0) & (rx + ox < tiles_x)
-                )[None, :]
-                pidp = jnp.where(m[None], r[7], -1.0)
-                planes.append(jnp.concatenate([r[:7], pidp[None]], 0))
-                cnts.append(jnp.where(m, c, 0))
-        # concat on the slot axis lands directly in the kernel's
-        # offset-group-major (8, K, T) layout — no post-union relayout
-        attrT = jnp.concatenate(planes, axis=1).reshape(8, 9 * cap, T)
-        counts9 = jnp.stack(cnts, -1).reshape(T, 9)
-        lt = np.asarray(s.light_dir, np.float32)
-        lt = tuple((lt / np.linalg.norm(lt)).tolist())
-        rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_tiles_pl(
-            attrT, counts9, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
-            cap=cap, tiles_x=tiles_x, tiles_y=tiles_y, width=W, height=H,
-            ambient=s.ambient, specular=s.specular,
-            shininess=s.shininess, light=lt, background=tuple(s.background),
-            interpret=jax.default_backend() == "cpu",
-        )
-        rgb_t = jnp.stack([rgb_r, rgb_g, rgb_b], -1)
-        d_t = jnp.where(id_t >= 0, d_t, jnp.inf)
+        if True:
+            strips = []
+            for si in range(n_strips):
+                tx0 = si * strip_tiles
+                strips.append(
+                    halo_strip(tx0, min(strip_tiles, tiles_x - tx0))
+                )
+            if n_strips == 1:
+                img, d_img, p_img = strips[0]
+            else:
+                img = jnp.concatenate([st[0] for st in strips], axis=1)
+                d_img = jnp.concatenate([st[1] for st in strips], axis=1)
+                p_img = jnp.concatenate([st[2] for st in strips], axis=1)
+            return img[:, :W], d_img[:, :W], p_img[:, :W]
 
-        def assemble(tiles, ch):
-            t = tiles.reshape(tiles_y, tiles_x, TILE, TILE, *ch)
-            t = jnp.moveaxis(t, 2, 1).reshape(
-                tiles_y * TILE, tiles_x * TILE, *ch
-            )
-            return t[:H, :W]
-
-        img = jnp.concatenate(
-            [assemble(rgb_t, (3,)), assemble(a_t, ())[..., None]], axis=-1
-        )
-        return img, assemble(d_t, ()), assemble(id_t, ())
 
     dd = dx * dx + dy * dy + 1.0
 
