@@ -8,22 +8,22 @@ scratch, reads each input plane once, and shades in-kernel so normals
 never touch HBM.
 
 Layout (chosen for zero in-kernel relayouts, as in ops/pallas_rdf):
-- a program covers 128 screen tiles in the LANE dim; the 256 pixels
-  of each 16x16 tile live in SUBLANES → pixel state is (256, 128);
-- per-candidate attributes arrive as ONE (8, K, T) array: row
+- a program covers one 128-tile row of the padded tile grid (tiles in
+  the LANE dim); the 256 pixels of each 16x16 tile live in SUBLANES →
+  pixel state is (256, 128);
+- per-candidate attributes arrive as (C, K, T) channel planes: row
   [c, k, :] is a (1, 128) lane vector that broadcasts over the 256
   pixel sublanes natively (the cheap TPU broadcast direction);
-- ray directions are computed in-kernel from the tile-id lane vector
-  + iota (no pixel-direction inputs at all); the projection scalars
-  ride in SMEM so camera changes don't retrace;
-- candidate slots come in 9 offset groups (3x3 tile neighborhood of
-  home-binned primitives); slot blocks are gated per offset by the
-  program's max home occupancy (`pl.when`), the ops/pallas_rdf
-  pass-skipping idiom;
+- ray directions are computed in-kernel from program id + iota (no
+  pixel-direction inputs); projection scalars + TAA jitter ride in
+  SMEM so camera changes don't retrace; wide frames render as
+  vertical strips (x_off);
+- THREE gated slot regions (see _raster_row_kernel): TL-corner-binned
+  small spheres (2x2 offsets), per-row big spheres (±2-row halo),
+  bond capsules (3x3 offsets);
 - tiles stay in scanline order: an occupancy-rank permutation was
-  measured NET-NEGATIVE — the scattered (T, K, 8) row gather plus the
-  (8, K, T) relayout it forces cost more than tighter per-program
-  gating saves (sorted-tile floor 10.0 ms vs ~8 ms total without).
+  measured NET-NEGATIVE — the scattered row gather plus the relayout
+  it forces cost more than tighter per-program gating saves.
 
 Reference capability: mdlib md_gl rasterizer draw-op path
 (/root/reference/src/main.cpp:6878-6925, :6991) + GBuffer picking
