@@ -103,7 +103,11 @@ def cmd_render(args):
 
 def cmd_volume(args):
     s = _load_session(args.files)
-    s.set_script(open(args.script_file).read() if args.script_file else args.script)
+    script = (
+        open(args.script_file).read() if args.script_file else args.script
+    )
+    if script or not s.script_text:
+        s.set_script(script)
     res = s.evaluate()
     dv = s.components["density_volume"]
     if args.iso:
@@ -229,6 +233,8 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"error: file not found: {e.filename}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        return 0  # stdout consumer (e.g. `head`) closed early
     except (ValueError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
