@@ -691,3 +691,32 @@ class TestPlaybackModes:
         s.load(str(p))
         assert s.script_text.startswith("mydata = import(")
         assert s.compile_script()
+
+
+class TestMovieRendering:
+    def test_render_frames_with_motion_blur(self, ala_session):
+        s = ala_session
+        out = list(
+            s.render_frames([0, 1.5, 3], 96, 96, motion_blur=True)
+        )
+        assert [f for f, _ in out] == [0.0, 1.5, 3.0]
+        for _, rgba in out:
+            assert rgba.shape == (96, 96, 4)
+            assert np.isfinite(rgba).all()
+            assert (rgba[..., 3] > 0).sum() > 50
+
+    def test_movie_cli(self, ala_session, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        # exercised through the module CLI for the argv surface
+        from viamd_tpu.app import cli
+
+        pat = str(tmp_path / "f_%02d.png")
+        rc = cli.main(
+            ["movie", "demo", "-o", pat, "--frames", "0:4", "--step", "2",
+             "--width", "64", "--height", "64", "-q"]
+        )
+        assert rc == 0
+        assert (tmp_path / "f_00.png").exists()
+        assert (tmp_path / "f_01.png").exists()

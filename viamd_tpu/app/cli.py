@@ -137,6 +137,33 @@ def cmd_volume(args):
     return 0
 
 
+def cmd_movie(args):
+    s = _load_session(args.files)
+    s.representations[0].type = args.rep
+    s._update_representations()
+    if args.frames:
+        beg, _, end = args.frames.partition(":")
+        fr = range(int(beg or 0), int(end or s.num_frames), args.step)
+    else:
+        fr = range(0, max(s.num_frames, 1), args.step)
+    from viamd_tpu.app.export import save_image
+
+    n = 0
+    for f, rgba in s.render_frames(
+        fr, args.width, args.height, motion_blur=args.motion_blur,
+        progress=(
+            None if args.quiet
+            else lambda p: print(f"\r{p*100:.0f}%", end="", file=sys.stderr)
+        ),
+    ):
+        save_image(args.output % n, rgba)
+        n += 1
+    if not args.quiet:
+        print(file=sys.stderr)
+    print(f"wrote {n} frames ({args.output % 0} … {args.output % (n - 1)})")
+    return 0
+
+
 def cmd_transcode(args):
     from viamd_tpu.io import load_file
     from viamd_tpu.io.cache import transcode
@@ -210,6 +237,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.set_defaults(fn=cmd_volume)
+
+    p = sub.add_parser("movie", help="render a frame range to numbered PNGs")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-o", "--output", default="frame_%04d.png",
+                   help="printf-style pattern, e.g. out/f_%%04d.png")
+    p.add_argument("--rep", default="spacefill",
+                   choices=["spacefill", "licorice", "ballstick"])
+    p.add_argument("--frames", help="A:B frame window")
+    p.add_argument("--step", type=int, default=1)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--motion-blur", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(fn=cmd_movie)
 
     p = sub.add_parser("transcode", help="pack a trajectory into .vtraj")
     p.add_argument("file")

@@ -612,6 +612,60 @@ class Session:
                 depth, picking = d, p
         return (acc / samples).astype(np.float32), depth, picking
 
+    def render_frames(
+        self,
+        frames,
+        width: int = 512,
+        height: int = 512,
+        motion_blur: bool = False,
+        dt: float = 1.0,
+        progress=None,
+        **kw,
+    ):
+        """Offline movie rendering: yield (frame, rgba) over playback
+        positions (the reference's interactive playback + screenshot
+        path as a batch job). `frames` may be fractional (interpolated).
+        `motion_blur` smears along per-atom screen velocities
+        (velocity/* buffers + temporal.frag's motion-blur half)."""
+        import jax.numpy as jnp
+
+        from viamd_tpu.render import postprocess as pp
+
+        frames = list(frames)
+        for k, f in enumerate(frames):
+            self.set_frame(float(f))
+            rgba, depth, pick = self.render(width, height, **kw)
+            if motion_blur:
+                cur, prev = self._screen_positions(width, height, dt)
+                vel = pp.velocity_image(np.asarray(pick), cur, prev)
+                rgb = pp.motion_blur(
+                    jnp.asarray(np.asarray(rgba)[..., :3]), jnp.asarray(vel)
+                )
+                rgba = np.concatenate(
+                    [np.asarray(rgb), np.asarray(rgba)[..., 3:]], axis=-1
+                )
+            if progress:
+                progress((k + 1) / len(frames))
+            yield float(f), np.asarray(rgba)
+
+    def _screen_positions(self, width: int, height: int, dt: float = 1.0):
+        """(current, previous) per-atom screen positions — the velocity
+        gbuffer source (velocity/* blit passes)."""
+        cam = self.camera or cam_mod.compute_optimal_view(*self.system.aabb())
+        vm = np.asarray(cam.view_matrix(), np.float32)
+        pr = np.asarray(cam.proj_matrix(width, height), np.float32)
+        x = self.current_coords()
+        v = self.current_velocities(dt)
+
+        def screen(p):
+            pv = p @ vm[:3, :3].T + vm[:3, 3]
+            cw = np.maximum(-pv[:, 2], 1e-6)
+            sx = (pr[0, 0] * pv[:, 0] / cw * 0.5 + 0.5) * width
+            sy = (pr[1, 1] * pv[:, 1] / cw * 0.5 + 0.5) * height
+            return np.stack([sx, sy], 1).astype(np.float32)
+
+        return screen(x), screen(x - v * dt)
+
     def pick(self, x: int, y: int, width: int = 512, height: int = 512) -> int:
         """Atom index under a pixel (the async PBO picking readback,
         viamd.cpp:2359-2545, as a direct query)."""
