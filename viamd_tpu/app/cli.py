@@ -7,6 +7,7 @@ The headless north star requires a real one (SURVEY.md §5.6):
   viamd-tpu info FILE...                      system summary
   viamd-tpu eval FILE... -s SCRIPT [-o out.csv] [--xvg] [--frames A:B]
   viamd-tpu render FILE... [-o out.png] [--rep TYPE] [--color MAPPING]
+  viamd-tpu movie FILE... [-o pat_%04d.png] [--frames A:B] [--motion-blur]
   viamd-tpu volume FILE... -s SCRIPT -p PROP [-o out.png] [--cube out.cube]
   viamd-tpu transcode TRAJ -o out.vtraj       packed cache
   viamd-tpu workspace FILE.via [--render out.png] [--eval]
