@@ -13,7 +13,24 @@ Reference capability map: /root/reference (scanberg/viamd); see SURVEY.md.
 
 __version__ = "0.1.0"
 
-from viamd_tpu.core.system import System, UnitCell
 from viamd_tpu.core.bitfield import Bitfield
+from viamd_tpu.core.system import System, UnitCell
 
-__all__ = ["System", "UnitCell", "Bitfield", "__version__"]
+
+def __getattr__(name):
+    # lazy heavyweight entry points: `viamd_tpu.Session()` /
+    # `viamd_tpu.load_file(...)` without importing jax at package import
+    if name == "Session":
+        from viamd_tpu.app.session import Session
+
+        return Session
+    if name == "load_file":
+        from viamd_tpu.io import load_file
+
+        return load_file
+    raise AttributeError(f"module 'viamd_tpu' has no attribute '{name}'")
+
+
+__all__ = [
+    "Bitfield", "Session", "System", "UnitCell", "load_file", "__version__",
+]
