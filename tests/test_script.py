@@ -86,6 +86,15 @@ class TestSelections:
         assert dyn
         assert m.popcount() >= 4  # at least the CAs themselves
 
+    def test_filter_within_negative_wrap(self, water):
+        # np.mod(-1e-16, L) == L exactly; the KD-tree boxsize path must
+        # clamp wrapped coords into [0, L) or scipy raises ValueError
+        s, _ = water
+        s.x[0] = -1e-16
+        m, dyn = evaluate_filter("within(2.0, element('O'))", s)
+        assert dyn
+        assert m.popcount() >= 1
+
     def test_filter_wildcard(self, ala_system):
         m, _ = evaluate_filter("name('C*')", ala_system)
         assert m.popcount() == 12

@@ -139,6 +139,13 @@ def cmd_volume(args):
 
 
 def cmd_movie(args):
+    try:
+        args.output % 0
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"output pattern {args.output!r} needs a frame-number specifier "
+            "(e.g. frame_%04d.png)"
+        )
     s = _load_session(args.files)
     s.representations[0].type = args.rep
     s._update_representations()
@@ -161,7 +168,10 @@ def cmd_movie(args):
         n += 1
     if not args.quiet:
         print(file=sys.stderr)
-    print(f"wrote {n} frames ({args.output % 0} … {args.output % (n - 1)})")
+    if n:
+        print(f"wrote {n} frames ({args.output % 0} … {args.output % (n - 1)})")
+    else:
+        print("wrote 0 frames")
     return 0
 
 

@@ -598,8 +598,9 @@ class Session:
         create_screenshot, main.cpp:6794-6820): average `samples` renders
         under the Halton(2,3) sub-pixel jitter sequence → antialiased
         (rgba, depth, picking). Depth/picking come from the centered
-        sample."""
+        sample (sample 0's jitter is forced to (0,0))."""
         jit = cam_mod.taa_jitter_sequence(samples)
+        jit[0] = 0.0
         acc = None
         depth = picking = None
         for i in range(samples):

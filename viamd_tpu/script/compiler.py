@@ -738,11 +738,15 @@ def _within(c: _Compiler, node, args):
     # memory stays O(chunk·|sel|) instead of O(n·|sel|).
     x = c.x0
     cut = float(cutoff)
-    if c.sys.cell.is_orthorhombic:
+    try:
         from scipy.spatial import cKDTree
-
+    except ImportError:
+        cKDTree = None
+    if c.sys.cell.is_orthorhombic and cKDTree is not None:
         box = np.asarray(c.sys.cell.extent(), np.float64)
         xw = np.mod(x.astype(np.float64), box)  # boxsize requires [0, L)
+        # np.mod(-1e-16, L) == L exactly — boxsize requires strictly < L
+        xw[xw >= box] = 0.0
         tree = cKDTree(xw[idx], boxsize=box)
         hits = tree.query_ball_point(xw, r=cut, return_length=True)
         mask = np.asarray(hits) > 0
