@@ -312,3 +312,68 @@ class TestSidecarCache:
         np.testing.assert_allclose(x2, frames[2], atol=1e-2)
         r3 = load_file(xp, system=r.system, cache=False)
         assert type(r3.trajectory).__name__ == "XTCTrajectory"
+
+
+class TestEDR:
+    """GROMACS energy-file codec (viamd.h:86 edr script import)."""
+
+    def _fixture(self):
+        names = ["Potential", "Kinetic En.", "Temperature"]
+        t = np.linspace(0.0, 10.0, 21)
+        e = np.stack(
+            [np.sin(t), np.cos(t) * 100.0, 300.0 + t], axis=1
+        )
+        return names, t, e
+
+    @pytest.mark.parametrize("double", [False, True])
+    def test_round_trip(self, tmp_path, double):
+        from viamd_tpu.io.edr import read_edr, write_edr
+
+        names, t, e = self._fixture()
+        p = tmp_path / "ener.edr"
+        write_edr(str(p), names, t, e, double=double)
+        cols, labels = read_edr(str(p))
+        assert labels == ["Time"] + names
+        assert cols.shape == (4, 21)
+        np.testing.assert_allclose(cols[0], t, rtol=1e-6)
+        np.testing.assert_allclose(cols[1:].T, e, rtol=1e-5, atol=1e-5)
+
+    def test_file_version_1(self, tmp_path):
+        # hand-built v1 layout: magic=nre>0, names, then per-frame
+        # t(real) step(int) + nre*(e, eav, esum, dum)
+        import struct
+
+        p = tmp_path / "old.edr"
+        out = bytearray()
+        out += struct.pack(">i", 2)  # nre (v1 magic)
+        for nm in (b"Potential\x00", b"Pressure\x00"):
+            out += struct.pack(">i", len(nm)) + nm
+            out += b"\x00" * ((4 - len(nm) % 4) % 4)
+        for fi, (t, e0, e1) in enumerate(
+            [(0.0, 1.5, -2.0), (0.5, 1.25, -1.0)]
+        ):
+            out += struct.pack(">f", t)
+            out += struct.pack(">i", fi)
+            for e in (e0, e1):
+                out += struct.pack(">ffff", e, 0.0, 0.0, 0.0)
+        p.write_bytes(bytes(out))
+        from viamd_tpu.io.edr import read_edr
+
+        cols, labels = read_edr(str(p))
+        assert labels == ["Time", "Potential", "Pressure"]
+        np.testing.assert_allclose(cols[0], [0.0, 0.5])
+        np.testing.assert_allclose(cols[1], [1.5, 1.25])
+        np.testing.assert_allclose(cols[2], [-2.0, -1.0])
+
+    def test_script_import(self, tmp_path):
+        from tests.conftest import make_ala_pdb
+        from viamd_tpu.io.edr import write_edr
+        from viamd_tpu.io.pdb import parse_pdb
+        from viamd_tpu.script import compile_script
+
+        names, t, e = self._fixture()
+        p = tmp_path / "ener.edr"
+        write_edr(str(p), names, t, e)
+        sys, _ = parse_pdb(make_ala_pdb(4))
+        compiled = compile_script(f'tbl = import("{p}");', sys)
+        assert compiled is not None

@@ -95,6 +95,47 @@ class TestSelections:
         assert dyn
         assert m.popcount() >= 1
 
+    def test_plural_structure_builtins(self, ala_system):
+        # atoms()/residues()/chains() — reference identifier list,
+        # ext/ImGuiColorTextEdit/TextEditor.cpp:3320
+        m, _ = evaluate_filter("atoms(1:3)", ala_system)
+        assert m.popcount() == 3
+        # selection form promotes to whole residues
+        m1, _ = evaluate_filter("name('CA')", ala_system)
+        m2, _ = evaluate_filter("residues(name('CA'))", ala_system)
+        assert m2.popcount() > m1.popcount()
+        mall, _ = evaluate_filter("residues()", ala_system)
+        assert mall.popcount() == ala_system.natoms
+        mc, _ = evaluate_filter("chains(atom(1))", ala_system)
+        assert mc.popcount() >= 1
+
+    def test_reference_identifier_list_covered(self):
+        # programmatic diff vs the full VIAMD language identifier list
+        # (ext/ImGuiColorTextEdit/TextEditor.cpp:3317-3331) so language-
+        # surface regressions are impossible
+        import re
+        from pathlib import Path
+
+        from viamd_tpu.script.compiler import BUILTINS, NULLARY
+
+        ref = Path(
+            "/root/reference/ext/ImGuiColorTextEdit/TextEditor.cpp"
+        )
+        if not ref.exists():
+            pytest.skip("reference checkout not available")
+        text = ref.read_text(errors="replace")
+        # line 60 calls VIAMD(); the definition (line 3306) precedes the
+        # identifier table — slice from the last occurrence
+        viamd = text[text.rindex("LanguageDefinition::VIAMD()"):]
+        block = viamd[
+            viamd.index("identifiers[]"): viamd.index("};", viamd.index("identifiers[]"))
+        ]
+        idents = set(re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)"', block))
+        assert len(idents) > 30, idents  # sanity: parsed the real list
+        known = set(BUILTINS) | set(NULLARY)
+        missing = idents - known
+        assert not missing, f"script builtins missing vs reference: {sorted(missing)}"
+
     def test_filter_wildcard(self, ala_system):
         m, _ = evaluate_filter("name('C*')", ala_system)
         assert m.popcount() == 12

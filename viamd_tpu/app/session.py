@@ -91,11 +91,11 @@ class Session:
     # -- data loading --------------------------------------------------------
     def load(self, path: str, **kw) -> "Session":
         """Load a system and/or trajectory file (file_queue/load_data_from_file
-        analog, viamd.cpp:667). Table files (.xvg/.csv) inject an
+        analog, viamd.cpp:667). Table files (.edr/.xvg/.csv) inject an
         `import(...)` statement into the script instead
-        (viamd.cpp:2850-2858)."""
+        (viamd.h:86, viamd.cpp:2833-2858)."""
         ext = os.path.splitext(path)[1].lower()
-        if ext in (".xvg", ".csv"):
+        if ext in (".edr", ".xvg", ".csv"):
             name = os.path.splitext(os.path.basename(path))[0]
             name = "".join(c if c.isalnum() else "_" for c in name) or "table"
             stmt = f'{name} = import("{os.path.abspath(path)}");'
@@ -347,6 +347,7 @@ class Session:
                 self.script_text, self.system,
                 identifiers=self.stored_selections,
             )
+            self._compiled_text = self.script_text
             self.events.broadcast(EventType.SCRIPT_COMPILED, self)
             return True
         except ScriptError as e:
@@ -365,7 +366,12 @@ class Session:
     ) -> EvalResult:
         """Run the compiled script over the trajectory (the Eval Full /
         filtered-eval pair, main.cpp:981-1027)."""
-        if self.compiled is None:
+        # recompile on text change — the reference's debounced recompile
+        # (main.cpp:68); direct script_text assignment must not evaluate
+        # a stale IR
+        if self.compiled is None or (
+            getattr(self, "_compiled_text", None) != self.script_text
+        ):
             if not self.compile_script():
                 raise ScriptError(self.script_errors[0])
         traj = self.trajectory

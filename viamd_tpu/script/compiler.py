@@ -713,6 +713,105 @@ def _atom(c: _Compiler, node, args):
     return Selection(bf, [bf.indices()] if bf.any() else [], "atom")
 
 
+@builtin("atoms")
+def _atoms(c: _Compiler, node, args):
+    """Plural structure builtin (reference identifier list,
+    ext/ImGuiColorTextEdit/TextEditor.cpp:3320): atoms(sel|indices) at
+    per-ATOM structure granularity — `prop in atoms(...)` maps per atom.
+    Range form selects 1-based indices like atom(); selection form
+    re-contexts the selection's atoms one-structure-per-atom."""
+    dynamic = False
+    if not args:
+        mask = np.ones(c.n, bool)
+    else:
+        mask = np.zeros(c.n, bool)
+        sels, rest = [], []
+        for a in args:
+            (sels if isinstance(a, Selection) else rest).append(a)
+        for s in sels:
+            mask |= s.mask.to_bools()
+            dynamic |= s.dynamic
+        if rest:
+            mask |= _atom(c, node, rest).mask.to_bools()
+    bf = Bitfield.from_bools(mask)
+    sel = Selection(
+        bf,
+        [np.array([i], np.int32) for i in bf.indices()],
+        "atom",
+        dynamic,
+    )
+    return c._clip_to_context(sel)
+
+
+def _promoted_res_mask(c: _Compiler, sel: Selection) -> np.ndarray:
+    res_mask = np.zeros(c.sys.nres, bool)
+    idx = sel.mask.indices()
+    if idx.size:
+        res_mask[c.sys.atom_res_idx[idx]] = True
+    return res_mask
+
+
+@builtin("residues")
+def _residues(c: _Compiler, node, args):
+    """residues(sel|indices): the residues touched, one structure per
+    residue (reference identifier list, TextEditor.cpp:3320). A selection
+    argument promotes to whole residues (completes partial residues);
+    ranges behave like residue()."""
+    if not args:
+        return c.residue_selection(np.ones(c.sys.nres, bool))
+    res_mask = np.zeros(c.sys.nres, bool)
+    dynamic = False
+    rest = []
+    for a in args:
+        if isinstance(a, Selection):
+            res_mask |= _promoted_res_mask(c, a)
+            dynamic |= a.dynamic
+        else:
+            rest.append(a)
+    if rest:
+        res_mask |= _promoted_res_mask(c, _residue(c, node, rest))
+    return c.residue_selection(res_mask, dynamic=dynamic)
+
+
+@builtin("chains")
+def _chains(c: _Compiler, node, args):
+    """chains(sel|ids|indices): the chains touched, one structure per
+    chain (reference identifier list, TextEditor.cpp:3320). A selection
+    argument promotes to whole chains; strings/ints/ranges behave like
+    chain()."""
+    chosen = np.zeros(c.sys.nchains, bool)
+    dynamic = False
+    rest = []
+    if not args:
+        chosen[:] = True
+    for a in args:
+        if isinstance(a, Selection):
+            idx = a.mask.indices()
+            ci = c.sys.atom_chain_idx[idx]
+            chosen[ci[ci >= 0]] = True
+            dynamic |= a.dynamic
+        else:
+            rest.append(a)
+    if rest:
+        sub = _chain(c, node, rest)
+        idx = sub.mask.indices()
+        ci = c.sys.atom_chain_idx[idx]
+        chosen[ci[ci >= 0]] = True
+    offs = c.sys.chain_offsets
+    structures = []
+    all_idx = []
+    for ci in np.nonzero(chosen)[0]:
+        ats = np.arange(offs[ci], offs[ci + 1], dtype=np.int32)
+        structures.append(ats)
+        all_idx.append(ats)
+    mask = Bitfield.from_indices(
+        c.n, np.concatenate(all_idx) if all_idx else []
+    )
+    return c._clip_to_context(
+        Selection(mask, structures, "chain", dynamic)
+    )
+
+
 @builtin("within")
 def _within(c: _Compiler, node, args):
     """within(cutoff, sel): atoms within cutoff Å of sel (reference frame).
@@ -1222,11 +1321,16 @@ BUILTINS["mul"] = _math2(jnp.multiply, np.multiply)
 
 @builtin("import")
 def _import(c: _Compiler, node, args):
-    """import("table.xvg"/".csv") → static column array (main.cpp:2850-2858)."""
+    """import("table.xvg"/".csv"/".edr") → static column array
+    (viamd.h:86 SCRIPT_IMPORT_FILE_EXTENSIONS, viamd.cpp:2833-2858)."""
     (path,) = args
     if not isinstance(path, str):
         raise ScriptError("import(path)", node.line, node.col)
-    if path.endswith(".xvg"):
+    if path.endswith(".edr"):
+        from viamd_tpu.io.edr import read_edr
+
+        cols, _names = read_edr(path)
+    elif path.endswith(".xvg"):
         from viamd_tpu.io.xvg import read_xvg
 
         cols, _meta = read_xvg(path)
