@@ -600,6 +600,39 @@ class TestRamachandranSelection:
         assert resw.size <= res.size
 
 
+class TestRamachandranReference:
+    """Canonical Top8000-derived reference densities + classification
+    (density_gen.inl et al., ramachandran.cpp:1071-1076,1215-1262)."""
+
+    def test_tables_load(self):
+        from viamd_tpu.components import ramachandran as rm
+
+        for cls in rm.CLASSES:
+            t = rm.reference_density(cls)
+            assert t.shape == (180, 180)
+            assert 0.5 < t.max() <= 1.05
+
+    def test_alpha_helix_is_favored(self):
+        from viamd_tpu.components.ramachandran import classify_reference
+
+        # canonical right-handed alpha helix
+        assert classify_reference(-60, -45, "general", degrees=True) == 2
+        # canonical antiparallel beta sheet: at least allowed
+        assert classify_reference(-135, 135, "general", degrees=True) >= 1
+        # phi=+60 is outlier territory for general but OK for glycine
+        assert classify_reference(75, -60, "general", degrees=True) <= 1
+        assert classify_reference(75, -60, "glycine", degrees=True) >= 1
+        # nonsense region
+        assert classify_reference(0, 0, "general", degrees=True) == 0
+
+    def test_component_classification(self, ala_session):
+        rama = ala_session.components["ramachandran"]
+        cls = rama.classification(frame=0)
+        bb = ala_session.system.backbone
+        assert cls.shape == (bb.count,)
+        assert set(np.unique(cls)).issubset({-1, 0, 1, 2})
+
+
 class TestSelectionUtils:
     def test_grow_by_bonds(self, ala_session):
         s = ala_session

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Microbench: histogram bin-loop variants for the pallas RDF kernel.
+
+Synthetic (128, Cc) distance tiles, T grid steps ≈ the bench config's
+43M slots. Variants:
+  base      — int32 cmp + bf16 select + sublane-reduce per bin (shipped)
+  i16       — compare in int16 (2x packed?) + bf16 select
+  i8        — compare in int8
+  factored  — two-level: 16 sub-onehots + 8 block-masks, mul+reduce per bin
+  cdf       — compare dist<edge in f32, bf16 mask-mult, diff at the end
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+NBINS = 128
+Cc = 2048
+T = 164  # tiles ≈ 43M slots
+K = 8  # fori_loop reps
+
+
+def kernel(d_ref, w_ref, out_ref, scratch, *, variant):
+    dist = d_ref[0]  # (128, Cc) f32, in [0, 10)
+    w = w_ref[0]  # (128, Cc) bf16 0/1
+    inv_bin = NBINS / 10.0
+    bin_id = (dist * inv_bin).astype(jnp.int32)
+    zero = jnp.bfloat16(0)
+
+    if variant in ("i16", "i8"):
+        bt = jnp.int16 if variant == "i16" else jnp.int8
+        bin_n = bin_id.astype(bt)
+        for g in range(NBINS // 16):
+            rows = [
+                jnp.sum(
+                    jnp.where(bin_n == bt(g * 16 + j), w, zero),
+                    axis=0, keepdims=True, dtype=jnp.bfloat16,
+                ).astype(jnp.float32)
+                for j in range(16)
+            ]
+            scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
+    elif variant == "base":
+        for g in range(NBINS // 16):
+            rows = [
+                jnp.sum(
+                    jnp.where(bin_id == g * 16 + j, w, zero),
+                    axis=0, keepdims=True, dtype=jnp.bfloat16,
+                ).astype(jnp.float32)
+                for j in range(16)
+            ]
+            scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
+    elif variant == "factored":
+        blk = bin_id >> 4  # 8 values
+        sub = bin_id & 15  # 16 values
+        SJ = [
+            jnp.where(sub == j, w, zero) for j in range(16)
+        ]  # 16 bf16 planes (w folded in)
+        for g in range(NBINS // 16):
+            WG = (blk == g).astype(jnp.bfloat16)
+            rows = [
+                jnp.sum(
+                    WG * SJ[j], axis=0, keepdims=True, dtype=jnp.bfloat16
+                ).astype(jnp.float32)
+                for j in range(16)
+            ]
+            scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
+    elif variant == "cdf":
+        # cdf[j] = sum(dist < edge_j): cmp f32 → bf16 mult by w
+        for g in range(NBINS // 16):
+            rows = [
+                jnp.sum(
+                    jnp.where(dist < (g * 16 + j + 1) / inv_bin, w, zero),
+                    axis=0, keepdims=True, dtype=jnp.bfloat16,
+                ).astype(jnp.float32)
+                for j in range(16)
+            ]
+            scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
+    out_ref[0] = jnp.sum(scratch[...], axis=1)[:, None]
+
+
+def run(variant):
+    rng = np.random.RandomState(0)
+    d = rng.uniform(0, 10, (T, 128, Cc)).astype(np.float32)
+    w = (rng.uniform(size=(T, 128, Cc)) < 0.6).astype(np.float32)
+    d_j = jnp.asarray(d)
+    w_j = jnp.asarray(w).astype(jnp.bfloat16)
+
+    @jax.jit
+    def go(dd, ww):
+        def step(i, carry):
+            out = pl.pallas_call(
+                functools.partial(kernel, variant=variant),
+                out_shape=jax.ShapeDtypeStruct((T, NBINS, 1), jnp.float32),
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec((1, 128, Cc), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((1, 128, Cc), lambda i: (i, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, NBINS, 1), lambda i: (i, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((NBINS, Cc), jnp.float32)],
+            )(dd + carry * 1e-30, ww)
+            return jnp.sum(out) + carry * 0.0
+
+        return jax.lax.fori_loop(0, K, step, jnp.float32(0.0))
+
+    r = go(d_j, w_j)
+    float(r)
+    t0 = time.time()
+    r = go(d_j, w_j)
+    s = float(r)
+    dt = (time.time() - t0) / K
+    slots = T * 128 * Cc
+    print(
+        f"{variant:10s} {dt*1000:8.2f} ms/iter  "
+        f"{slots/dt/1e9:6.1f} Gslot/s  (sum {s:.0f})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    for v in sys.argv[1:] or ["base", "cdf", "i16", "i8", "factored"]:
+        try:
+            run(v)
+        except Exception as e:
+            print(f"{v:10s} FAILED: {type(e).__name__}: {str(e)[:200]}")

@@ -9,9 +9,11 @@ plus reference iso-density contours from embedded tables).
 TPU formulation: angles for ALL frames batch through the jitted backbone
 kernel (the trajectory-precompute task of viamd.cpp:487-525); density
 accumulation is a 2D histogram via the scatter-free sorted segment-sum,
-blurred with the separable gaussian of ops.density. Reference (favored /
-allowed region) maps are computed from the data itself rather than shipped
-tables.
+blurred with the separable gaussian of ops.density. The canonical
+(favored / allowed) region maps ship as the same Top8000-derived tables
+the reference embeds (rama_ref_densities.npz ← density_*.inl), with the
+reference's iso thresholds for classification; trajectory-derived
+contours (iso_levels) remain available for data-driven plots.
 """
 
 from __future__ import annotations
@@ -24,6 +26,66 @@ from viamd_tpu.app.events import EventType
 
 ACC_RES = 128  # accumulation resolution (reference: 512² at display 1024²)
 CLASSES = ("general", "glycine", "proline", "preproline")
+
+# canonical iso thresholds (ramachandran.cpp:1071-1076): density ≥ favored
+# ⇒ favored; ≥ allowed ⇒ allowed; else outlier. General uses the 99.95%
+# contour, the other classes 99.80%; favored is the 98% contour for all.
+REF_ISO_ALLOWED = (0.0005, 0.002, 0.002, 0.002)
+REF_ISO_FAVORED = (0.02, 0.02, 0.02, 0.02)
+_REF_KEYS = ("gen", "gly", "pro", "pre")
+_ref_tables = None
+
+
+def reference_density(res_class: str = "general") -> np.ndarray:
+    """Canonical (180, 180) Top8000-derived reference density for a residue
+    class — the embedded tables of density_gen.inl et al. (data extracted
+    by tools/gen_rama_tables.py; consumed at ramachandran.cpp:1215-1262).
+    Row = φ bin, column = ψ bin, both spanning [-180°, 180°)."""
+    global _ref_tables
+    if _ref_tables is None:
+        import importlib.resources as res
+
+        with res.files("viamd_tpu.components").joinpath(
+            "rama_ref_densities.npz"
+        ).open("rb") as f:
+            data = np.load(f)
+            _ref_tables = {k: data[k] for k in _REF_KEYS}
+    return _ref_tables[_REF_KEYS[CLASSES.index(res_class)]]
+
+
+def sample_reference_density(
+    phi, psi, res_class: str = "general", degrees: bool = False
+) -> np.ndarray:
+    """Bilinear sample of the canonical density at (φ, ψ) (periodic)."""
+    table = reference_density(res_class)
+    phi = np.asarray(phi, np.float64)
+    psi = np.asarray(psi, np.float64)
+    if not degrees:
+        phi, psi = np.degrees(phi), np.degrees(psi)
+    dim = table.shape[0]
+    # table layout: row (v) = φ, column (u) = ψ
+    u = (psi + 180.0) / 360.0 * dim - 0.5
+    v = (phi + 180.0) / 360.0 * dim - 0.5
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu, fv = u - u0, v - v0
+    out = np.zeros(np.broadcast(phi, psi).shape, np.float64)
+    for dv, wv in ((0, 1.0 - fv), (1, fv)):
+        for du, wu in ((0, 1.0 - fu), (1, fu)):
+            out += wv * wu * table[(v0 + dv) % dim, (u0 + du) % dim]
+    return out
+
+
+def classify_reference(
+    phi, psi, res_class: str = "general", degrees: bool = False
+) -> np.ndarray:
+    """0 = outlier, 1 = allowed, 2 = favored vs the canonical contours."""
+    k = CLASSES.index(res_class)
+    d = sample_reference_density(phi, psi, res_class, degrees=degrees)
+    return (
+        (d >= REF_ISO_ALLOWED[k]).astype(np.int8)
+        + (d >= REF_ISO_FAVORED[k]).astype(np.int8)
+    )
 
 
 class RamachandranComponent:
@@ -146,6 +208,23 @@ class RamachandranComponent:
             out.append(float(flat[min(k, flat.size - 1)]))
         return out
 
+
+    def classification(self, frame: int = 0) -> np.ndarray:
+        """Per-backbone-residue canonical classification at `frame`:
+        0 = outlier, 1 = allowed, 2 = favored, -1 = undefined angles.
+        Uses each residue's own class table (general/gly/pro/pre-pro) —
+        the coloring the reference derives from its embedded densities."""
+        phi, psi = self.angles()
+        if self._class_of is None:
+            self._classify()
+        phi, psi = phi[frame], psi[frame]
+        out = np.full(phi.shape, -1, np.int8)
+        defined = (phi != 0.0) | (psi != 0.0)
+        for k, name in enumerate(CLASSES):
+            sel = (self._class_of == k) & defined
+            if sel.any():
+                out[sel] = classify_reference(phi[sel], psi[sel], name)
+        return out
 
     def select_in_plot(
         self, phi_range, psi_range, frame: int | None = None,

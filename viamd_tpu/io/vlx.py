@@ -153,11 +153,86 @@ class QMData:
         )
 
 
-def _find(h5, *names):
+def _find(h5, *names, paths=None):
+    """Resolve a dataset by exact path, else by case-insensitive basename
+    anywhere in the tree (VeloxChem layouts drift between versions — the
+    final-results h5 nests under scf/rsp groups, older checkpoints are
+    flat)."""
     for nm in names:
         if nm in h5:
             return np.asarray(h5[nm])
+    if paths is not None:
+        wanted = {n.rsplit("/", 1)[-1].lower() for n in names}
+        for p in paths:
+            if p.rsplit("/", 1)[-1].lower() in wanted:
+                import h5py
+
+                if isinstance(h5[p], h5py.Dataset):
+                    return np.asarray(h5[p])
     return None
+
+
+# -- minimal built-in basis library (label-only checkpoints) -----------------
+# Real VeloxChem checkpoints store only the basis-set LABEL; mdlib embeds
+# basis-set data to reconstruct shells (md_vlx). STO-3G contractions for
+# H/C/N/O (standard published values, Hehre-Stewart-Pople):
+_S_COEF = (0.15432897, 0.53532814, 0.44463454)
+_SP_S = (-0.09996723, 0.39951283, 0.70011547)
+_SP_P = (0.15591627, 0.60768372, 0.39195739)
+_STO3G = {
+    1: [(0, (3.42525091, 0.62391373, 0.16885540), _S_COEF)],
+    6: [
+        (0, (71.6168370, 13.0450960, 3.5305122), _S_COEF),
+        (0, (2.9412494, 0.6834831, 0.2222899), _SP_S),
+        (1, (2.9412494, 0.6834831, 0.2222899), _SP_P),
+    ],
+    7: [
+        (0, (99.1061690, 18.0523120, 4.8856602), _S_COEF),
+        (0, (3.7804559, 0.8784966, 0.2857144), _SP_S),
+        (1, (3.7804559, 0.8784966, 0.2857144), _SP_P),
+    ],
+    8: [
+        (0, (130.7093200, 23.8088610, 6.4436083), _S_COEF),
+        (0, (5.0331513, 1.1695961, 0.3803890), _SP_S),
+        (1, (5.0331513, 1.1695961, 0.3803890), _SP_P),
+    ],
+}
+
+BASIS_LIBRARY = {"STO-3G": _STO3G}
+
+
+def register_basis_set(label: str, shells_per_element: dict) -> None:
+    """Extend the label→shells library (element Z → [(l, exps, coefs)])."""
+    BASIS_LIBRARY[label.upper()] = shells_per_element
+
+
+def shells_from_label(
+    label: str, coords: np.ndarray, numbers: np.ndarray
+) -> list:
+    """Reconstruct the shell list from a basis-set label (the md_vlx path:
+    checkpoints carry only the label; the library supplies the data)."""
+    lib = BASIS_LIBRARY.get(str(label).upper())
+    if lib is None:
+        raise ValueError(
+            f"basis set {label!r} not in library "
+            f"({sorted(BASIS_LIBRARY)}); use register_basis_set()"
+        )
+    shells = []
+    for xyz, z in zip(coords, numbers):
+        try:
+            entries = lib[int(z)]
+        except KeyError:
+            raise ValueError(f"basis {label!r} has no element Z={int(z)}")
+        for ang, exps, coefs in entries:
+            shells.append(
+                Shell(
+                    center=np.asarray(xyz, np.float32),
+                    angular=int(ang),
+                    exponents=np.asarray(exps, np.float32),
+                    contraction=np.asarray(coefs, np.float32),
+                )
+            )
+    return shells
 
 
 def load_vlx_h5(path: str) -> QMData:
@@ -168,24 +243,31 @@ def load_vlx_h5(path: str) -> QMData:
         keys = []
         f.visit(keys.append)
         coords = _find(
-            f, "atom_coordinates", "molecule/coordinates", "nuclear_coordinates"
+            f, "atom_coordinates", "molecule/coordinates",
+            "nuclear_coordinates", paths=keys,
         )
         charges = _find(
-            f, "nuclear_charges", "molecule/nuclear_charges", "atom_numbers"
+            f, "nuclear_charges", "molecule/nuclear_charges", "atom_numbers",
+            paths=keys,
         )
         C = _find(
             f, "alpha_orbitals", "C_alpha", "scf/alpha/orbitals",
-            "mo_coefficients",
+            "mo_coefficients", paths=keys,
         )
-        energies = _find(f, "alpha_energies", "E_alpha", "scf/alpha/energies")
+        energies = _find(
+            f, "alpha_energies", "E_alpha", "scf/alpha/energies", paths=keys
+        )
+        occ = _find(f, "alpha_occupations", "occ_alpha", paths=keys)
         if coords is None or charges is None or C is None:
             raise ValueError(
                 f"unrecognized VeloxChem h5 layout in '{path}'; datasets: "
                 f"{keys[:40]}"
             )
-        # basis: expect groups basis/<shell_idx> with angular/exponents/coeffs
+        # basis: explicit per-shell groups (basis/<i>/...), else reconstruct
+        # from the basis-set label via the library (real VeloxChem
+        # checkpoints store only the label — the md_vlx approach)
         shells: list[Shell] = []
-        if "basis" in f:
+        if "basis" in f and hasattr(f["basis"], "keys"):
             g = f["basis"]
             for k in sorted(g.keys(), key=lambda s: int(s) if s.isdigit() else 0):
                 sh = g[k]
@@ -198,37 +280,46 @@ def load_vlx_h5(path: str) -> QMData:
                     )
                 )
         if not shells:
+            label = _find(f, "basis_set", "basis_set_label", paths=keys)
+            if label is not None:
+                label = np.asarray(label).reshape(-1)[0]
+                if isinstance(label, bytes):
+                    label = label.decode()
+                shells = shells_from_label(
+                    str(label), np.asarray(coords), np.asarray(charges)
+                )
+        if not shells:
             raise ValueError(
-                f"no basis group in '{path}' — construct QMData.from_arrays "
-                "with an explicit shell list"
+                f"no basis group or known basis label in '{path}' — "
+                "construct QMData.from_arrays with an explicit shell list"
             )
         # response section (best-effort, same drift caveat): energies in
         # Hartree unless a key says eV
         exc = None
         ev = _find(
             f, "rsp/eigenvalues", "rsp/excitation_energies",
-            "excitation_energies", "rsp/energies",
+            "excitation_energies", "rsp/energies", paths=keys,
         )
         osc = _find(
             f, "rsp/oscillator_strengths", "oscillator_strengths",
-            "rsp/oscillator strengths",
+            "rsp/oscillator strengths", paths=keys,
         )
         if ev is not None and osc is not None:
             rot = _find(
                 f, "rsp/rotatory_strengths", "rotatory_strengths",
-                "rsp/rotatory strengths",
+                "rsp/rotatory strengths", paths=keys,
             )
             tdm = _find(
                 f, "rsp/transition_density_matrices", "rsp/eigenvectors",
-                "transition_density_matrices",
+                "transition_density_matrices", paths=keys,
             )
             etdm = _find(
                 f, "rsp/electric_transition_dipoles",
-                "electric_transition_dipoles",
+                "electric_transition_dipoles", paths=keys,
             )
             mtdm = _find(
                 f, "rsp/magnetic_transition_dipoles",
-                "magnetic_transition_dipoles",
+                "magnetic_transition_dipoles", paths=keys,
             )
             exc = ExcitedStates(
                 energies_ev=np.asarray(ev, np.float64) * HARTREE_EV,
@@ -252,5 +343,6 @@ def load_vlx_h5(path: str) -> QMData:
             shells,
             np.asarray(C, np.float32),
             mo_energies=energies,
+            mo_occupations=occ,
             excited=exc,
         )

@@ -34,10 +34,29 @@ def kabsch_rotation(
             for i in range(3)
         ]
     )
-    U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], p.dtype)).at[2, 2].set(d)
-    return Vt.T @ D @ U.T
+    # closed-form proper rotation via the analytic 3×3 eigendecomposition
+    # of HᵀH (no iterative SVD: jnp.linalg.svd's Jacobi loop dominated the
+    # vmapped 64-structure align). H = U S Vᵀ ⇒ HᵀH = V S² Vᵀ; build U's
+    # leading columns from H·v_k/s_k, complete both frames right-handed —
+    # this IS the det-positive Kabsch branch, stable down to rank-2 H
+    # (planar structures, e.g. water molecules).
+    from viamd_tpu.ops.covariance import eigh3x3
+
+    lam, V = eigh3x3(H.T @ H)  # descending; V columns = v_k
+    s = jnp.sqrt(jnp.maximum(lam, 0.0))
+    eps = jnp.asarray(1e-12, p.dtype)
+    v0, v1 = V[:, 0], V[:, 1]
+    u0 = H @ v0 / jnp.maximum(s[0], eps)
+    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0), eps)
+    u1 = H @ v1 / jnp.maximum(s[1], eps)
+    u1 = u1 - jnp.sum(u1 * u0) * u0
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), eps)
+    u2 = jnp.cross(u0, u1)
+    v2 = jnp.cross(v0, v1)
+    # R = Σ_k v_k u_kᵀ  (maximizes tr(R H), det(R) = +1 by construction)
+    return (
+        jnp.outer(v0, u0) + jnp.outer(v1, u1) + jnp.outer(v2, u2)
+    )
 
 
 def align_frame(
