@@ -23,6 +23,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <algorithm>
 
 namespace {
 
@@ -390,22 +391,97 @@ static void encode_coords(Writer& w, int lsize, const float* in,
   } else {
     bitsize = sizeofints(3, sizeint);
   }
-  // simple encoder: no small-delta runs (flag always 0). Decoders accept
-  // this (runs are an optional compression win, not a format requirement).
+  // small-delta runs (fixed smallidx, is_smaller always 0): consecutive
+  // atoms whose deltas fit in magicints[smallidx] encode as runs of
+  // smallidx-bit triplets instead of full bitsize ints — gromacs-
+  // comparable sizes for liquid data. smallidx is chosen from the p90 of
+  // adjacent-atom deltas so most neighbors fit while each delta stays
+  // narrow. Run structure mirrors decode_coords exactly: the ANCHOR int
+  // is output-atom i+1, delta 0 recovers atom i (the water-pair swap),
+  // delta 1 chains from atom i, deltas 2.. chain consecutively.
   int smallidx = FIRSTIDX;
-  while (smallidx < LASTIDX - 1 && magicints[smallidx] < 1024) smallidx++;
+  {
+    std::vector<int> dmax;
+    dmax.reserve(size_t(lsize));
+    for (int i = 0; i + 1 < lsize; i++) {
+      int m = 0;
+      for (int d = 0; d < 3; d++) {
+        int diff = ip[size_t(i + 1) * 3 + d] - ip[size_t(i) * 3 + d];
+        if (diff < 0) diff = -diff;
+        if (diff > m) m = diff;
+      }
+      dmax.push_back(m);
+    }
+    int target = 1023;
+    if (!dmax.empty()) {
+      size_t k = dmax.size() * 9 / 10;
+      std::nth_element(dmax.begin(), dmax.begin() + k, dmax.end());
+      target = dmax[k] * 2 + 1;  // smallnum = sizesmall/2 must cover it
+    }
+    while (smallidx < LASTIDX - 2 && magicints[smallidx] < target)
+      smallidx++;
+  }
   w.i32(smallidx);
+  const int sizesmall_s = magicints[smallidx];
+  const int smallnum = sizesmall_s / 2;
+  unsigned int sizesmall[3] = {unsigned(sizesmall_s), unsigned(sizesmall_s),
+                               unsigned(sizesmall_s)};
+  // magicints invariant: 3 ints of magicints[idx] pack into exactly idx
+  // bits — the decoder reads run deltas with num_of_bits = smallidx
+  const int run_bits = smallidx;
+  auto fits = [&](const int* a, const int* b) {
+    // delta b−a encodes as b−a+smallnum ∈ [0, sizesmall)
+    for (int d = 0; d < 3; d++) {
+      int v = b[d] - a[d] + smallnum;
+      if (v < 0 || v >= sizesmall_s) return false;
+    }
+    return true;
+  };
 
   BitWriter bw;
   int thiscoord[3];
-  for (int i = 0; i < lsize; i++) {
-    for (int d = 0; d < 3; d++) thiscoord[d] = ip[size_t(i) * 3 + d] - minint[d];
+  int i = 0;
+  while (i < lsize) {
+    // try a run anchored at atom i+1 recovering atoms i, i+1, i+2, ...
+    int n_deltas = 0;
+    if (i + 1 < lsize && run_bits < bitsize + (bitsize == 0 ? 1 << 30 : 0) &&
+        fits(&ip[size_t(i + 1) * 3], &ip[size_t(i) * 3])) {
+      n_deltas = 1;  // delta 0: atom i from anchor i+1
+      const int* prev = &ip[size_t(i) * 3];  // chain continues from atom i
+      for (int j = i + 2; j < lsize && n_deltas < 8; j++) {
+        if (!fits(prev, &ip[size_t(j) * 3])) break;
+        n_deltas++;
+        prev = &ip[size_t(j) * 3];
+      }
+    }
+    int anchor = (n_deltas > 0) ? i + 1 : i;
+    for (int d = 0; d < 3; d++)
+      thiscoord[d] = ip[size_t(anchor) * 3 + d] - minint[d];
     if (bitsize == 0) {
-      for (int d = 0; d < 3; d++) bw.bits(bitsizeint[d], unsigned(thiscoord[d]));
+      for (int d = 0; d < 3; d++)
+        bw.bits(bitsizeint[d], unsigned(thiscoord[d]));
     } else {
       sendints(bw, 3, bitsize, sizeint, thiscoord);
     }
-    bw.bits(1, 0);  // no run
+    if (n_deltas == 0) {
+      bw.bits(1, 0);  // no run
+      i++;
+      continue;
+    }
+    bw.bits(1, 1);
+    bw.bits(5, unsigned(3 * n_deltas + 1));  // run ints + (is_smaller+1)
+    const int* prev = &ip[size_t(anchor) * 3];
+    int src = i;  // delta 0 encodes atom i relative to the anchor
+    for (int k = 0; k < n_deltas; k++) {
+      int delta[3];
+      const int* cur = &ip[size_t(src) * 3];
+      for (int d = 0; d < 3; d++) delta[d] = cur[d] - prev[d] + smallnum;
+      sendints(bw, 3, run_bits, sizesmall, delta);
+      prev = cur;
+      // after delta 0 (atom i), the chain walks atoms i+2, i+3, ...
+      src = (k == 0) ? i + 2 : src + 1;
+    }
+    i += n_deltas + 1;
   }
   bw.flush();
   w.i32(int(bw.bytes.size()));
