@@ -753,3 +753,43 @@ class TestMovieRendering:
         assert rc == 0
         assert (tmp_path / "f_00.png").exists()
         assert (tmp_path / "f_01.png").exists()
+
+
+class TestViewer:
+    """Interactive viewer server (app/viewer.py — the reference's
+    interactive loop, main.cpp:362-1202, as a browser page over Session)."""
+
+    def test_endpoints(self, ala_session):
+        import json as _json
+        import urllib.request
+
+        from viamd_tpu.app.viewer import ViewerServer
+
+        srv = ViewerServer(ala_session, port=0)  # ephemeral port
+        srv.serve(blocking=False)
+        try:
+            port = srv.httpd.server_address[1]
+            base = f"http://127.0.0.1:{port}"
+            html = urllib.request.urlopen(base + "/").read()
+            assert b"viamd-tpu" in html
+            state = _json.loads(
+                urllib.request.urlopen(base + "/api/state").read()
+            )
+            assert state["num_frames"] == ala_session.num_frames
+            png = urllib.request.urlopen(base + "/render?w=128&h=96").read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            eye0 = np.asarray(ala_session.camera.eye).copy()
+            req = urllib.request.Request(
+                base + "/api/orbit",
+                data=_json.dumps({"dx": 0.1, "dy": 0.0}).encode(),
+            )
+            urllib.request.urlopen(req)
+            assert not np.allclose(eye0, np.asarray(ala_session.camera.eye))
+            req = urllib.request.Request(
+                base + "/api/pick",
+                data=_json.dumps({"x": 0.5, "y": 0.5}).encode(),
+            )
+            out = _json.loads(urllib.request.urlopen(req).read())
+            assert "atom" in out
+        finally:
+            srv.close()

@@ -9,6 +9,7 @@ The headless north star requires a real one (SURVEY.md §5.6):
   viamd-tpu render FILE... [-o out.png] [--rep TYPE] [--color MAPPING]
   viamd-tpu movie FILE... [-o pat_%04d.png] [--frames A:B] [--motion-blur]
   viamd-tpu volume FILE... -s SCRIPT -p PROP [-o out.png] [--cube out.cube]
+  viamd-tpu view FILE... [--port 8844]        interactive browser viewer
   viamd-tpu transcode TRAJ -o out.vtraj       packed cache
   viamd-tpu workspace FILE.via [--render out.png] [--eval]
 """
@@ -175,6 +176,17 @@ def cmd_movie(args):
     return 0
 
 
+def cmd_view(args):
+    s = _load_session(args.files)
+    if args.rep:
+        s.representations[0].type = args.rep
+        s._update_representations()
+    from viamd_tpu.app.viewer import ViewerServer
+
+    ViewerServer(s, host=args.host, port=args.port).serve()
+    return 0
+
+
 def cmd_transcode(args):
     from viamd_tpu.io import load_file
     from viamd_tpu.io.cache import transcode
@@ -262,6 +274,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motion-blur", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_movie)
+
+    p = sub.add_parser("view", help="interactive browser viewer")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--rep", default="", help="initial representation type")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8844)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("transcode", help="pack a trajectory into .vtraj")
     p.add_argument("file")

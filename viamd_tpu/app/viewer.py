@@ -1,0 +1,256 @@
+"""Thin interactive browser viewer over Session.
+
+Closes the interactive-loop gap with the reference application
+(/root/reference/src/main.cpp:362-1202: vsync'd main loop with trackball
+camera, picking, playback): a stdlib http.server serves one HTML page
+whose canvas shows Session.render frames; mouse drags orbit the trackball
+camera, wheel zooms (dolly), clicks pick + select, and a playback slider
+scrubs trajectory frames. No extra dependencies — PNG encoding via the
+existing export path (PIL), transport is plain fetch() polling driven by
+input events (the render itself is the rate limiter, as in the reference
+where heavy work is async to the UI).
+
+Usage:
+    viamd-tpu view file.pdb [traj.xtc] --port 8844
+or  ViewerServer(session).serve()
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>viamd-tpu</title><style>
+body{margin:0;background:#15171a;color:#ccc;font:13px sans-serif;
+     display:flex;flex-direction:column;height:100vh}
+#bar{padding:6px 10px;display:flex;gap:10px;align-items:center}
+#cv{flex:1;min-height:0;cursor:grab;object-fit:contain;width:100%}
+input[type=range]{flex:1}
+select,button{background:#26292e;color:#ccc;border:1px solid #444}
+#info{min-width:220px;text-align:right;color:#8a8}
+</style></head><body>
+<div id="bar">
+ <b>viamd-tpu</b>
+ <select id="rep"><option>spacefill</option><option>licorice</option>
+   <option>ballstick</option><option>cartoon</option></select>
+ <button id="play">▶</button>
+ <input type="range" id="frame" min="0" max="0" value="0">
+ <span id="fno">0</span>
+ <span id="info"></span>
+</div>
+<img id="cv" draggable="false">
+<script>
+const cv=document.getElementById('cv'),info=document.getElementById('info');
+const frame=document.getElementById('frame'),fno=document.getElementById('fno');
+let busy=false,dirty=true,drag=null,playing=false;
+async function refresh(){
+  if(busy){dirty=true;return;} busy=true;dirty=false;
+  const w=Math.min(1024,cv.clientWidth||640),h=Math.min(768,cv.clientHeight||480);
+  const r=await fetch(`/render?w=${w}&h=${h}`);
+  const b=await r.blob(); cv.src=URL.createObjectURL(b);
+  busy=false; if(dirty)refresh();
+}
+async function post(u,d){await fetch(u,{method:'POST',body:JSON.stringify(d)});refresh();}
+cv.addEventListener('mousedown',e=>{drag=[e.clientX,e.clientY];});
+window.addEventListener('mouseup',async e=>{
+  if(drag&&Math.abs(e.clientX-drag[0])<3&&Math.abs(e.clientY-drag[1])<3){
+    const rc=cv.getBoundingClientRect();
+    const res=await fetch('/api/pick',{method:'POST',body:JSON.stringify(
+      {x:(e.clientX-rc.left)/rc.width,y:(e.clientY-rc.top)/rc.height,
+       shift:e.shiftKey})});
+    info.textContent=(await res.json()).label||''; refresh();
+  }
+  drag=null;});
+window.addEventListener('mousemove',e=>{
+  if(!drag)return;
+  const dx=(e.clientX-drag[0])/cv.clientWidth,dy=(e.clientY-drag[1])/cv.clientHeight;
+  if(Math.abs(dx)+Math.abs(dy)<0.002)return;
+  drag=[e.clientX,e.clientY]; post('/api/orbit',{dx:dx,dy:dy});});
+cv.addEventListener('wheel',e=>{e.preventDefault();
+  post('/api/zoom',{d:Math.sign(e.deltaY)});},{passive:false});
+frame.addEventListener('input',()=>{fno.textContent=frame.value;
+  post('/api/frame',{f:+frame.value});});
+document.getElementById('rep').addEventListener('change',e=>{
+  post('/api/rep',{type:e.target.value});});
+document.getElementById('play').addEventListener('click',async e=>{
+  playing=!playing;e.target.textContent=playing?'⏸':'▶';
+  while(playing){
+    let f=(+frame.value+1)%(+frame.max+1);
+    frame.value=f;fno.textContent=f;
+    await fetch('/api/frame',{method:'POST',body:JSON.stringify({f:f})});
+    await refresh();
+    await new Promise(r=>setTimeout(r,30));
+  }});
+(async()=>{const s=await(await fetch('/api/state')).json();
+  frame.max=Math.max(0,s.num_frames-1);
+  info.textContent=s.title; refresh();})();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serve an interactive view of a Session on localhost."""
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 8844):
+        self.session = session
+        self.host = host
+        self.port = port
+        self._lock = threading.Lock()  # session (and the TPU) is not
+        # reentrant: one render at a time, matching the reference's single
+        # GL context
+        self.httpd: HTTPServer | None = None
+
+    # -- request handling ---------------------------------------------------
+    def _render_png(self, w: int, h: int) -> bytes:
+        from PIL import Image
+
+        with self._lock:
+            rgba, _depth, _pick = self.session.render(w, h)
+        arr = (np.clip(np.asarray(rgba), 0.0, 1.0) * 255).astype(np.uint8)
+        img = Image.fromarray(arr, "RGBA")
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        return buf.getvalue()
+
+    def _api(self, path: str, data: dict) -> dict:
+        from viamd_tpu.render import camera as cam_mod
+
+        s = self.session
+        with self._lock:
+            if path == "orbit":
+                if s.camera is not None:
+                    s.camera = cam_mod.trackball_rotate(
+                        s.camera, float(data["dx"]), float(data["dy"])
+                    )
+                return {}
+            if path == "zoom":
+                if s.camera is not None:
+                    import dataclasses
+
+                    c = s.camera
+                    off = np.asarray(c.eye, np.float64) - c.center
+                    scale = 1.12 if data.get("d", 1) > 0 else 1 / 1.12
+                    s.camera = dataclasses.replace(
+                        c, eye=np.asarray(c.center + off * scale, np.float32)
+                    )
+                return {}
+            if path == "frame":
+                s.set_frame(float(data["f"]))
+                return {}
+            if path == "rep":
+                if s.representations:
+                    s.representations[0].type = str(data["type"])
+                    s._update_representations()
+                return {}
+            if path == "pick":
+                w, h = 512, 384
+                x = int(float(data["x"]) * w)
+                y = int(float(data["y"]) * h)
+                idx = s.pick(x, y, w, h)
+                label = ""
+                if idx >= 0:
+                    s.select_at(
+                        x, y,
+                        level="residue" if data.get("shift") else "atom",
+                        width=w, height=h,
+                    )
+                    sys = s.system
+                    rn = sys.res_names[
+                        sys.res_name_id[sys.atom_res_idx[idx]]
+                    ]
+                    an = sys.atom_names[sys.atom_name_id[idx]]
+                    label = f"atom {idx} {an} / {rn}"
+                return {"atom": int(idx), "label": label}
+        return {}
+
+    def _state(self) -> dict:
+        s = self.session
+        return {
+            "num_frames": s.num_frames,
+            "natoms": s.system.natoms if s.system else 0,
+            "title": (
+                f"{s.system.natoms} atoms, {s.num_frames} frames"
+                if s.system
+                else "no system"
+            ),
+        }
+
+    # -- server -------------------------------------------------------------
+    def make_handler(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/":
+                    self._send(200, _PAGE.encode(), "text/html")
+                elif u.path == "/render":
+                    q = parse_qs(u.query)
+                    w = int(q.get("w", ["640"])[0])
+                    h = int(q.get("h", ["480"])[0])
+                    w, h = max(64, min(w, 2048)), max(64, min(h, 1536))
+                    try:
+                        png = viewer._render_png(w, h)
+                        self._send(200, png, "image/png")
+                    except Exception as e:  # surface render errors to client
+                        self._send(500, str(e).encode(), "text/plain")
+                elif u.path == "/api/state":
+                    self._send(
+                        200, json.dumps(viewer._state()).encode(),
+                        "application/json",
+                    )
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    data = json.loads(self.rfile.read(n) or b"{}")
+                    out = viewer._api(
+                        urlparse(self.path).path.removeprefix("/api/"), data
+                    )
+                    self._send(
+                        200, json.dumps(out).encode(), "application/json"
+                    )
+                except Exception as e:
+                    self._send(500, str(e).encode(), "text/plain")
+
+        return Handler
+
+    def serve(self, blocking: bool = True):
+        self.httpd = HTTPServer((self.host, self.port), self.make_handler())
+        print(f"viamd-tpu viewer: http://{self.host}:{self.port}/")
+        if blocking:
+            try:
+                self.httpd.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                self.httpd.server_close()
+        else:
+            t = threading.Thread(
+                target=self.httpd.serve_forever, daemon=True
+            )
+            t.start()
+        return self
+
+    def close(self):
+        if self.httpd is not None:
+            self.httpd.shutdown()
+            self.httpd.server_close()
+            self.httpd = None
