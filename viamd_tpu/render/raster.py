@@ -689,6 +689,24 @@ def render_molecules(
         cols = np.asarray(colors, np.float32)
         pick_src = np.arange(pos.shape[0], dtype=np.int32)
 
+    # coverage-cap check (documented in docs/ROADMAP.md): the big-sphere
+    # tier tests a ±2-tile-row window (~40 px reach) and capsules register
+    # at their endpoint tiles (3×3 reach) — primitives beyond that clip
+    # mid-footprint. Estimate the worst screen radius host-side and warn
+    # (rate-limited by vlog's dedup) instead of truncating silently.
+    zs = np.maximum(-np.asarray(pv)[:, 2], 1e-3)
+    if rad.size:
+        p00 = float(np.asarray(proj)[0, 0])
+        rpx_est = float(np.max(rad / zs)) * p00 * (s.width * 0.5)
+        if rpx_est > 40.0:
+            from viamd_tpu.core.vlog import warning
+
+            warning(
+                f"raster: screen radius ~{rpx_est:.0f}px exceeds the "
+                "40px big-sphere reach — zoomed-in spheres may clip "
+                "(see docs/ROADMAP.md coverage caps)"
+            )
+
     img, depth, pick_idx = _raster_impl(
         jnp.asarray(pv), jnp.asarray(rad), jnp.asarray(cols),
         jnp.asarray(cyl12), jnp.asarray(proj), s,
