@@ -213,7 +213,7 @@ def _offset_classes(
     jax.jit,
     static_argnames=(
         "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
-        "widths", "ka", "interpret",
+        "widths", "ka", "interpret", "occ_sort",
     ),
 )
 def pair_dist_histogram_pl(
@@ -231,6 +231,7 @@ def pair_dist_histogram_pl(
     widths: tuple | None = None,
     ka: int | None = None,
     interpret: bool = False,
+    occ_sort: bool = True,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
@@ -313,6 +314,21 @@ def pair_dist_histogram_pl(
             .reshape(nblocks // M, M * ka * G, 1)
         )
 
+    counts_a = cl_a.starts[1:] - cl_a.starts[:-1]
+    # occupancy-sorted cell order: grouping similar-occupancy cells into
+    # the G-cell blocks tightens the per-block max that gates A passes
+    # (unsorted, every block's max ≈ the global Poisson max, so nearly all
+    # blocks run ceil(max/ka) passes; sorted, low blocks run fewer). The
+    # permute costs only ~ncells gathered ROWS (row count, not elements,
+    # is what gathers charge for on this backend — docs/PERF.md) applied
+    # to the A tables and the roll-built B planes.
+    perm = None
+    if occ_sort and ncells >= 64:
+        perm = jnp.argsort(counts_a).astype(jnp.int32)
+        a_xyz = a_xyz[perm]
+        a_gid = a_gid[perm]
+        counts_a = counts_a[perm]
+
     a_cols = [
         [
             prep_a(a_xyz[:, sl, 0]),
@@ -323,7 +339,6 @@ def pair_dist_histogram_pl(
         for sl in (slice(p * ka, (p + 1) * ka) for p in range(n_pass))
     ]
     # max A occupancy per cell block → per-step dynamic pass skipping
-    counts_a = cl_a.starts[1:] - cl_a.starts[:-1]
     occ_blk = jnp.max(
         jnp.pad(counts_a, (0, padc)).reshape(nblocks // M, M * G), axis=1
     ).astype(jnp.int32)
@@ -349,12 +364,16 @@ def pair_dist_histogram_pl(
                 .reshape(nblocks // M * nchunks, M * G, Cc)
             )
 
-        bxp = prep_b(neighborhood_planes(b_xyz[..., 0], dims, radius, offs_k))
-        byp = prep_b(neighborhood_planes(b_xyz[..., 1], dims, radius, offs_k))
-        bzp = prep_b(neighborhood_planes(b_xyz[..., 2], dims, radius, offs_k))
-        bidp = prep_b(
-            neighborhood_planes(b_gid, dims, radius, offs_k), fill=-2
-        )
+        def planes(arr, fill=0):
+            pl_ = neighborhood_planes(arr, dims, radius, offs_k)
+            if perm is not None:
+                pl_ = pl_[perm]
+            return prep_b(pl_, fill=fill)
+
+        bxp = planes(b_xyz[..., 0])
+        byp = planes(b_xyz[..., 1])
+        bzp = planes(b_xyz[..., 2])
+        bidp = planes(b_gid, fill=-2)
 
         a_spec = pl.BlockSpec(
             (1, M * LANES, 1),
