@@ -195,8 +195,25 @@ class _Compiler:
         temporal: dict[str, DynValue] = {}
         accum: dict[str, AccumValue] = {}
         selections: dict[str, Selection] = {}
+        import os
+
+        barrier = os.environ.get("VIAMD_TPU_PROP_BARRIER", "0") == "1"
         for stmt in stmts:
             val = self.eval(stmt.expr)
+            if barrier and isinstance(val, (DynValue, AccumValue)):
+                # experiment knob: fence each property's subgraph so XLA
+                # schedules them back-to-back instead of interleaving
+                # (probing the measured multi-property composition penalty,
+                # docs/PERF.md)
+                if isinstance(val, DynValue):
+                    val = DynValue(
+                        jax.lax.optimization_barrier(val.data),
+                        val.unit, val.is_coord,
+                    )
+                else:
+                    val = AccumValue(
+                        jax.lax.optimization_barrier(val.data), val.spec
+                    )
             names = stmt.targets
             parts = self._destructure(val, names, stmt)
             for nm, v in zip(names, parts):
