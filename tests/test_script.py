@@ -363,8 +363,16 @@ class TestBatchModes:
         )
         cs = compile_script(src, sys)
         ref = None
-        for mode in ("dispatch", "vmap", "map", "unroll"):
-            res = Evaluator(cs, traj, chunk=4, batch_mode=mode).run()
+        # device-resident trajectory triggers the one-dispatch fused chunk
+        # path — it must agree with every host-trajectory batch mode
+        from viamd_tpu.io.trajectory import DeviceTrajectory
+
+        dtraj = DeviceTrajectory(traj)
+        for mode, tr in (
+            ("dispatch", traj), ("vmap", traj), ("map", traj),
+            ("unroll", traj), ("unroll", dtraj), ("vmap", dtraj),
+        ):
+            res = Evaluator(cs, tr, chunk=4, batch_mode=mode).run()
             ck = res.force()
             assert np.isfinite(ck), mode
             t = res.temporal["d1"]

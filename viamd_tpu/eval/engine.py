@@ -241,7 +241,19 @@ class Evaluator:
             self._frame_jit = self._build_frame_fn()
             self._batch_fn = None
         else:
-            self._batch_fn = self._build_batch_fn()
+            # device-resident trajectories get the FUSED chunk path: frame
+            # gather + validity + accumulator carry all inside ONE jitted
+            # call, so each chunk costs exactly one dispatch. On the
+            # tunneled backend dispatches run synchronously (~31+ ms RTT)
+            # after the first readback — the old path's ~5 host-issued ops
+            # per chunk (slice, puts, batch call, accumulator adds) were
+            # pure RTT overhead (~1.5 ms/frame at chunk 64).
+            if mesh is None and hasattr(traj, "_stack"):
+                self._batch_fn = None
+                self._fused_fn, self._acc_zeros = self._build_fused_fn()
+            else:
+                self._batch_fn = self._build_batch_fn()
+                self._fused_fn = None
 
     def _build_frame_fn(self):
         frame_fn = self.compiled.frame_fn
@@ -268,7 +280,7 @@ class Evaluator:
 
         return call
 
-    def _build_batch_fn(self):
+    def _make_local_batch(self):
         frame_fn = self.compiled.frame_fn
         mode = self.batch_mode
 
@@ -309,6 +321,11 @@ class Evaluator:
                 }
             return temporal, accum_summed
 
+        return local_batch
+
+    def _build_batch_fn(self):
+        local_batch = self._make_local_batch()
+
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -348,6 +365,55 @@ class Evaluator:
             return jitted(coords, bases, valid, *consts_dev)
 
         return call
+
+    def _build_fused_fn(self):
+        """One-dispatch chunk evaluation over a device-resident stack:
+        (stack, cells, idx, nb, acc) → (temporal, acc + Σ chunk accums)."""
+        local_batch = self._make_local_batch()
+        B, n = self.chunk, self.traj.num_atoms
+        F = self.traj.num_frames
+        frame_fn = self.compiled.frame_fn
+
+        # accumulator avals from an abstract per-frame eval
+        _t_s, a_s = jax.eval_shape(
+            lambda x, b: frame_fn(x, b, pbc_ops.inv_basis_of(b)),
+            jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3), jnp.float32),
+        )
+        acc_aval = {
+            k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+            for k, v in a_s.items()
+        }
+        acc_zeros = jax.jit(
+            lambda: {
+                k: jnp.zeros(v.shape, v.dtype) for k, v in acc_aval.items()
+            }
+        )
+
+        def fused(stack, cells, idx, nb, acc):
+            coords = stack[idx]  # (B, n, 3) row gather
+            bases = cells[idx]
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0] < nb
+            ).astype(jnp.float32)
+            t_out, a_sum = local_batch(coords, bases, valid)
+            return t_out, {k: acc[k] + a_sum[k] for k in a_sum}
+
+        converted, consts = jax.closure_convert(
+            fused,
+            jax.ShapeDtypeStruct((F, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((F, 3, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            acc_aval,
+        )
+        consts_dev = [jax.device_put(jnp.asarray(c)) for c in consts]
+        jitted = jax.jit(converted)
+
+        def call(stack, cells, idx, nb, acc):
+            return jitted(stack, cells, idx, nb, acc, *consts_dev)
+
+        return call, acc_zeros
 
     def run(
         self,
@@ -413,6 +479,34 @@ class Evaluator:
                 done += chunk_idx.size
                 if progress is not None:
                     progress(done / F)
+        elif getattr(self, "_fused_fn", None) is not None:
+            # ONE dispatch per chunk: gather + validity + accumulate fused
+            acc = self._acc_zeros()
+            for beg in range(0, F, B):
+                if interrupt is not None and interrupt():
+                    interrupted = True
+                    break
+                chunk_idx = indices[beg : beg + B]
+                nb = chunk_idx.size
+                if nb < B:  # pad to static shape
+                    chunk_idx = np.concatenate(
+                        [chunk_idx, np.repeat(chunk_idx[-1:], B - nb)]
+                    )
+                t_out, acc = self._fused_fn(
+                    traj._stack,
+                    traj._cells_dev,
+                    jnp.asarray(chunk_idx.astype(np.int32)),
+                    jnp.int32(nb),
+                    acc,
+                )
+                t_rows.append((nb, t_out))
+                for fi in indices[beg : beg + nb]:
+                    frame_mask.set_bit(int(fi))
+                done += nb
+                if progress is not None:
+                    progress(done / F)
+            if done:
+                acc_dev = acc
         else:
             for beg in range(0, F, B):
                 if interrupt is not None and interrupt():
