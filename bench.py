@@ -30,7 +30,7 @@ import time
 
 N_WATERS = 33_334  # 100,002 atoms
 N_FRAMES = 128
-CHUNK = 64  # frames per executable launch (~31 ms dispatch RTT amortized)
+CHUNK = 64  # frames per fused launch (CHUNK=128 measured 117.7 vs 119.9 f/s)
 BASELINE_FRAMES_PER_S = 5000.0
 
 
