@@ -892,3 +892,24 @@ class TestPBCInvariants:
             q[:, 0] *= -1
         w1 = weights(x @ q.T + np.float32(7.5))
         np.testing.assert_allclose(w1, w0, atol=1e-4)
+
+
+class TestSnapCapacity:
+    """B-capacity lane snapping (ops/rdf.snap_capacity)."""
+
+    def test_snaps_when_tail_clears(self):
+        from viamd_tpu.ops.rdf import snap_capacity
+
+        # the 100k bench config: λ=33.3, S=14, cap 62 → 54 (768 lanes)
+        assert snap_capacity(62, 33.334, 14) == 54
+
+    def test_keeps_when_tail_too_tight(self):
+        from viamd_tpu.ops.rdf import snap_capacity
+
+        # tiny λ: next lane multiple down would cut into the bulk
+        assert snap_capacity(10, 4.2, 14) == 10  # 140→128 ⇒ 9 < 4.2+3.5·2.05
+
+    def test_exact_multiple_unchanged(self):
+        from viamd_tpu.ops.rdf import snap_capacity
+
+        assert snap_capacity(32, 20.0, 4) == 32  # 128 lanes exactly

@@ -84,6 +84,27 @@ def stencil_offsets(radius: int, symmetric: bool = False) -> list:
     return [(0, 0, 0)] + [o for o in offs if o > (0, 0, 0)]
 
 
+def snap_capacity(
+    cap: int, lam: float, n_offsets: int, lanes: int = 128
+) -> int:
+    """Snap a per-cell B capacity DOWN to the pallas kernel's lane quantum.
+
+    n_offsets·cap pads up to a multiple of `lanes` in the pair kernel, so
+    dead padding is free to trade for capacity: if the next-lower lane
+    multiple still gives each cell ≥ λ + 3.5√λ slots (Poisson tail ~3e-4
+    per draw — the documented capacity-drop semantics), use it. Returns
+    the possibly-reduced capacity."""
+    import math
+
+    c_tot = n_offsets * cap
+    if c_tot % lanes == 0:
+        return cap
+    snapped = (c_tot // lanes) * lanes // n_offsets
+    if snapped >= lam + 3.5 * math.sqrt(max(lam, 0.0)):
+        return snapped
+    return cap
+
+
 def neighborhood_planes(
     arr: jnp.ndarray, dims: tuple, radius: int = 2, offsets: list = None
 ) -> jnp.ndarray:

@@ -1161,26 +1161,20 @@ def _rdf(c: _Compiler, node, args):
         )
         if use_pallas:
             from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
-            from viamd_tpu.ops.rdf import stencil_offsets
+            from viamd_tpu.ops.rdf import snap_capacity, stencil_offsets
 
             # same-selection RDF: half-stencil + doubled histogram (exact)
             sym = bool(
                 idx_a.size == idx_b.size and np.array_equal(idx_a, idx_b)
             )
             # snap the B capacity DOWN to the kernel's 128-lane quantum
-            # when the Poisson tail still clears 3.5σ: S·cap pads up to a
-            # lane multiple anyway, so e.g. 14×62=868→896 lanes burns 28
-            # dead lanes while 14×54=756→768 drops ~3e-4 of cell draws
-            # (capacity-drop semantics, same as the reference's fixed-size
-            # GPU cell lists) for a 1.17× kernel saving.
+            # when the Poisson tail still clears 3.5σ (e.g. 14×62=868→896
+            # burns 28 dead lanes; 14×54=756→768 drops ~3e-4 of cell
+            # draws — the documented capacity-drop semantics, same as the
+            # reference's fixed-size GPU cell lists) — 1.17× kernel win
             S_off = len(stencil_offsets(radius, sym))
-            ncells_v = int(np.prod(dims))
-            lam_b = idx_b.size / max(ncells_v, 1)
-            c_tot = S_off * cap_b
-            if c_tot % 128:
-                snapped = (c_tot // 128) * 128 // S_off
-                if snapped >= lam_b + 3.5 * np.sqrt(lam_b):
-                    cap_b = snapped
+            lam_b = idx_b.size / max(int(np.prod(dims)), 1)
+            cap_b = snap_capacity(cap_b, lam_b, S_off)
             hist = pair_dist_histogram_pl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
