@@ -72,7 +72,12 @@ def main():
 
     # --- RDF (shipped config: radius-1 Poisson grid, symmetric) -----------
     dims1, cap1 = choose_grid_r(box_np, 10.0, idx_o.size, radius=1)
-    print(f"rdf dims={dims1} cap={cap1}", flush=True)
+    from viamd_tpu.ops.rdf import snap_capacity, stencil_offsets
+
+    cap1 = snap_capacity(
+        cap1, idx_o.size / np.prod(dims1), len(stencil_offsets(1, True))
+    )
+    print(f"rdf dims={dims1} cap={cap1} (lane-snapped)", flush=True)
 
     def rdf(xx):
         return pair_dist_histogram_pl(
@@ -99,7 +104,7 @@ def main():
     idx_t = jnp.asarray(np.nonzero(el == 1)[0].astype(np.int32))
     extent = 5.0
     cl_dims, cl_cap = choose_grid_r(
-        box_np, 1.7320508 * extent, idx_t.size, radius=1
+        box_np, 1.7320508 * extent, idx_t.size, radius=1, tail=3.5
     )
     stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
     print(

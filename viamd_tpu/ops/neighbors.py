@@ -55,7 +55,8 @@ def choose_grid(box: np.ndarray, cutoff: float, n_atoms: int) -> tuple:
 
 
 def choose_grid_r(
-    box: np.ndarray, cutoff: float, n_atoms: int, radius: int = 1
+    box: np.ndarray, cutoff: float, n_atoms: int, radius: int = 1,
+    tail: float = 4.5,
 ) -> tuple:
     """Host-side sizing with Poisson-tail capacity: (dims, capacity).
 
@@ -72,7 +73,7 @@ def choose_grid_r(
     dims = np.minimum(dims, 128)
     ncells = int(dims.prod())
     lam = n_atoms / ncells
-    capacity = int(np.ceil(lam + 4.5 * np.sqrt(lam) + 2.0))
+    capacity = int(np.ceil(lam + tail * np.sqrt(lam) + 2.0))
     return tuple(int(d) for d in dims), capacity
 
 

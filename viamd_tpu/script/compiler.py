@@ -1229,8 +1229,11 @@ def _sdf(c: _Compiler, node, args):
         # cell width ≥ √3·extent ⇒ a 27-cell stencil covers the coverage
         # ball; the cell list bins only TARGET atoms (smaller sort + tighter
         # Poisson capacity — fewer dead candidate slots)
+        # 3.5σ tail: candidate rows (the gather + splat input) scale
+        # linearly with the cap here (no lane quantum on the XLA side) and
+        # the ~3e-4 per-draw drop rate matches the rdf path's semantics
         cl_dims, cl_cap = choose_grid_r(
-            box_np, 1.7320508 * extent, idx_t.size, radius=1
+            box_np, 1.7320508 * extent, idx_t.size, radius=1, tail=3.5
         )
         stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
         span = int(stencil.max() - stencil.min()) + 1
