@@ -379,7 +379,10 @@ class TestEDR:
             [(0.0, 1.5, -2.0), (0.5, 1.25, -1.0)]
         ):
             out += struct.pack(">f", t)
-            out += struct.pack(">i", fi)
+            out += struct.pack(">i", fi)  # step
+            # common header section (read for old AND new formats):
+            # nre, ndisre, nblock, e_size, disre e_size
+            out += struct.pack(">iiiii", 2, 0, 0, 0, 0)
             for e in (e0, e1):
                 out += struct.pack(">ffff", e, 0.0, 0.0, 0.0)
         p.write_bytes(bytes(out))

@@ -913,3 +913,28 @@ class TestSnapCapacity:
         from viamd_tpu.ops.rdf import snap_capacity
 
         assert snap_capacity(32, 20.0, 4) == 32  # 128 lanes exactly
+
+    def test_empty_selection_keeps_capacity(self):
+        from viamd_tpu.ops.rdf import snap_capacity
+
+        # lam=0 (no B atoms): snapping to 0 lanes would break the kernel
+        assert snap_capacity(2, 0.0, 14) == 2
+
+
+class TestKabschDegenerate:
+    def test_collinear_returns_proper_rotation(self):
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.rmsd import kabsch_rotation
+
+        # rank-1 H: two atoms on an axis — must still be a det+1 rotation
+        p = jnp.asarray(np.array([[0, 0, -1], [0, 0, 1]], np.float32))
+        q = jnp.asarray(np.array([[-1, 0, 0], [1, 0, 0]], np.float32))
+        w = jnp.ones(2, jnp.float32)
+        R = np.asarray(kabsch_rotation(p, q, w))
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-5
+        # and it actually aligns the axis
+        np.testing.assert_allclose(
+            np.asarray(p) @ R.T, np.asarray(q), atol=1e-5
+        )

@@ -49,21 +49,31 @@ select,button{background:#26292e;color:#ccc;border:1px solid #444}
 const cv=document.getElementById('cv'),info=document.getElementById('info');
 const frame=document.getElementById('frame'),fno=document.getElementById('fno');
 let busy=false,dirty=true,drag=null,playing=false;
+let lastUrl=null;
 async function refresh(){
   if(busy){dirty=true;return;} busy=true;dirty=false;
   const w=Math.min(1024,cv.clientWidth||640),h=Math.min(768,cv.clientHeight||480);
   const r=await fetch(`/render?w=${w}&h=${h}`);
-  const b=await r.blob(); cv.src=URL.createObjectURL(b);
+  const b=await r.blob();
+  if(lastUrl)URL.revokeObjectURL(lastUrl);
+  lastUrl=URL.createObjectURL(b); cv.src=lastUrl;
   busy=false; if(dirty)refresh();
 }
 async function post(u,d){await fetch(u,{method:'POST',body:JSON.stringify(d)});refresh();}
 cv.addEventListener('mousedown',e=>{drag=[e.clientX,e.clientY];});
 window.addEventListener('mouseup',async e=>{
   if(drag&&Math.abs(e.clientX-drag[0])<3&&Math.abs(e.clientY-drag[1])<3){
+    // map the click through object-fit:contain onto the image pixels and
+    // pick at the SAME resolution the frame was rendered at
     const rc=cv.getBoundingClientRect();
+    const iw=cv.naturalWidth||1,ih=cv.naturalHeight||1;
+    const sc=Math.min(rc.width/iw,rc.height/ih);
+    const ox=(rc.width-iw*sc)/2,oy=(rc.height-ih*sc)/2;
+    const fx=(e.clientX-rc.left-ox)/(iw*sc),fy=(e.clientY-rc.top-oy)/(ih*sc);
+    drag=null;
+    if(fx<0||fx>1||fy<0||fy>1)return;
     const res=await fetch('/api/pick',{method:'POST',body:JSON.stringify(
-      {x:(e.clientX-rc.left)/rc.width,y:(e.clientY-rc.top)/rc.height,
-       shift:e.shiftKey})});
+      {x:fx,y:fy,w:iw,h:ih,shift:e.shiftKey})});
     info.textContent=(await res.json()).label||''; refresh();
   }
   drag=null;});
@@ -148,9 +158,10 @@ class ViewerServer:
                     s._update_representations()
                 return {}
             if path == "pick":
-                w, h = 512, 384
-                x = int(float(data["x"]) * w)
-                y = int(float(data["y"]) * h)
+                w = max(64, min(int(data.get("w", 512)), 2048))
+                h = max(64, min(int(data.get("h", 384)), 1536))
+                x = min(int(float(data["x"]) * w), w - 1)
+                y = min(int(float(data["y"]) * h), h - 1)
                 idx = s.pick(x, y, w, h)
                 label = ""
                 if idx >= 0:

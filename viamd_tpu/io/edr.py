@@ -15,10 +15,12 @@ wire format (src/gromacs/fileio/enxio.cpp; same layout the pure-python
   do_eheader: real first_value; > -1e10 → v1 frame (value is t, then
               int32 step); else it is the ~-2e10 sentinel (doubles as
               the precision check), then int32 magic -7777777, int32
-              version, float64 t, int64 step, int32 nsum, int64 nsteps,
-              (v≥5) float64 dt, int32 nre, (v<4) int32 ndisre,
-              int32 nblock, int32 e_size, 2 reserved int32, block
-              descriptors, then per-term real e [, eav, esum]
+              version, float64 t, int64 step, int32 nsum, (v≥3) int64
+              nsteps, (v≥5) float64 dt. COMMON to both formats: int32
+              nre, (v<4) int32 ndisre, int32 nblock, int32 e_size,
+              (v<4) int32 disre_e_size / (v≥4) 2 reserved int32, block
+              descriptors (v≥4: id+nsub+sub types/lengths; v1: bare
+              real counts), then per-term real e [, eav, esum]
               (stored when v==1 or nsum>0; v1 adds a dummy 4th real).
 
 Precision is not recorded in the file; like GROMACS we detect it by
@@ -78,7 +80,9 @@ class _XDR:
         return len(self.d) - self.p
 
 
-_SUB_SIZE = {0: 4, 1: 4, 2: 4, 3: 8, 4: 1, 5: 8}  # int/float/double...
+# XDR wire sizes per sub-block datatype (xdr_datatype enum):
+# int=4, float=4, double=8, int64=8, char (XDR-padded)=4, string≈4+
+_SUB_SIZE = {0: 4, 1: 4, 2: 8, 3: 8, 4: 4, 5: 4}
 
 
 def _read_names(x: _XDR) -> tuple[int, int, list[str]]:
@@ -102,48 +106,59 @@ def _read_frame(
 ) -> Optional[tuple[float, np.ndarray]]:
     first = x.real(double)
     if first > -1e10:
-        # file-version-1 frame: first value is t
-        t = first
+        # file-version-1 frame: first value is t, then int step; the
+        # nre/block section below is COMMON to old and new formats
+        # (GROMACS do_eheader reads it for both)
+        version = 1
+        t = float(first)
         x.int()  # step
-        e = np.empty(nre_nms)
-        for i in range(nre_nms):
-            e[i] = x.real(double)
-            x.real(double)  # eav
-            x.real(double)  # esum
-            x.real(double)  # dummy (v1 rmsd slot)
-        return t, e
-    # new format: sentinel real ~-2e10 (precision check), then int magic
-    magic = x.int()
-    if magic != _MAGIC_FRAME:
-        raise ValueError(f"bad frame magic {magic} (sentinel {first})")
-    version = x.int()
-    t = x.float64()
-    x.hyper()  # step
-    nsum = x.int()
-    x.hyper()  # nsteps
-    if version >= 5:
-        x.float64()  # dt
-    nre = x.int()
-    if version < 4:
-        ndisre = x.int()
+        nsum = 0
     else:
-        ndisre = 0
+        # new format: sentinel real ~-2e10 (precision check), int magic
+        magic = x.int()
+        if magic != _MAGIC_FRAME:
+            raise ValueError(f"bad frame magic {magic} (sentinel {first})")
+        version = x.int()
+        t = x.float64()
+        x.hyper()  # step
+        nsum = x.int()
+        if version >= 3:
+            x.hyper()  # nsteps
+        if version >= 5:
+            x.float64()  # dt
+    nre = x.int()
+    ndisre = x.int() if version < 4 else 0
     nblock = x.int()
-    if version < 4 and ndisre:
-        nblock += 1
     x.int()  # e_size
-    x.int()  # reserved
-    x.int()  # reserved
+    if version < 4:
+        x.int()  # disre e_size
+        if (nblock or ndisre) and version > 1:
+            # v2-v3 block payloads use a bare per-block size layout we
+            # have no ground truth for — fail loudly over silent garbage
+            raise ValueError(
+                f"edr file_version {version} with blocks unsupported"
+            )
+    else:
+        x.int()  # reserved
+        x.int()  # reserved
     block_bytes = 0
-    for _ in range(nblock):
-        x.int()  # block id
-        nsub = x.int()
-        for _ in range(nsub):
-            sub_type = x.int()
-            sub_n = x.int()
-            sz = _SUB_SIZE.get(sub_type, 4)
-            n = sub_n * sz
-            block_bytes += n + (4 - n % 4) % 4
+    if version >= 4:
+        for _ in range(nblock):
+            x.int()  # block id
+            nsub = x.int()
+            for _ in range(nsub):
+                sub_type = x.int()
+                sub_n = x.int()
+                sz = _SUB_SIZE.get(sub_type, 4)
+                n = sub_n * sz
+                block_bytes += n + (4 - n % 4) % 4
+    elif nblock:
+        # v1 blocks: per-block value counts of reals
+        block_bytes = sum(
+            x.int() * (8 if double else 4) for _ in range(nblock)
+        )
+    if ndisre:
+        block_bytes += ndisre * 2 * (8 if double else 4)
     if nre != nre_nms:
         raise ValueError(f"frame nre {nre} != header nre {nre_nms}")
     e = np.empty(nre)

@@ -77,20 +77,11 @@ def choose_grid_r(
     return tuple(int(d) for d in dims), capacity
 
 
-@partial(jax.jit, static_argnames=("dims", "capacity", "with_table"))
+@partial(jax.jit, static_argnames=("dims", "capacity"))
 def build_cell_list(
-    x: jnp.ndarray,
-    box: jnp.ndarray,
-    dims: tuple,
-    capacity: int,
-    with_table: bool = True,
+    x: jnp.ndarray, box: jnp.ndarray, dims: tuple, capacity: int
 ) -> CellList:
-    """Bin atoms of one frame into an orthorhombic cell grid.
-
-    `with_table=False` skips the (ncells, capacity) slot-table gather for
-    consumers that index the sorted order by segment positions directly
-    (e.g. the pooled SDF candidate build) — on fine grids the table gather
-    is the dominant cost and pure waste."""
+    """Bin atoms of one frame into an orthorhombic cell grid."""
     n = x.shape[0]
     dx, dy, dz = dims
     dims_arr = jnp.array(dims, jnp.int32)
@@ -114,15 +105,12 @@ def build_cell_list(
     cells = jax.lax.broadcasted_iota(jnp.int32, (ncells + 1, 1), 0)[:, 0]
     starts = jnp.searchsorted(cid_sorted, cells, side="left").astype(jnp.int32)
     # slot table: gather sorted atoms at starts[c] + k
-    if with_table:
-        slot = jax.lax.broadcasted_iota(jnp.int32, (ncells, capacity), 1)
-        pos = starts[:-1][:, None] + slot
-        count = (starts[1:] - starts[:-1])[:, None]
-        valid = slot < count
-        pos_c = jnp.minimum(pos, n - 1)
-        table = order[pos_c]
-    else:
-        table = valid = jnp.zeros((1, 1), jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ncells, capacity), 1)
+    pos = starts[:-1][:, None] + slot
+    count = (starts[1:] - starts[:-1])[:, None]
+    valid = slot < count
+    pos_c = jnp.minimum(pos, n - 1)
+    table = order[pos_c]
     dropped = jnp.sum(jnp.maximum(starts[1:] - starts[:-1] - capacity, 0))
     return CellList(
         order=order,

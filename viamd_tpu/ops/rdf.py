@@ -100,7 +100,7 @@ def snap_capacity(
     if c_tot % lanes == 0:
         return cap
     snapped = (c_tot // lanes) * lanes // n_offsets
-    if snapped >= lam + 3.5 * math.sqrt(max(lam, 0.0)):
+    if snapped >= 1 and snapped >= lam + 3.5 * math.sqrt(max(lam, 0.0)):
         return snapped
     return cap
 

@@ -46,11 +46,26 @@ def kabsch_rotation(
     s = jnp.sqrt(jnp.maximum(lam, 0.0))
     eps = jnp.asarray(1e-12, p.dtype)
     v0, v1 = V[:, 0], V[:, 1]
-    u0 = H @ v0 / jnp.maximum(s[0], eps)
-    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0), eps)
-    u1 = H @ v1 / jnp.maximum(s[1], eps)
-    u1 = u1 - jnp.sum(u1 * u0) * u0
-    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), eps)
+    ex = jnp.array([1.0, 0.0, 0.0], p.dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], p.dtype)
+
+    def unit_or(u, alt):
+        # normalize, falling back to `alt` when u degenerates — rank-
+        # deficient H (collinear/2-atom structures) must still yield a
+        # PROPER rotation (the SVD path's behavior); without the fallback
+        # u collapses to zero and R is singular
+        n = jnp.linalg.norm(u)
+        safe = u / jnp.maximum(n, eps)
+        return jnp.where(n > 1e-6, safe, alt)
+
+    u0 = unit_or(H @ v0 / jnp.maximum(s[0], eps), ex)
+    # any vector ⟂ u0 serves as the degenerate-direction fallback
+    a = jnp.where(jnp.abs(u0[0]) < 0.9, ex, ey)
+    alt1 = jnp.cross(u0, a)
+    alt1 = alt1 / jnp.maximum(jnp.linalg.norm(alt1), eps)
+    u1r = H @ v1 / jnp.maximum(s[1], eps)
+    u1r = u1r - jnp.sum(u1r * u0) * u0
+    u1 = unit_or(u1r, alt1)
     u2 = jnp.cross(u0, u1)
     v2 = jnp.cross(v0, v1)
     # R = Σ_k v_k u_kᵀ  (maximizes tr(R H), det(R) = +1 by construction)

@@ -694,17 +694,20 @@ def render_molecules(
     # at their endpoint tiles (3×3 reach) — primitives beyond that clip
     # mid-footprint. Estimate the worst screen radius host-side and warn
     # (rate-limited by vlog's dedup) instead of truncating silently.
-    zs = np.maximum(-np.asarray(pv)[:, 2], 1e-3)
-    if rad.size:
+    zs = -np.asarray(pv)[:, 2]
+    front = zs > 1e-2  # atoms behind the eye never rasterize
+    if rad.size and front.any():
         p00 = float(np.asarray(proj)[0, 0])
-        rpx_est = float(np.max(rad / zs)) * p00 * (s.width * 0.5)
+        rpx_est = float(np.max(rad[front] / zs[front])) * p00 * (
+            s.width * 0.5
+        )
         if rpx_est > 40.0:
             from viamd_tpu.core.vlog import warning
 
+            # static message so vlog's dedup window suppresses repeats
             warning(
-                f"raster: screen radius ~{rpx_est:.0f}px exceeds the "
-                "40px big-sphere reach — zoomed-in spheres may clip "
-                "(see docs/ROADMAP.md coverage caps)"
+                "raster: screen radii exceed the 40px big-sphere reach — "
+                "zoomed-in spheres may clip (docs/ROADMAP.md coverage caps)"
             )
 
     img, depth, pick_idx = _raster_impl(
