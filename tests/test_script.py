@@ -322,6 +322,37 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(full.frame_indices, ref.frame_indices)
 
 
+class TestFusedResume:
+    def test_resume_on_device_trajectory(self, ala_traj_system):
+        """The fused one-dispatch chunk path must honor resume_from with
+        the arbitrary (non-contiguous) index sets it produces."""
+        from viamd_tpu.eval.engine import Evaluator
+        from viamd_tpu.io.trajectory import DeviceTrajectory
+        from viamd_tpu.script import compile_script
+
+        sys, traj = ala_traj_system
+        dtraj = DeviceTrajectory(traj)
+        cs = compile_script(
+            "d1 = distance(1,6); r = rdf(element('C'), element('O'), 8.0);",
+            sys,
+        )
+        ev = Evaluator(cs, dtraj, chunk=3, batch_mode="unroll")
+        assert ev._fused_fn is not None  # the path under test
+        ref = ev.run()
+        # resume over a scattered remainder (frames 0,2,5 done)
+        part = ev.run(frame_range=[0, 2, 5])
+        full = ev.run(resume_from=part)
+        assert full.n_frames_done == dtraj.num_frames
+        np.testing.assert_allclose(
+            np.sort(np.asarray(full.frame_indices)),
+            np.arange(dtraj.num_frames),
+        )
+        np.testing.assert_allclose(
+            np.asarray(full.distributions["r"]),
+            np.asarray(ref.distributions["r"]), rtol=1e-4,
+        )
+
+
 class TestVisualization:
     def test_vis_payload(self, ala_traj_system):
         from viamd_tpu.script import compile_script
