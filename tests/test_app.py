@@ -106,6 +106,23 @@ class TestSession:
         assert res.n_frames_done == 10
         assert "d1" in res.temporal
 
+    def test_stage_to_device(self, ala_session):
+        from viamd_tpu.io.trajectory import DeviceTrajectory
+
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);")
+        r0 = s.evaluate(chunk=4)
+        # byte budget respected while still host-side
+        assert s.stage_to_device(max_bytes=1) is False
+        assert s.stage_to_device() is True
+        assert isinstance(s.trajectory, DeviceTrajectory)
+        assert s.stage_to_device() is True  # idempotent no-op
+        r1 = s.evaluate(chunk=4)  # fused device-resident path
+        assert r1.n_frames_done == 10
+        np.testing.assert_allclose(
+            np.asarray(r1.temporal["d1"]), np.asarray(r0.temporal["d1"]), atol=1e-4
+        )
+
     def test_script_error_reported(self, ala_session):
         s = ala_session
         s.set_script("d1 = distance(1, 99999);")

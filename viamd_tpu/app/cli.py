@@ -50,6 +50,9 @@ def cmd_info(args):
 
 def cmd_eval(args):
     s = _load_session(args.files)
+    # batch context: stage frames to HBM so evaluation runs the fused
+    # one-dispatch chunk path (Session.stage_to_device docstring)
+    s.stage_to_device()
     script = (
         open(args.script_file).read() if args.script_file else args.script
     )

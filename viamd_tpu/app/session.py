@@ -159,6 +159,27 @@ class Session:
         self.trajectory = CachedTrajectory(traj)
         self.events.broadcast(EventType.TRAJECTORY_INIT, self)
 
+    def stage_to_device(self, max_bytes: int = 2 << 30) -> bool:
+        """Stage the whole trajectory into device HBM for batch evaluation.
+
+        The Evaluator's fused one-dispatch chunk path (its fastest mode —
+        docs/PERF.md) needs device-resident frames; this is the TPU analog
+        of the reference holding the working set in RAM for Eval Full
+        (main.cpp:981). No-op if already staged or the trajectory exceeds
+        `max_bytes` (coords only, f32). Returns True when device-resident.
+        """
+        t = self.trajectory
+        if t is None:
+            return False
+        if hasattr(t, "_stack"):
+            return True
+        if t.num_frames * t.num_atoms * 12 > max_bytes:
+            return False
+        from viamd_tpu.io.trajectory import DeviceTrajectory
+
+        self.trajectory = DeviceTrajectory(t)
+        return True
+
     # -- frames --------------------------------------------------------------
     @property
     def num_frames(self) -> int:
