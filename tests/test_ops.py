@@ -418,6 +418,31 @@ class TestSDF:
                 )
             )
             np.testing.assert_allclose(cl_t, dense, atol=1e-3, rtol=1e-3)
+            # pre-splat compaction: identical when the cap fits all points
+            cap = sdf_ops.sdf_compact_capacity(
+                len(structs), int(idx_t.size), box, extent, dims
+            )
+            cl_c = np.asarray(
+                sdf_ops.sdf_accumulate_cl(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, jnp.asarray(box, jnp.float32),
+                    dims_r1, cap_r1, stencil1, idx_t=jnp.asarray(idx_t),
+                    compact_cap=cap,
+                )
+            )
+            np.testing.assert_allclose(cl_c, dense, atol=1e-3, rtol=1e-3)
+            # tiny cap still runs (drops points — documented semantics)
+            cl_s = np.asarray(
+                sdf_ops.sdf_accumulate_cl(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, jnp.asarray(box, jnp.float32),
+                    dims_r1, cap_r1, stencil1, idx_t=jnp.asarray(idx_t),
+                    compact_cap=8,
+                )
+            )
+            assert 0.0 < cl_s.sum() <= cl_c.sum() + 1e-3
 
 
 class TestKabschRMSD:

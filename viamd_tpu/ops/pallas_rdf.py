@@ -252,7 +252,11 @@ def pair_dist_histogram_pl(
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
     if ka is None:
-        ka = 8 if cap_a <= 8 else 16
+        # ka=8 halves the per-block A quantization waste (ceil(occ/ka)·ka)
+        # at the occupancies the radius-1 grids produce — measured ~5%
+        # whole-RDF win at λ≈33 (tools/exp_ka.py); at high caps the extra
+        # pass launches win back, so keep ka=16 beyond 64
+        ka = 8 if cap_a <= 64 else 16
     n_pass = -(-cap_a // ka)
     cap_a_pad = n_pass * ka
     G = LANES // ka

@@ -1239,12 +1239,20 @@ def _sdf(c: _Compiler, node, args):
         span = int(stencil.max() - stencil.min()) + 1
         use_cl = span <= min(cl_dims)
     if use_cl:
+        # pre-splat compaction: the stencil ball over-covers the ±extent
+        # cube ~25× at headline scale; pack in-support points into a
+        # Poisson-sized static buffer so splat HBM traffic tracks REAL
+        # points, not candidate slots
+        compact_cap = sdf_ops.sdf_compact_capacity(
+            len(structs), int(idx_t.size), box_np, extent, SDF_DIMS
+        )
         grid = sdf_ops.sdf_accumulate_cl(
             c._trace_x, jnp.asarray(tw),
             jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
             extent, SDF_DIMS, jnp.diagonal(c._trace_basis),
             cl_dims, cl_cap, stencil,
             idx_t=jnp.asarray(idx_t),
+            compact_cap=compact_cap,
         )
     else:
         grid = sdf_ops.sdf_accumulate(
