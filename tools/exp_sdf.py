@@ -97,6 +97,98 @@ def main():
 
         timed(f"sdf FULL+compact ({tag})", loop(full_c, x))
 
+        # substage: everything up to (and incl.) the compaction gather,
+        # skipping the splat — isolates cumsum+searchsorted+gather cost
+        def to_compact(xx, cl_dims=cl_dims, cl_cap=cl_cap, stencil=stencil,
+                       ccap=ccap):
+            from viamd_tpu.ops.neighbors import build_cell_list, cell3_of_points
+            xt = xx[idx_t]
+            twt = tw[idx_t]
+            cl = build_cell_list(xt, box, cl_dims, cl_cap)
+            R, c = sdf_ops.sdf_reference_frames(
+                xx, idx_s, w_s, refc, jnp.diag(box), jnp.diag(1.0 / box)
+            )
+            c3 = cell3_of_points(c, box, cl.dims)
+            offs = jnp.asarray(stencil, jnp.int32)
+            dims_arr = jnp.array(cl.dims, jnp.int32)
+            dxc, dyc, dzc = cl.dims
+            cells = jnp.mod(c3[:, None, :] + offs[None, :, :], dims_arr)
+            cell_ids = (cells[..., 0] * dyc + cells[..., 1]) * dzc + cells[..., 2]
+            nt = xt.shape[0]
+            st = cl.starts[cell_ids]
+            cnt = cl.starts[cell_ids + 1] - st
+            slot = jnp.arange(cl_cap, dtype=jnp.int32)
+            pos = st[..., None] + slot
+            ok = (slot < cnt[..., None]).reshape(c.shape[0], -1)
+            xs4 = jnp.concatenate([xt, twt[:, None]], axis=1)[cl.order]
+            cd = xs4[jnp.minimum(pos, nt - 1).reshape(c.shape[0], -1)]
+            d = cd[..., :3] - c[:, None, :]
+            d = d - box * jnp.round(d / box)
+            d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+            p = jnp.stack(
+                [
+                    R[:, 0, 0, None] * d0 + R[:, 0, 1, None] * d1 + R[:, 0, 2, None] * d2,
+                    R[:, 1, 0, None] * d0 + R[:, 1, 1, None] * d1 + R[:, 1, 2, None] * d2,
+                    R[:, 2, 0, None] * d0 + R[:, 2, 1, None] * d1 + R[:, 2, 2, None] * d2,
+                ],
+                axis=-1,
+            )
+            w = cd[..., 3] * ok.astype(jnp.float32)
+            pf = p.reshape(-1, 3)
+            wf = w.reshape(-1)
+            sup = extent + 0.5 * (2.0 * extent / 64)
+            m = (wf > 0.0) & (jnp.max(jnp.abs(pf), axis=-1) < sup)
+            cum = jnp.cumsum(m.astype(jnp.int32))
+            j = jnp.arange(ccap, dtype=jnp.int32)
+            src = jnp.searchsorted(cum, j + 1, side="left").astype(jnp.int32)
+            keep = j < cum[-1]
+            src = jnp.minimum(src, pf.shape[0] - 1)
+            return jnp.sum(jnp.where(keep, wf[src], 0.0)) + jnp.sum(pf[src])
+
+        timed(f"  ..through compact gather", loop(to_compact, x))
+
+        def to_mask(xx, cl_dims=cl_dims, cl_cap=cl_cap, stencil=stencil):
+            from viamd_tpu.ops.neighbors import build_cell_list, cell3_of_points
+            xt = xx[idx_t]
+            twt = tw[idx_t]
+            cl = build_cell_list(xt, box, cl_dims, cl_cap)
+            R, c = sdf_ops.sdf_reference_frames(
+                xx, idx_s, w_s, refc, jnp.diag(box), jnp.diag(1.0 / box)
+            )
+            c3 = cell3_of_points(c, box, cl.dims)
+            offs = jnp.asarray(stencil, jnp.int32)
+            dims_arr = jnp.array(cl.dims, jnp.int32)
+            dxc, dyc, dzc = cl.dims
+            cells = jnp.mod(c3[:, None, :] + offs[None, :, :], dims_arr)
+            cell_ids = (cells[..., 0] * dyc + cells[..., 1]) * dzc + cells[..., 2]
+            nt = xt.shape[0]
+            st = cl.starts[cell_ids]
+            cnt = cl.starts[cell_ids + 1] - st
+            slot = jnp.arange(cl_cap, dtype=jnp.int32)
+            pos = st[..., None] + slot
+            ok = (slot < cnt[..., None]).reshape(c.shape[0], -1)
+            xs4 = jnp.concatenate([xt, twt[:, None]], axis=1)[cl.order]
+            cd = xs4[jnp.minimum(pos, nt - 1).reshape(c.shape[0], -1)]
+            d = cd[..., :3] - c[:, None, :]
+            d = d - box * jnp.round(d / box)
+            d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+            p = jnp.stack(
+                [
+                    R[:, 0, 0, None] * d0 + R[:, 0, 1, None] * d1 + R[:, 0, 2, None] * d2,
+                    R[:, 1, 0, None] * d0 + R[:, 1, 1, None] * d1 + R[:, 1, 2, None] * d2,
+                    R[:, 2, 0, None] * d0 + R[:, 2, 1, None] * d1 + R[:, 2, 2, None] * d2,
+                ],
+                axis=-1,
+            )
+            w = cd[..., 3] * ok.astype(jnp.float32)
+            pf = p.reshape(-1, 3)
+            wf = w.reshape(-1)
+            sup = extent + 0.5 * (2.0 * extent / 64)
+            m = (wf > 0.0) & (jnp.max(jnp.abs(pf), axis=-1) < sup)
+            return jnp.sum(m.astype(jnp.float32))
+
+        timed(f"  ..through mask (no cumsum)", loop(to_mask, x))
+
         def gather_only(xx, cl_dims=cl_dims, cl_cap=cl_cap, stencil=stencil):
             xt = xx[idx_t]
             twt = tw[idx_t]

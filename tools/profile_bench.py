@@ -121,10 +121,14 @@ def main():
 
     timed("sdf align (64 structs)", lambda xx: loop(sdf_align, xx)(), x)
 
+    ccap = sdf_ops.sdf_compact_capacity(
+        len(structs), int(idx_t.size), box_np, extent, 64
+    )
+
     def sdf_full(xx):
         return sdf_ops.sdf_accumulate_cl(
             xx, tw, idx_s, w_s, refc, extent, 64, box,
-            cl_dims, cl_cap, stencil, idx_t=idx_t,
+            cl_dims, cl_cap, stencil, idx_t=idx_t, compact_cap=ccap,
         )
 
     timed("sdf FULL 64^3 (shipped)", lambda xx: loop(sdf_full, xx)(), x)

@@ -176,14 +176,24 @@ def sdf_accumulate_cl(
         # extent + ½ voxel (the dense splat zeroes everything else anyway)
         sup = extent + 0.5 * voxel_w
         m = (wf > 0.0) & (jnp.max(jnp.abs(pf), axis=-1) < sup)
-        cum = jnp.cumsum(m.astype(jnp.int32))
-        j = jnp.arange(compact_cap, dtype=jnp.int32)
-        # src[j] = index of the (j+1)-th masked slot — binary search over
-        # the monotone cumsum (no sort, no scatter); overflow beyond
-        # cum[-1] clamps to the last slot with weight forced to 0
-        src = jnp.searchsorted(cum, j + 1, side="left").astype(jnp.int32)
-        keep = j < cum[-1]
-        src = jnp.minimum(src, n_slots - 1)
+        # src[j] = index of the (j+1)-th masked slot, via a two-level
+        # rank select: per-128-lane-row cumsum + block prefix, then
+        # broadcast compare-COUNTS at both levels (jnp.searchsorted's
+        # binary search costs ~4× this on the tunneled backend —
+        # tools/exp_compact.py); overflow beyond the total clamps with
+        # weight forced to 0 (Poisson-capped, see sdf_compact_capacity)
+        npad = -(-n_slots // 128) * 128
+        m2 = jnp.pad(m.astype(jnp.int32), (0, npad - n_slots)).reshape(-1, 128)
+        rs = jnp.cumsum(m2, axis=1)
+        blk = jnp.cumsum(rs[:, -1])  # (nb,) inclusive block prefix
+        j1 = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
+        b = jnp.sum((blk[None, :] < j1[:, None]).astype(jnp.int32), axis=1)
+        b = jnp.minimum(b, blk.shape[0] - 1)
+        rows = rs[b]  # (M, 128)
+        r = j1 - (blk[b] - rows[:, -1])  # rank within block, 1-based
+        lane = jnp.sum((rows < r[:, None]).astype(jnp.int32), axis=1)
+        src = jnp.minimum(b * 128 + jnp.minimum(lane, 127), n_slots - 1)
+        keep = j1 <= blk[-1]
         pf = pf[src]
         wf = jnp.where(keep, wf[src], 0.0)
     return splat_trilinear(pf, wf, (dims, dims, dims), origin, voxel)
