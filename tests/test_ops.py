@@ -608,6 +608,18 @@ class TestPallasRDF:
             )
         )
         np.testing.assert_allclose(hw1, dense, atol=1e-2)
+        # slab streaming (the 100M-atom memory-bound path): exact match,
+        # including a slab width that does not divide the grid
+        for sr in (3, 4):
+            hslab = np.asarray(
+                pallas_rdf.pair_dist_histogram_pl(
+                    jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                    dims1, cap1, cap1, radius=1, symmetric=True,
+                    widths=tuple(float(L) / d for d in dims1),
+                    interpret=True, slab_rows=sr,
+                )
+            )
+            np.testing.assert_allclose(hslab, dense, atol=1e-2)
 
     def test_fuzz_matches_dense(self):
         """Randomized configs: box shapes, selection sparsity, radii,

@@ -2,12 +2,17 @@
 """Atom-count scaling sweep of the RDF kernel (design-scale check).
 
 The reference reasons about 100M-atom systems (main.cpp:1134-1138); this
-measures the shipped Pallas cell-list RDF at 100k → 10M atoms on one v5e.
-Memory at 10M atoms: coords 120 MB + stencil planes ~1.2 GB HBM.
+measures the shipped Pallas cell-list RDF at 100k → 100M atoms on one
+v5e. Beyond ~20M atoms the B stencil planes exceed HBM and the kernel
+streams cell-grid slabs (pair_dist_histogram_pl slab_rows — same 2 GiB
+budget rule as the compiler path).
+
+Usage: python tools/bench_scale.py [--big]   (--big: 33M + 100M only)
 """
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -26,7 +31,10 @@ def main() -> None:
     from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
     from viamd_tpu.ops.rdf import snap_capacity, stencil_offsets
 
-    for n_waters in (33_334, 333_334, 1_111_112, 3_333_334):
+    counts = (33_334, 333_334, 1_111_112, 3_333_334)
+    if "--big" in sys.argv:
+        counts = (11_111_112, 33_333_334)
+    for n_waters in counts:
         sys_, traj = water_box_device(n_waters, n_frames=1, seed=3)
         traj.stage_fence()
         x, _ = traj.device_frame(0)
@@ -40,6 +48,12 @@ def main() -> None:
             len(stencil_offsets(1, True)),
         )
         widths = tuple(float(w) for w in box_np / np.array(dims))
+        S_off = len(stencil_offsets(1, True))
+        plane_bytes = int(np.prod(dims)) * S_off * cap * 16
+        budget = 2 << 30
+        slab_rows = None
+        if plane_bytes > budget:
+            slab_rows = max(3, int(dims[0] * budget / plane_bytes))
 
         @jax.jit
         def loop(x0):
@@ -47,6 +61,7 @@ def main() -> None:
                 h = pair_dist_histogram_pl(
                     x0 + carry * 1e-30, idx_o, idx_o, box, 128, 10.0,
                     dims, cap, cap, radius=1, symmetric=True, widths=widths,
+                    slab_rows=slab_rows,
                 )
                 return jnp.sum(h) + carry * 0.0
 
@@ -58,8 +73,8 @@ def main() -> None:
         s = float(loop(x))
         dt = (time.time() - t0) / K
         print(
-            f"atoms={sys_.natoms:>10,}  dims={dims} cap={cap}  "
-            f"rdf {dt*1000:8.2f} ms/frame  (sum {s:.0f})",
+            f"atoms={sys_.natoms:>10,}  dims={dims} cap={cap} "
+            f"slab={slab_rows}  rdf {dt*1000:8.2f} ms/frame  (sum {s:.0f})",
             flush=True,
         )
         del x, traj

@@ -213,7 +213,7 @@ def _offset_classes(
     jax.jit,
     static_argnames=(
         "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
-        "widths", "ka", "interpret", "occ_sort",
+        "widths", "ka", "interpret", "occ_sort", "slab_rows",
     ),
 )
 def pair_dist_histogram_pl(
@@ -232,6 +232,7 @@ def pair_dist_histogram_pl(
     ka: int | None = None,
     interpret: bool = False,
     occ_sort: bool = True,
+    slab_rows: int | None = None,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
@@ -245,10 +246,13 @@ def pair_dist_histogram_pl(
     multiple of 128. `widths`: static per-axis cell widths enabling
     distance-class bin-range skipping (see _offset_classes) — at radius 2
     the far stencil shells (78% of candidates) only touch the upper half
-    of the bins, saving ~40% of the binning loop.
+    of the bins, saving ~40% of the binning loop. `slab_rows`: process
+    the cell grid in slabs of this many leading-axis rows — bounds the
+    materialized B-plane memory to slab size (the 100M-atom path; see
+    the slab-streaming comment below); None = one full-grid slab.
     """
     from viamd_tpu.ops.neighbors import build_cell_list
-    from viamd_tpu.ops.rdf import neighborhood_planes, stencil_offsets
+    from viamd_tpu.ops.rdf import stencil_offsets
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
     if ka is None:
@@ -304,126 +308,191 @@ def pair_dist_histogram_pl(
     # M cell-blocks per grid step (tunable; measured M=4 ≈ M=1 at 100k
     # atoms — per-step overhead is not the bottleneck, so keep steps small)
     M = 1
-    nblocks = -(-ncells // G)
-    nblocks = -(-nblocks // M) * M
-    padc = nblocks * G - ncells
+    yz = dy_ * dz_
+    counts_full = cl_a.starts[1:] - cl_a.starts[:-1]
 
-    def prep_a(arr, fill=0):
-        # (ncells, ka) → (nblocks/M, M·ka·G, 1); sublane = m·128 + k·G + g.
-        # Id planes MUST pad with the invalid sentinel (id 0 is a real atom).
-        arr = jnp.pad(arr, [(0, padc), (0, 0)], constant_values=fill)
-        return (
-            arr.reshape(nblocks, G, ka)
-            .transpose(0, 2, 1)
-            .reshape(nblocks // M, M * ka * G, 1)
-        )
-
-    counts_a = cl_a.starts[1:] - cl_a.starts[:-1]
-    # occupancy-sorted cell order: grouping similar-occupancy cells into
-    # the G-cell blocks tightens the per-block max that gates A passes
-    # (unsorted, every block's max ≈ the global Poisson max, so nearly all
-    # blocks run ceil(max/ka) passes; sorted, low blocks run fewer). The
-    # permute costs only ~ncells gathered ROWS (row count, not elements,
-    # is what gathers charge for on this backend — docs/PERF.md) applied
-    # to the A tables and the roll-built B planes.
-    perm = None
-    if occ_sort and ncells >= 64:
-        perm = jnp.argsort(counts_a).astype(jnp.int32)
-        a_xyz = a_xyz[perm]
-        a_gid = a_gid[perm]
-        counts_a = counts_a[perm]
-
-    a_cols = [
-        [
-            prep_a(a_xyz[:, sl, 0]),
-            prep_a(a_xyz[:, sl, 1]),
-            prep_a(a_xyz[:, sl, 2]),
-            prep_a(a_gid[:, sl], fill=-1),
-        ]
-        for sl in (slice(p * ka, (p + 1) * ka) for p in range(n_pass))
-    ]
-    # max A occupancy per cell block → per-step dynamic pass skipping
-    occ_blk = jnp.max(
-        jnp.pad(counts_a, (0, padc)).reshape(nblocks // M, M * G), axis=1
-    ).astype(jnp.int32)
+    # slab streaming along the leading cell axis: the B neighborhood
+    # planes are the memory wall (ncells · S·cap_b · 16 B — ~12 GB at
+    # 100M atoms); per-slab roll+slice builds only a w·dy·dz-row window
+    # (slice-of-roll fuses, full planes never materialize). One slab ≡
+    # the original full-grid path.
+    if slab_rows is None or slab_rows >= dx_:
+        slabs = [(0, dx_)]
+    else:
+        sr = max(int(slab_rows), 2 * radius + 1)
+        slabs = [(x0, min(sr, dx_ - x0)) for x0 in range(0, dx_, sr)]
 
     total = jnp.zeros(nbins, jnp.float32)
-    for g_lo, offs_k in _offset_classes(offsets, widths, r_max, nbins):
-        S = len(offs_k)
-        C = S * cap_b
-        # candidate chunking: per-step tiles (128, Cc) with Cc a lane
-        # multiple; target Cc ≈ 2048 (amortizes per-step grid/DMA overhead)
-        nchunks = max(1, -(-C // 2048))
-        Cc = -(-C // (nchunks * LANES)) * LANES
-        C_tot = nchunks * Cc
-        nb_eff = nbins - 16 * g_lo
-
-        def prep_b(arr, fill=0):  # (ncells, C) → (nsteps, M·G, Cc)
-            arr = jnp.pad(
-                arr, [(0, padc), (0, C_tot - C)], constant_values=fill
+    for x0, w in slabs:
+        ncells_s = w * yz
+        if len(slabs) > 1:
+            # sequence slabs: tie this slab's table reads to the running
+            # histogram so XLA cannot hoist every slab's plane build to
+            # the front (which would defeat the live-memory bound)
+            total, a_xyz_d, a_gid_d, b_xyz_d, b_gid_d, counts_d = (
+                jax.lax.optimization_barrier(
+                    (total, a_xyz, a_gid, b_xyz, b_gid, counts_full)
+                )
             )
+            sl_s = a_xyz_d.shape[1]
+            a_xyz_s = a_xyz_d.reshape(dx_, yz, sl_s, 3)[x0 : x0 + w]
+            a_xyz_s = a_xyz_s.reshape(ncells_s, sl_s, 3)
+            a_gid_s = a_gid_d.reshape(dx_, yz, sl_s)[x0 : x0 + w]
+            a_gid_s = a_gid_s.reshape(ncells_s, sl_s)
+            counts_s = counts_d.reshape(dx_, yz)[x0 : x0 + w].reshape(-1)
+        else:
+            a_xyz_s, a_gid_s, counts_s = a_xyz, a_gid, counts_full
+            b_xyz_d, b_gid_d = b_xyz, b_gid
+
+        nblocks = -(-ncells_s // G)
+        nblocks = -(-nblocks // M) * M
+        padc = nblocks * G - ncells_s
+
+        def prep_a(arr, fill=0, nblocks=nblocks, padc=padc):
+            # (ncells_s, ka) → (nblocks/M, M·ka·G, 1); sublane =
+            # m·128 + k·G + g. Id planes MUST pad with the invalid
+            # sentinel (id 0 is a real atom).
+            arr = jnp.pad(arr, [(0, padc), (0, 0)], constant_values=fill)
             return (
-                arr.reshape(nblocks // M, M, G, nchunks, Cc)
-                .transpose(0, 3, 1, 2, 4)
-                .reshape(nblocks // M * nchunks, M * G, Cc)
+                arr.reshape(nblocks, G, ka)
+                .transpose(0, 2, 1)
+                .reshape(nblocks // M, M * ka * G, 1)
             )
 
-        def planes(arr, fill=0):
-            pl_ = neighborhood_planes(arr, dims, radius, offs_k)
-            if perm is not None:
-                pl_ = pl_[perm]
-            return prep_b(pl_, fill=fill)
+        # occupancy-sorted cell order: grouping similar-occupancy cells
+        # into the G-cell blocks tightens the per-block max that gates A
+        # passes (unsorted, every block's max ≈ the global Poisson max,
+        # so nearly all blocks run ceil(max/ka) passes; sorted, low
+        # blocks run fewer). The permute costs only ~ncells gathered
+        # ROWS (row count, not elements, is what gathers charge for on
+        # this backend — docs/PERF.md) applied to the A tables and the
+        # roll-built B planes. Per-slab in slab mode.
+        perm = None
+        if occ_sort and ncells_s >= 64:
+            perm = jnp.argsort(counts_s).astype(jnp.int32)
+            a_xyz_s = a_xyz_s[perm]
+            a_gid_s = a_gid_s[perm]
+            counts_s = counts_s[perm]
 
-        bxp = planes(b_xyz[..., 0])
-        byp = planes(b_xyz[..., 1])
-        bzp = planes(b_xyz[..., 2])
-        bidp = planes(b_gid, fill=-2)
+        a_cols = [
+            [
+                prep_a(a_xyz_s[:, sl, 0]),
+                prep_a(a_xyz_s[:, sl, 1]),
+                prep_a(a_xyz_s[:, sl, 2]),
+                prep_a(a_gid_s[:, sl], fill=-1),
+            ]
+            for sl in (slice(p * ka, (p + 1) * ka) for p in range(n_pass))
+        ]
+        # max A occupancy per cell block → per-step dynamic pass skipping
+        occ_blk = jnp.max(
+            jnp.pad(counts_s, (0, padc)).reshape(nblocks // M, M * G), axis=1
+        ).astype(jnp.int32)
 
-        a_spec = pl.BlockSpec(
-            (1, M * LANES, 1),
-            lambda i, nch=nchunks: (i // nch, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        b_spec = pl.BlockSpec(
-            (1, M * G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        # symmetric self-cell dedupe applies only to the class holding the
-        # (0,0,0) offset (always at the head of its candidate axis); other
-        # classes exclude self-pairs by id inequality alone.
-        sym_k = symmetric and (0, 0, 0) in offs_k
+        for g_lo, offs_k in _offset_classes(offsets, widths, r_max, nbins):
+            S = len(offs_k)
+            C = S * cap_b
+            # candidate chunking: per-step tiles (128, Cc) with Cc a lane
+            # multiple; target Cc ≈ 2048 (amortizes per-step grid/DMA
+            # overhead)
+            nchunks = max(1, -(-C // 2048))
+            Cc = -(-C // (nchunks * LANES)) * LANES
+            C_tot = nchunks * Cc
+            nb_eff = nbins - 16 * g_lo
 
-        nsteps = nblocks // M * nchunks
-        for p in range(n_pass):
-            partial_hists = pl.pallas_call(
-                functools.partial(
-                    _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
-                    nchunks=nchunks, cap_b=cap_b, symmetric=sym_k, M=M,
-                    g_lo=g_lo, a_lo=p * ka,
-                ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (nsteps, nb_eff, 1), jnp.float32
-                ),
-                grid=(nsteps,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    a_spec, a_spec, a_spec, a_spec,
-                    b_spec, b_spec, b_spec, b_spec,
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, nb_eff, 1),
-                    lambda i: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                scratch_shapes=[pltpu.VMEM((nb_eff, Cc), jnp.float32)],
-                interpret=interpret,
-            )(
-                box.reshape(1, 3).astype(jnp.float32),
-                occ_blk,
-                *a_cols[p],
-                bxp, byp, bzp, bidp,
+            def prep_b(
+                arr, fill=0, nblocks=nblocks, padc=padc,
+                nchunks=nchunks, Cc=Cc, C_tot=C_tot, C=C,
+            ):  # (ncells_s, C) → (nsteps, M·G, Cc)
+                arr = jnp.pad(
+                    arr, [(0, padc), (0, C_tot - C)], constant_values=fill
+                )
+                return (
+                    arr.reshape(nblocks // M, M, G, nchunks, Cc)
+                    .transpose(0, 3, 1, 2, 4)
+                    .reshape(nblocks // M * nchunks, M * G, Cc)
+                )
+
+            def planes(arr, fill=0, offs_k=offs_k, prep_b=prep_b, perm=perm):
+                pl_ = _slab_planes(arr, dims, offs_k, x0, w)
+                if perm is not None:
+                    pl_ = pl_[perm]
+                return prep_b(pl_, fill=fill)
+
+            bxp = planes(b_xyz_d[..., 0])
+            byp = planes(b_xyz_d[..., 1])
+            bzp = planes(b_xyz_d[..., 2])
+            bidp = planes(b_gid_d, fill=-2)
+
+            a_spec = pl.BlockSpec(
+                (1, M * LANES, 1),
+                lambda i, nch=nchunks: (i // nch, 0, 0),
+                memory_space=pltpu.VMEM,
             )
-            total = total.at[16 * g_lo :].add(
-                jnp.sum(partial_hists, axis=(0, 2))
+            b_spec = pl.BlockSpec(
+                (1, M * G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
+            # symmetric self-cell dedupe applies only to the class holding
+            # the (0,0,0) offset (always at the head of its candidate
+            # axis); other classes exclude self-pairs by id inequality
+            # alone.
+            sym_k = symmetric and (0, 0, 0) in offs_k
+
+            nsteps = nblocks // M * nchunks
+            for p in range(n_pass):
+                partial_hists = pl.pallas_call(
+                    functools.partial(
+                        _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
+                        nchunks=nchunks, cap_b=cap_b, symmetric=sym_k, M=M,
+                        g_lo=g_lo, a_lo=p * ka,
+                    ),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (nsteps, nb_eff, 1), jnp.float32
+                    ),
+                    grid=(nsteps,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        a_spec, a_spec, a_spec, a_spec,
+                        b_spec, b_spec, b_spec, b_spec,
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (1, nb_eff, 1),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    scratch_shapes=[pltpu.VMEM((nb_eff, Cc), jnp.float32)],
+                    interpret=interpret,
+                )(
+                    box.reshape(1, 3).astype(jnp.float32),
+                    occ_blk,
+                    *a_cols[p],
+                    bxp, byp, bzp, bidp,
+                )
+                total = total.at[16 * g_lo :].add(
+                    jnp.sum(partial_hists, axis=(0, 2))
+                )
     return total * 2.0 if symmetric else total
+
+
+def _slab_planes(
+    arr,  # (ncells, K) per-cell data
+    dims,
+    offsets,
+    x0,
+    w,
+):
+    """Stencil neighborhoods for cell rows x0..x0+w → (w·dy·dz, S·K).
+
+    Wrapped ROLLS of the full 3D grid sliced to the slab's leading-axis
+    window; XLA fuses slice-of-roll (a roll lowers to a concat of two
+    slices), so only the slab window materializes. With (x0, w) =
+    (0, dx) this is exactly ops.rdf.neighborhood_planes.
+    """
+    dx, dy, dz = dims
+    K = arr.shape[1]
+    a4 = arr.reshape(dx, dy, dz, K)
+    parts = []
+    for ox, oy, oz in offsets:
+        r = jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))
+        parts.append(r[x0 : x0 + w].reshape(w * dy * dz, K))
+    return jnp.concatenate(parts, axis=1)

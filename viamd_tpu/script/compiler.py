@@ -1175,11 +1175,24 @@ def _rdf(c: _Compiler, node, args):
             S_off = len(stencil_offsets(radius, sym))
             lam_b = idx_b.size / max(int(np.prod(dims)), 1)
             cap_b = snap_capacity(cap_b, lam_b, S_off)
+            # slab streaming when the B neighborhood planes would exceed
+            # a 2 GiB live budget (the 100M-atom scale the reference
+            # reasons about, main.cpp:1134-1138): bounds plane memory to
+            # slab windows at identical results
+            ncells = int(np.prod(dims))
+            plane_bytes = ncells * S_off * cap_b * 16
+            budget = 2 << 30
+            slab_rows = None
+            if plane_bytes > budget:
+                slab_rows = max(
+                    2 * radius + 1, int(dims[0] * budget / plane_bytes)
+                )
             hist = pair_dist_histogram_pl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
                 radius=radius, symmetric=sym,
                 widths=tuple(float(w) for w in box_np / np.array(dims)),
+                slab_rows=slab_rows,
             )
         else:
             hist = rdf_ops.pair_dist_histogram_cl(
