@@ -245,6 +245,56 @@ class TestRaster:
         # bond pixels sit at the capsule radius depth, not background
         assert np.isfinite(depth[48, mid - 6])
 
+    def test_pallas_huge_tier(self):
+        """Oversized primitives route to the global huge tier: a sphere
+        whose screen radius far exceeds the old 40 px row-window reach
+        covers its whole footprint, and a screen-long thin bond has
+        continuous mid-span coverage (the old endpoint-3×3 binning
+        clipped beyond ~48 px bond halves)."""
+        from viamd_tpu.render import raster as R
+
+        cam = C.Camera(
+            eye=np.array([0.0, 0, 6.0]), center=np.zeros(3),
+            up=np.array([0.0, 1, 0]),
+        )
+        W = H = 256
+        # sphere of world radius 3 at distance 6 → screen radius ≈ W/2·
+        # tan-scaled ≈ far beyond 40 px
+        pos = np.array([[0.0, 0, 0]], np.float32)
+        radii = np.array([3.0], np.float32)
+        cols = np.array([[1, 0, 0, 1]], np.float32)
+        s = R.RasterSettings(width=W, height=H, engine="pallas")
+        img, depth, pick = R.render_molecules(
+            pos, radii, cols, cam.view_matrix(), cam.proj_matrix(W, H), s
+        )
+        assert pick[H // 2, W // 2] == 0
+        # 100 px above center — outside the old ±2-row (40 px) reach
+        assert pick[H // 2 - 100, W // 2] == 0
+        assert pick[H // 2 + 100, W // 2] == 0
+        assert img[H // 2 - 100, W // 2, 3] == 1.0
+        # long thin bond: two atoms ~5.6 world units apart at z=0 →
+        # ~240 px screen span; thin radius keeps it out of the small
+        # sphere footprints
+        pos2 = np.array([[-2.8, 0, 0], [2.8, 0, 0]], np.float32)
+        radii2 = np.array([0.2, 0.2], np.float32)
+        cols2 = np.array([[1, 0, 0, 1], [0, 0, 1, 1]], np.float32)
+        bonds = np.array([[0, 1]], np.int32)
+        s2 = R.RasterSettings(
+            width=W, height=H, rep="licorice", engine="pallas",
+            licorice_radius=0.1,
+        )
+        img2, depth2, pick2 = R.render_molecules(
+            pos2, radii2, cols2, cam.view_matrix(), cam.proj_matrix(W, H),
+            s2, bonds=bonds,
+        )
+        row = img2[H // 2]
+        xs = np.nonzero(row[:, 3] > 0)[0]
+        assert xs.size > 150  # spans most of the frame
+        assert np.all(np.diff(xs) == 1)  # no mid-span gaps
+        # split color + picking still per-owner at the quarter points
+        assert pick2[H // 2, W // 2 - 40] == 0
+        assert pick2[H // 2, W // 2 + 40] == 1
+
     def test_pallas_capsules_match_xla(self):
         """Licorice (spheres + bond cylinders) through the halo-row
         Pallas kernel's second slot region vs the XLA engine."""

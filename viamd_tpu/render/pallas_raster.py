@@ -60,10 +60,13 @@ def _raster_row_kernel(
     pr_ref,  # SMEM (1, 4) f32: proj00, proj11, jitter02, jitter12
     sp_ref, sc_ref,  # VMEM (6, cap, BTL) prev/cur row TL-binned spheres:
     #   cx cy cz(poisoned) r rgb-packed pid   (all f32 values; pid -1 inv)
-    *rest,  # [battr, bcnt]? [cocc, cp, cc, cn]? outputs, scratch
+    *rest,  # [battr, bcnt]? [cocc, cp, cc, cn]? [gocc, gsph?, gcyl?]?
+    #   outputs, scratch
     cap: int,
     bcap: int,
     ccap: int,
+    gcap: int,
+    gccap: int,
     tiles_y: int,
     width: int,
     height: int,
@@ -92,7 +95,12 @@ def _raster_row_kernel(
       (bcap > 0; reach 40 px radius — wider than the XLA union's 3×3);
     - bond capsules (ccap > 0): 10 channels (p0, axis, len, r,
       rgb-packed, pid), poisoned via len = -1, normals finished in-loop
-      and flagged with the rk = -1 sentinel."""
+      and flagged with the rk = -1 sentinel;
+    - a GLOBAL huge tier (gcap/gccap > 0): spheres/capsules whose screen
+      footprint exceeds the binned tiers' reach ride an unbinned
+      depth-ordered list tested by EVERY program — gated by SMEM counts
+      so it costs nothing until the camera zooms far enough to produce
+      any (removes the 40 px sphere / 48 px bond-half coverage caps)."""
     i = 0
     if bcap > 0:
         bocc_ref = rest[i]  # SMEM (ty, 5) per-(row, delta) counts
@@ -101,6 +109,15 @@ def _raster_row_kernel(
     if ccap > 0:
         cocc_ref, cp_ref, cc_ref, cn_ref = rest[i : i + 4]
         i += 4
+    if gcap > 0 or gccap > 0:
+        gocc_ref = rest[i]  # SMEM (1, 2): [huge spheres, huge capsules]
+        i += 1
+    if gcap > 0:
+        gsph_ref = rest[i]  # VMEM (6, gcap, BTL), same block every program
+        i += 1
+    if gccap > 0:
+        gcyl_ref = rest[i]  # VMEM (10, gccap, BTL)
+        i += 1
     (o_r, o_g, o_b, o_a, o_d, o_id) = rest[i : i + 6]
     i += 6
     rot_s = rest[i]
@@ -240,6 +257,46 @@ def _raster_row_kernel(
                     rk_s[...] = brk
                     cl_s[...] = bcl
 
+    if gcap > 0:
+        # global huge spheres: unbinned, every program tests the list
+        occ = gocc_ref[0, 0]
+        for k0 in range(0, gcap, KB):
+
+            @pl.when(occ > k0)
+            def _gblk(k0=k0):
+                bt = bt_s[...]
+                bpi = pi_s[...]
+                bcx = cx_s[...]
+                bcy = cy_s[...]
+                bcz = cz_s[...]
+                brk = rk_s[...]
+                bcl = cl_s[...]
+                for j in range(min(KB, gcap - k0)):
+                    ks = slice(k0 + j, k0 + j + 1)
+                    cx = gsph_ref[0, ks, :]
+                    cy = gsph_ref[1, ks, :]
+                    cz = gsph_ref[2, ks, :]
+                    rk = gsph_ref[3, ks, :]
+                    cc = cx * cx + cy * cy + cz * cz - rk * rk
+                    dc = dx * cx + dy * cy - cz
+                    disc = dc * dc - dd * cc
+                    t = (dc - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_dd
+                    ok = (disc > 0) & (t > 1e-6) & (t < bt)
+                    bt = jnp.where(ok, t, bt)
+                    bpi = jnp.where(ok, gsph_ref[5, ks, :], bpi)
+                    bcx = jnp.where(ok, cx, bcx)
+                    bcy = jnp.where(ok, cy, bcy)
+                    bcz = jnp.where(ok, cz, bcz)
+                    brk = jnp.where(ok, rk, brk)
+                    bcl = jnp.where(ok, gsph_ref[4, ks, :], bcl)
+                bt_s[...] = bt
+                pi_s[...] = bpi
+                cx_s[...] = bcx
+                cy_s[...] = bcy
+                cz_s[...] = bcz
+                rk_s[...] = brk
+                cl_s[...] = bcl
+
     if ccap > 0:
         for o, (oy, ox) in enumerate(OFFS):
             occ = cocc_ref[pid, o]
@@ -310,6 +367,65 @@ def _raster_row_kernel(
                     rk_s[...] = brk
                     cl_s[...] = bcl
 
+    if gccap > 0:
+        # global huge capsules (screen-long or thick bonds)
+        occ = gocc_ref[0, 1]
+        for k0 in range(0, gccap, KB):
+
+            @pl.when(occ > k0)
+            def _gcblk(k0=k0):
+                bt = bt_s[...]
+                bpi = pi_s[...]
+                bcx = cx_s[...]
+                bcy = cy_s[...]
+                bcz = cz_s[...]
+                brk = rk_s[...]
+                bcl = cl_s[...]
+                for j in range(min(KB, gccap - k0)):
+                    ks = slice(k0 + j, k0 + j + 1)
+                    qx = gcyl_ref[0, ks, :]
+                    qy = gcyl_ref[1, ks, :]
+                    qz = gcyl_ref[2, ks, :]
+                    ax = gcyl_ref[3, ks, :]
+                    ay = gcyl_ref[4, ks, :]
+                    az = gcyl_ref[5, ks, :]
+                    Lr = gcyl_ref[6, ks, :]
+                    rr = gcyl_ref[7, ks, :]
+                    pa = qx * ax + qy * ay + qz * az
+                    cc2 = (
+                        qx * qx + qy * qy + qz * qz - pa * pa - rr * rr
+                    )
+                    da = dx * ax + dy * ay - az
+                    dp = dx * qx + dy * qy - qz
+                    A = jnp.maximum(dd - da * da, 1e-9)
+                    Bq = dp - da * pa
+                    disc = Bq * Bq - A * cc2
+                    t = (Bq - jnp.sqrt(jnp.maximum(disc, 0.0))) / A
+                    sax = t * da - pa
+                    ok = (
+                        (disc > 0) & (t > 1e-6) & (t < bt)
+                        & (sax >= 0) & (sax <= Lr)
+                    )
+                    inv = 1.0 / jnp.maximum(rr, 1e-12)
+                    bt = jnp.where(ok, t, bt)
+                    bpi = jnp.where(ok, gcyl_ref[9, ks, :], bpi)
+                    bcx = jnp.where(
+                        ok, (dx * t - qx - sax * ax) * inv, bcx
+                    )
+                    bcy = jnp.where(
+                        ok, (dy * t - qy - sax * ay) * inv, bcy
+                    )
+                    bcz = jnp.where(ok, (-t - qz - sax * az) * inv, bcz)
+                    brk = jnp.where(ok, -1.0, brk)
+                    bcl = jnp.where(ok, gcyl_ref[8, ks, :], bcl)
+                bt_s[...] = bt
+                pi_s[...] = bpi
+                cx_s[...] = bcx
+                cy_s[...] = bcy
+                cz_s[...] = bcz
+                rk_s[...] = brk
+                cl_s[...] = bcl
+
     # resolve winner normals + colors once per pixel, then shade
     bt = bt_s[...]
     rk = rk_s[...]
@@ -354,6 +470,9 @@ def raster_rows_pl(
     bocc5=None,  # (ty, 5) int32 per-(row, delta∈-2..2) big counts
     cattr10=None,  # (10, ccap, ty*128) capsule cylinders (len=-1 inv)
     cocc9=None,  # (ty, 9) int32 cylinder occupancy
+    gsph=None,  # (6, gcap, BTL) global huge-sphere list (lane-replicated)
+    gcyl=None,  # (10, gccap, BTL) global huge-capsule list
+    gocc=None,  # (1, 2) int32 [huge sphere count, huge capsule count]
     *,
     cap: int,
     tiles_y: int,
@@ -376,6 +495,8 @@ def raster_rows_pl(
     assert attr6.shape == (6, cap, Tp) and Tp == tiles_y * BTL
     bcap = 0 if battr is None else battr.shape[1]
     ccap = 0 if cattr10 is None else cattr10.shape[1]
+    gcap = 0 if gsph is None else gsph.shape[1]
+    gccap = 0 if gcyl is None else gcyl.shape[1]
     prs = jnp.stack([p00, p11, p02, p12]).reshape(1, 4).astype(jnp.float32)
 
     def row_spec(delta, nch, kcap):
@@ -422,6 +543,25 @@ def raster_rows_pl(
             row_spec(1, 10, ccap),
         ]
         inputs += [cocc9, cattr10, cattr10, cattr10]
+    if gcap or gccap:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(gocc)
+    if gcap:
+        in_specs.append(
+            pl.BlockSpec(
+                (6, gcap, BTL), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(gsph)
+    if gccap:
+        in_specs.append(
+            pl.BlockSpec(
+                (10, gccap, BTL), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(gcyl)
     scratch = [pltpu.VMEM((6, rot_cap, BTL), jnp.float32)]
     if ccap:
         scratch.append(pltpu.VMEM((10, ccap, BTL), jnp.float32))
@@ -432,6 +572,8 @@ def raster_rows_pl(
             cap=cap,
             bcap=bcap,
             ccap=ccap,
+            gcap=gcap,
+            gccap=gccap,
             tiles_y=tiles_y,
             width=width,
             x_off=x_off,

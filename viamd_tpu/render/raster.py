@@ -258,18 +258,24 @@ def _raster_impl(
             TX = BTL
             Tp = TX * tiles_y
             BCAP = 16
+            GCAP = 32  # global huge-sphere list capacity
+            GCCAP = 16  # global huge-capsule list capacity
             x0p = float(tx0 * TILE)
             x1p = float((tx0 + txn) * TILE)
             sxl = sx - x0p
             reach = valid & (sx + rpx_x >= x0p) & (sx - rpx_x <= x1p)
-            # two sphere tiers, ONE sort: small spheres (radius < 8 px)
+            # THREE sphere tiers, ONE sort: small spheres (radius < 8 px)
             # key by their footprint TOP-LEFT tile (kernel gathers only
-            # the 2x2 OFFS4 reach); big spheres key into a per-ROW key
-            # space appended after the tile ids (the kernel tests them
-            # row-wide over a ±2-row window). Slots order nearest-first
-            # via an 8-bit depth bucket, so capacity overflow drops the
-            # most-occluded primitives.
+            # the 2x2 OFFS4 reach); big spheres (8–32 px) key into a
+            # per-ROW key space appended after the tile ids (the kernel
+            # tests them row-wide over a ±2-row window); HUGE spheres
+            # (vertical radius ≥ 32 px, beyond the row window's reach)
+            # key into one global bin tested by every program — no
+            # footprint cap. Slots order nearest-first via an 8-bit depth
+            # bucket, so capacity overflow drops the most-occluded
+            # primitives.
             small = jnp.maximum(rpx, rpx_x) < 8.0
+            huge = rpx >= 32.0
             tlx = jnp.clip(
                 ((sxl - rpx_x) // TILE).astype(jnp.int32), 0, txn - 1
             )
@@ -282,7 +288,11 @@ def _raster_impl(
             key = jnp.where(
                 reach & small,
                 tly * TX + tlx,
-                jnp.where(reach, Tp + row_of, Tp + tiles_y),
+                jnp.where(
+                    reach & ~huge,
+                    Tp + row_of,
+                    jnp.where(reach, Tp + tiles_y, Tp + tiles_y + 1),
+                ),
             )
             dvals = jnp.where(valid, cw, 0.0)
             d_lo = jnp.min(dvals)
@@ -291,7 +301,7 @@ def _raster_impl(
             order = jnp.argsort((key << 8) | dq).astype(jnp.int32)
             key_sorted = key[order]
             bins = jax.lax.broadcasted_iota(
-                jnp.int32, (Tp + tiles_y + 1, 1), 0
+                jnp.int32, (Tp + tiles_y + 2, 1), 0
             )[:, 0]
             starts = jnp.searchsorted(
                 key_sorted, bins, side="left"
@@ -310,6 +320,7 @@ def _raster_impl(
 
             table_h, tvalid_h, counts_h = slot_table(0, Tp, cap)
             btab, btv, bcnt_rows = slot_table(Tp, tiles_y, BCAP)
+            gtab, gtv, gcnt_sph = slot_table(Tp + tiles_y, 1, GCAP)
 
             rgbp = (
                 jnp.round(jnp.clip(colors[:, 0], 0, 1) * 255) * 65536.0
@@ -355,6 +366,19 @@ def _raster_impl(
                 bpo.transpose(2, 1, 0)[:, :, :, None],
                 (6, BCAP, tiles_y, TX),
             ).reshape(6, BCAP, Tp)
+            gah = prim6[gtab[0]]  # (GCAP, 6)
+            gpo = jnp.stack(
+                [
+                    gah[:, 0],
+                    gah[:, 1],
+                    jnp.where(gtv[0], gah[:, 2], 1e6),
+                    jnp.where(gtv[0], gah[:, 3], 1.0),
+                    gah[:, 4],
+                    jnp.where(gtv[0], gah[:, 5], -1.0),
+                ],
+                axis=0,
+            )  # (6, GCAP)
+            gsph = jnp.broadcast_to(gpo[:, :, None], (6, GCAP, BTL))
             rws = jnp.arange(tiles_y)
             bocc5 = jnp.stack(
                 [
@@ -376,16 +400,24 @@ def _raster_impl(
                 )
                 occ_cols.append(jnp.max(c[:, :txn], axis=1))
             occ4 = jnp.stack(occ_cols, -1).astype(jnp.int32)
-            cattr10 = cocc9 = None
+            cattr10 = cocc9 = gcyl = None
+            gcnt_cyl = jnp.int32(0)
             if m_cyl:
-                # bond capsules: home-bin each cylinder at BOTH endpoint
-                # projections (2m points, idx % m recovers the cylinder)
-                ccap = min(max(int(np.ceil(4.0 * m_cyl / T / 8.0)) * 8, 8),
+                # bond capsules: home-bin each cylinder at SAMP points
+                # along its axis (endpoints + interior thirds; idx % m
+                # recovers the cylinder). With the 3×3 reach that covers
+                # screen lengths to ~96 px; longer/thicker bonds route to
+                # the global huge tier below (no footprint cap).
+                SAMP = 4
+                ccap = min(max(int(np.ceil(8.0 * m_cyl / T / 8.0)) * 8, 8),
                            96)
                 cp0 = cyl12[:, 0:3]
                 cax = cyl12[:, 3:6]
                 clen = cyl12[:, 6:7]
-                pts = jnp.concatenate([cp0, cp0 + cax * clen], 0)
+                pts = jnp.concatenate(
+                    [cp0 + cax * (clen * f) for f in
+                     (0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0)], 0
+                )
                 cwc = jnp.maximum(-pts[:, 2], 1e-6)
                 csx = (proj[0, 0] * pts[:, 0] / cwc * 0.5 + 0.5) * W
                 csy = (proj[1, 1] * pts[:, 1] / cwc * 0.5 + 0.5) * H
@@ -394,6 +426,19 @@ def _raster_impl(
                     & (csx >= x0p - 32.0)
                     & (csx <= x1p + 32.0)
                 )
+                # huge capsules: screen length beyond the sampled 3×3
+                # coverage (~96 px) or radius beyond the ±1-tile reach
+                slen = jnp.hypot(
+                    csx[3 * m_cyl :] - csx[:m_cyl],
+                    csy[3 * m_cyl :] - csy[:m_cyl],
+                )
+                zmin = jnp.minimum(cwc[:m_cyl], cwc[3 * m_cyl :])
+                crad = (
+                    cyl12[:, 7] * proj[1, 1] / zmin * 0.5 * H
+                )
+                front_any = cvalid[:m_cyl] | cvalid[3 * m_cyl :]
+                hugec = front_any & ((slen > 80.0) | (crad > 14.0))
+                cvalid = cvalid & ~jnp.tile(hugec, SAMP)
                 ctab, ctv, ccnt = _build_home_table(
                     csx - x0p, csy, cvalid, txn, tiles_y, ccap,
                     stride_x=TX, depth=cwc,
@@ -407,6 +452,34 @@ def _raster_impl(
                     [cp0, cax, clen, cyl12[:, 7:8], crgbp[:, None],
                      cyl12[:, 11:12]],
                     axis=1,
+                )
+                # global huge-capsule list, nearest-first
+                dqc = (
+                    (jnp.minimum(zmin, 1e6) - d_lo) * dsc
+                ).astype(jnp.int32)
+                gc = min(GCCAP, m_cyl)
+                order_c = jnp.argsort(
+                    jnp.where(hugec, dqc, jnp.int32(1 << 30))
+                )[:gc].astype(jnp.int32)
+                gvc = hugec[order_c]
+                g10 = prim10[order_c]  # (gc, 10)
+                g10 = jnp.concatenate(
+                    [
+                        g10[:, :6],
+                        jnp.where(gvc, g10[:, 6], -1.0)[:, None],
+                        g10[:, 7:],
+                    ],
+                    axis=1,
+                )
+                if gc < GCCAP:
+                    inv_row = jnp.zeros((GCCAP - gc, 10), jnp.float32)
+                    inv_row = inv_row.at[:, 6].set(-1.0)
+                    g10 = jnp.concatenate([g10, inv_row], axis=0)
+                gcyl = jnp.broadcast_to(
+                    g10.T[:, :, None], (10, GCCAP, BTL)
+                )
+                gcnt_cyl = jnp.minimum(
+                    jnp.sum(hugec.astype(jnp.int32)), GCCAP
                 )
                 ahc = prim10[ctab % m_cyl]  # (T', ccap, 10)
                 ahc = jnp.concatenate(
@@ -429,9 +502,12 @@ def _raster_impl(
                     )
                     ccols.append(jnp.max(c[:, :txn], axis=1))
                 cocc9 = jnp.stack(ccols, -1).astype(jnp.int32)
+            gocc = jnp.stack(
+                [gcnt_sph[0].astype(jnp.int32), gcnt_cyl.astype(jnp.int32)]
+            ).reshape(1, 2)
             rgb_r, rgb_g, rgb_b, a_t, d_t, id_t = raster_rows_pl(
                 attr6, occ4, proj[0, 0], proj[1, 1], proj[0, 2], proj[1, 2],
-                battr, bocc5, cattr10, cocc9,
+                battr, bocc5, cattr10, cocc9, gsph, gcyl, gocc,
                 cap=cap, tiles_y=tiles_y, width=W, height=H,
                 ambient=s.ambient, specular=s.specular,
                 shininess=s.shininess, light=lt,
@@ -689,25 +765,24 @@ def render_molecules(
         cols = np.asarray(colors, np.float32)
         pick_src = np.arange(pos.shape[0], dtype=np.int32)
 
-    # coverage-cap check (documented in docs/ROADMAP.md): the big-sphere
-    # tier tests a ±2-tile-row window (~40 px reach) and capsules register
-    # at their endpoint tiles (3×3 reach) — primitives beyond that clip
-    # mid-footprint. Estimate the worst screen radius host-side and warn
-    # (rate-limited by vlog's dedup) instead of truncating silently.
+    # coverage check: oversized primitives (spheres with vertical radius
+    # ≥ 32 px; bonds screen-longer than ~80 px or thicker than ~14 px)
+    # route to the GLOBAL huge tier, which has no footprint cap but
+    # fixed capacity (32 spheres / 16 capsules, nearest-first). Warn
+    # (rate-limited by vlog's dedup) only if that capacity overflows —
+    # the old 40 px clipping cap is gone.
     zs = -np.asarray(pv)[:, 2]
     front = zs > 1e-2  # atoms behind the eye never rasterize
     if rad.size and front.any():
-        p00 = float(np.asarray(proj)[0, 0])
-        rpx_est = float(np.max(rad[front] / zs[front])) * p00 * (
-            s.width * 0.5
-        )
-        if rpx_est > 40.0:
+        p11 = float(np.asarray(proj)[1, 1])
+        rpx_v = rad[front] / zs[front] * p11 * (s.height * 0.5)
+        if int(np.sum(rpx_v >= 32.0)) > 32:
             from viamd_tpu.core.vlog import warning
 
             # static message so vlog's dedup window suppresses repeats
             warning(
-                "raster: screen radii exceed the 40px big-sphere reach — "
-                "zoomed-in spheres may clip (docs/ROADMAP.md coverage caps)"
+                "raster: >32 huge spheres on screen — the global tier "
+                "drops the farthest (docs/ROADMAP.md coverage notes)"
             )
 
     img, depth, pick_idx = _raster_impl(
