@@ -64,7 +64,7 @@ def main():
 
     timed("null", lambda xx: loop(lambda v: v[0, 0] * 0.0, xx)(), x)
 
-    for ka in (16, 8):
+    for ka in (16, 8, 4):
         def rdf(xx, ka=ka):
             return pair_dist_histogram_pl(
                 xx, idx_o, idx_o, box, 128, 10.0, dims1, cap1, cap1,
