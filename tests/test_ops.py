@@ -444,6 +444,98 @@ class TestSDF:
             )
             assert 0.0 < cl_s.sum() <= cl_c.sum() + 1e-3
 
+    def test_compact_capacity_clustered_targets(self):
+        """Targets concentrated around the structures (the within(r, ref)
+        pattern) far exceed bulk density — the data-aware capacity must
+        cover them exactly, where the uniform-only estimate drops mass."""
+        from viamd_tpu.ops import sdf as sdf_ops
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        rng = np.random.RandomState(11)
+        L = 60.0
+        S, K = 8, 5
+        extent, dims = 5.0, 16
+        # well-separated structure sites
+        sites = rng.uniform(8, L - 8, (S, 3)).astype(np.float32)
+        xs = (sites[:, None, :] + rng.randn(S, K, 3) * 0.8).astype(
+            np.float32
+        )
+        # 2,400 targets clustered within 4 Å of the sites + 200 bulk
+        per = 300
+        clus = (
+            np.repeat(sites, per, axis=0)
+            + rng.randn(S * per, 3).astype(np.float32) * 1.8
+        )
+        bulk = rng.uniform(0, L, (200, 3)).astype(np.float32)
+        x = np.concatenate([xs.reshape(-1, 3), clus, bulk]).astype(
+            np.float32
+        )
+        n = x.shape[0]
+        structs = [
+            np.arange(i * K, (i + 1) * K, dtype=np.int32) for i in range(S)
+        ]
+        idx, w, refc = sdf_ops.make_structure_inputs(
+            structs, np.ones(n, np.float32), x
+        )
+        tw = np.zeros(n, np.float32)
+        tw[S * K :] = 1.0
+        idx_t = np.nonzero(tw)[0].astype(np.int32)
+        box = np.array([L, L, L])
+        basis = jnp.eye(3) * L
+        inv = jnp.eye(3) / L
+        dense = np.asarray(
+            sdf_ops.sdf_accumulate(
+                jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                jnp.asarray(w), jnp.asarray(refc), extent, dims, basis, inv,
+            )
+        )
+        cap_u = sdf_ops.sdf_compact_capacity(
+            S, int(idx_t.size), box, extent, dims
+        )
+        support0 = sdf_ops.sdf_frame0_support_count(
+            x[idx_t], x, idx, w, refc, box, extent, dims
+        )
+        cap_c = sdf_ops.sdf_compact_capacity(
+            S, int(idx_t.size), box, extent, dims,
+            support_count=support0,
+        )
+        assert cap_c > cap_u  # the uniform floor alone undercounts here
+        dims_c, cap_rc = choose_grid_r(
+            box, 1.7320508 * extent, idx_t.size, radius=1
+        )
+        # the Poisson cell cap ALSO assumes uniform density — floor it by
+        # the measured max cell occupancy (mirrors the compiler's sizing)
+        xt = x[idx_t]
+        c3 = np.minimum(
+            np.floor(np.mod(xt / box, 1.0) * np.array(dims_c)).astype(int),
+            np.array(dims_c) - 1,
+        )
+        flat = (c3[:, 0] * dims_c[1] + c3[:, 1]) * dims_c[2] + c3[:, 2]
+        occ0 = int(np.bincount(flat).max())
+        assert occ0 > cap_rc  # uniform Poisson cap would drop the cluster
+        cap_data = int(1.5 * occ0) + 8
+        stencil = sdf_ops.make_sdf_stencil(extent, box / np.array(dims_c))
+        assert int(stencil.max() - stencil.min()) + 1 <= min(dims_c)
+
+        def run(cap, cl_cap):
+            return np.asarray(
+                sdf_ops.sdf_accumulate_cl(
+                    jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                    jnp.asarray(w), jnp.asarray(refc), extent, dims,
+                    jnp.asarray(box, jnp.float32), dims_c, cl_cap,
+                    stencil, idx_t=jnp.asarray(idx_t), compact_cap=cap,
+                )
+            )
+
+        exact = run(cap_c, cap_data)
+        np.testing.assert_allclose(exact, dense, atol=1e-3, rtol=1e-3)
+        # regression guards: either uniform-only estimate drops mass
+        if cap_u < cap_c:
+            lossy = run(cap_u, cap_data)
+            assert lossy.sum() < dense.sum() - 1.0
+        lossy_cl = run(cap_c, cap_rc)
+        assert lossy_cl.sum() < dense.sum() - 1.0
+
 
 class TestKabschRMSD:
     def test_recover_rotation(self):

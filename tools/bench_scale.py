@@ -29,7 +29,9 @@ def main() -> None:
     from viamd_tpu.datagen import water_box_device
     from viamd_tpu.ops.neighbors import choose_grid_r
     from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
-    from viamd_tpu.ops.rdf import snap_capacity, stencil_offsets
+    from viamd_tpu.ops.rdf import (
+        choose_slab_rows, snap_capacity, stencil_offsets,
+    )
 
     counts = (33_334, 333_334, 1_111_112, 3_333_334)
     if "--big" in sys.argv:
@@ -49,11 +51,7 @@ def main() -> None:
         )
         widths = tuple(float(w) for w in box_np / np.array(dims))
         S_off = len(stencil_offsets(1, True))
-        plane_bytes = int(np.prod(dims)) * S_off * cap * 16
-        budget = 2 << 30
-        slab_rows = None
-        if plane_bytes > budget:
-            slab_rows = max(3, int(dims[0] * budget / plane_bytes))
+        slab_rows = choose_slab_rows(dims, S_off, cap, radius=1)
 
         @jax.jit
         def loop(x0):

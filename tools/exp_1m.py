@@ -42,8 +42,8 @@ def loop(body, x):
 def main():
     from viamd_tpu.datagen import water_box_device
     from viamd_tpu.ops.neighbors import build_cell_list, choose_grid_r
-    from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl, _slab_planes
-    from viamd_tpu.ops.rdf import snap_capacity, stencil_offsets
+    from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
+    from viamd_tpu.ops.rdf import neighborhood_planes, snap_capacity, stencil_offsets
 
     sys_, traj = water_box_device(N_WATERS, n_frames=1, seed=3)
     traj.stage_fence()
@@ -85,7 +85,7 @@ def main():
         )[cl.table[:, :cap]]
         acc = jnp.float32(0.0)
         for ch in range(3):
-            pl_ = _slab_planes(t4[..., ch], dims, offs, 0, dims[0])
+            pl_ = neighborhood_planes(t4[..., ch], dims, 1, offs)
             acc = acc + jnp.sum(pl_)
         return acc
 

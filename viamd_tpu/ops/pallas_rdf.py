@@ -252,7 +252,7 @@ def pair_dist_histogram_pl(
     the slab-streaming comment below); None = one full-grid slab.
     """
     from viamd_tpu.ops.neighbors import build_cell_list
-    from viamd_tpu.ops.rdf import stencil_offsets
+    from viamd_tpu.ops.rdf import neighborhood_planes, stencil_offsets
 
     assert nbins % LANES == 0, "nbins must be a multiple of 128"
     if ka is None:
@@ -413,7 +413,9 @@ def pair_dist_histogram_pl(
                 )
 
             def planes(arr, fill=0, offs_k=offs_k, prep_b=prep_b, perm=perm):
-                pl_ = _slab_planes(arr, dims, offs_k, x0, w)
+                pl_ = neighborhood_planes(
+                    arr, dims, radius, offs_k, x0=x0, w=w
+                )
                 if perm is not None:
                     pl_ = pl_[perm]
                 return prep_b(pl_, fill=fill)
@@ -472,27 +474,3 @@ def pair_dist_histogram_pl(
                     jnp.sum(partial_hists, axis=(0, 2))
                 )
     return total * 2.0 if symmetric else total
-
-
-def _slab_planes(
-    arr,  # (ncells, K) per-cell data
-    dims,
-    offsets,
-    x0,
-    w,
-):
-    """Stencil neighborhoods for cell rows x0..x0+w → (w·dy·dz, S·K).
-
-    Wrapped ROLLS of the full 3D grid sliced to the slab's leading-axis
-    window; XLA fuses slice-of-roll (a roll lowers to a concat of two
-    slices), so only the slab window materializes. With (x0, w) =
-    (0, dx) this is exactly ops.rdf.neighborhood_planes.
-    """
-    dx, dy, dz = dims
-    K = arr.shape[1]
-    a4 = arr.reshape(dx, dy, dz, K)
-    parts = []
-    for ox, oy, oz in offsets:
-        r = jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))
-        parts.append(r[x0 : x0 + w].reshape(w * dy * dz, K))
-    return jnp.concatenate(parts, axis=1)

@@ -106,17 +106,24 @@ def snap_capacity(
 
 
 def neighborhood_planes(
-    arr: jnp.ndarray, dims: tuple, radius: int = 2, offsets: list = None
+    arr: jnp.ndarray, dims: tuple, radius: int = 2, offsets: list = None,
+    x0: int = 0, w: "int | None" = None,
 ) -> jnp.ndarray:
-    """(ncells, K) per-cell data → (ncells, S·K) stencil neighborhoods.
+    """(ncells, K) per-cell data → (w·dy·dz, S·K) stencil neighborhoods.
 
     Built with S=(2r+1)³ wrapped ROLLS of the 3D cell grid instead of a
     random gather: rolls are contiguous copies at HBM bandwidth, while the
     equivalent fancy-index gather runs at a few elements/cycle — the
     difference dominates frame time at ≥1M atoms. `offsets` overrides the
-    full cube (see stencil_offsets).
+    full cube (see stencil_offsets). `(x0, w)` restricts the output to a
+    leading-axis slab window of cell rows x0..x0+w (default: the full
+    grid) — XLA fuses slice-of-roll (a roll lowers to a concat of two
+    slices), so only the window materializes; this is the memory bound
+    behind the 100M-atom slab streaming in ops/pallas_rdf.
     """
     dx, dy, dz = dims
+    if w is None:
+        w = dx
     K = arr.shape[1]
     a4 = arr.reshape(dx, dy, dz, K)
     if offsets is None:
@@ -124,11 +131,32 @@ def neighborhood_planes(
     parts = []
     for ox, oy, oz in offsets:
         parts.append(
-            jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2)).reshape(
-                dx * dy * dz, K
-            )
+            jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))[x0 : x0 + w]
+            .reshape(w * dy * dz, K)
         )
     return jnp.concatenate(parts, axis=1)
+
+
+def choose_slab_rows(
+    dims: tuple,
+    n_offsets: int,
+    cap_b: int,
+    radius: int,
+    budget: int = 2 << 30,
+) -> "int | None":
+    """Slab width for pair_dist_histogram_pl's slab streaming, or None.
+
+    The B neighborhood planes cost ncells · n_offsets · cap_b · 16 B
+    (x, y, z, id as f32); when that exceeds `budget` the cell grid
+    streams in leading-axis slabs sized to fit. Shared by the compiler's
+    rdf path and tools/bench_scale so they measure the same config.
+    """
+    import math
+
+    plane_bytes = math.prod(int(d) for d in dims) * n_offsets * cap_b * 16
+    if plane_bytes <= budget:
+        return None
+    return max(2 * radius + 1, int(dims[0] * budget / plane_bytes))
 
 
 def pair_dist_histogram_cl(

@@ -206,21 +206,92 @@ def sdf_compact_capacity(
     extent: float,
     dims: int,
     tail: float = 5.0,
+    support_count: "int | None" = None,
 ) -> int:
-    """Host-side Poisson sizing of the pre-splat compaction capacity.
+    """Host-side sizing of the pre-splat compaction capacity.
 
-    Expected in-support count = S · target density · support-cube volume;
-    one GLOBAL cap (unlike the per-cell caps) so relative fluctuation is
-    tiny — a 5σ tail puts the whole-frame overflow probability ~3e-7
-    while still cutting the headline slot count ~25×. Snapped up to 512.
+    Uniform floor: expected in-support count = S · bulk target density ·
+    support-cube volume; one GLOBAL cap (unlike the per-cell caps) so
+    relative fluctuation is tiny — a 5σ tail puts the whole-frame
+    overflow probability ~3e-7 while still cutting the headline slot
+    count ~25×.
+
+    The bulk-density assumption UNDERESTIMATES clustered targets (e.g.
+    `sdf(ref, within(6, ref), 6)` concentrates every target near the
+    structures), so when `support_count` — the frame-0 MEASURED
+    in-support point count from sdf_frame0_support_count — is given,
+    the capacity is also floored by 1.5× it + tail·√count margin for
+    frame-to-frame variation. Snapped up to 512; the kernel disables
+    compaction entirely when the cap reaches the slot count, so a
+    pathological estimate degrades to the exact uncompacted path.
     """
     import math
 
-    vol = float(np.prod(np.asarray(box, np.float64)))
+    b = np.asarray(box, np.float64)
+    vol = float(np.prod(b))
     side = 2.0 * extent + 2.0 * extent / dims  # cube + tent support
     lam = n_structures * n_targets / max(vol, 1e-30) * side**3
     cap = int(math.ceil(lam + tail * math.sqrt(max(lam, 1.0))))
+    if support_count is not None:
+        cnt = int(support_count)
+        data_cap = int(
+            math.ceil(1.5 * cnt + tail * math.sqrt(max(cnt, 1.0)))
+        )
+        cap = max(cap, data_cap)
     return -(-cap // 512) * 512
+
+
+def sdf_frame0_support_count(
+    target_xyz: "np.ndarray",  # (n_t, 3) frame-0 target coords
+    x0: "np.ndarray",  # (n, 3) frame-0 coords
+    struct_idx: "np.ndarray",  # (S, K)
+    struct_w: "np.ndarray",  # (S, K)
+    ref_centered: "np.ndarray",  # (S, K, 3)
+    box: "np.ndarray",
+    extent: float,
+    dims: int,
+) -> int:
+    """Exact frame-0 count of (structure, target) pairs inside the
+    ±(extent + ½·voxel) support cube — host-side NumPy Kabsch, used to
+    size the compaction capacity for clustered target selections.
+
+    The rotation-convention ambiguity is resolved defensively: both
+    R and Rᵀ orientations are counted and the larger taken (a capacity
+    bound only needs to be ≥ the true count).
+    """
+    b = np.asarray(box, np.float64)
+    t = np.asarray(target_xyz, np.float64)
+    if not len(t):
+        return 0
+    sup = extent + extent / dims
+    total = 0
+    for s in range(struct_idx.shape[0]):
+        ix = np.asarray(struct_idx[s])
+        ws = np.asarray(struct_w[s], np.float64)
+        P = np.asarray(x0, np.float64)[ix]
+        # deperiodize about the first atom, then weighted center
+        d0 = P - P[0]
+        P = P[0] + (d0 - b * np.round(d0 / b))
+        c = (P * ws[:, None]).sum(0) / max(ws.sum(), 1e-30)
+        Pc = (P - c) * (ws[:, None] > 0)
+        ref = np.asarray(ref_centered[s], np.float64)
+        H = (Pc * ws[:, None]).T @ ref
+        U, _, Vt = np.linalg.svd(H)
+        Rm = (U @ Vt).T
+        if np.linalg.det(Rm) < 0:
+            U[:, -1] *= -1
+            Rm = (U @ Vt).T
+        d = t - c
+        d -= b * np.round(d / b)
+        for R_ in (Rm, Rm.T):
+            cnt = int(
+                np.sum(np.max(np.abs(d @ R_.T), axis=1) < sup)
+            )
+            if R_ is Rm:
+                cnt_a = cnt
+            else:
+                total += max(cnt_a, cnt)
+    return total
 
 
 def make_sdf_stencil(extent: float, cell_w: np.ndarray) -> "np.ndarray":

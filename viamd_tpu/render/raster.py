@@ -258,8 +258,8 @@ def _raster_impl(
             TX = BTL
             Tp = TX * tiles_y
             BCAP = 16
-            GCAP = 32  # global huge-sphere list capacity
-            GCCAP = 16  # global huge-capsule list capacity
+            GCAP = 64  # global huge-sphere list capacity
+            GCCAP = 32  # global huge-capsule list capacity
             x0p = float(tx0 * TILE)
             x1p = float((tx0 + txn) * TILE)
             sxl = sx - x0p
@@ -268,14 +268,16 @@ def _raster_impl(
             # key by their footprint TOP-LEFT tile (kernel gathers only
             # the 2x2 OFFS4 reach); big spheres (8–32 px) key into a
             # per-ROW key space appended after the tile ids (the kernel
-            # tests them row-wide over a ±2-row window); HUGE spheres
-            # (vertical radius ≥ 32 px, beyond the row window's reach)
-            # key into one global bin tested by every program — no
-            # footprint cap. Slots order nearest-first via an 8-bit depth
+            # tests them row-wide over a ±2-row window, which covers
+            # vertical radii to ~40 px); HUGE spheres (vertical radius
+            # ≥ 40 px — exactly where the row window started clipping,
+            # so routing them globally is strictly additive) key into
+            # one global bin tested by every program — no footprint
+            # cap. Slots order nearest-first via an 8-bit depth
             # bucket, so capacity overflow drops the most-occluded
             # primitives.
             small = jnp.maximum(rpx, rpx_x) < 8.0
-            huge = rpx >= 32.0
+            huge = rpx >= 40.0
             tlx = jnp.clip(
                 ((sxl - rpx_x) // TILE).astype(jnp.int32), 0, txn - 1
             )
@@ -427,7 +429,11 @@ def _raster_impl(
                     & (csx <= x1p + 32.0)
                 )
                 # huge capsules: screen length beyond the sampled 3×3
-                # coverage (~96 px) or radius beyond the ±1-tile reach
+                # coverage (~96 px) or radius beyond the ±1-tile reach.
+                # They STAY in the home bins too (duplicate tests are
+                # harmless under the nearest-hit depth test), so global-
+                # list overflow degrades to the old partial coverage
+                # instead of dropping the bond entirely.
                 slen = jnp.hypot(
                     csx[3 * m_cyl :] - csx[:m_cyl],
                     csy[3 * m_cyl :] - csy[:m_cyl],
@@ -436,9 +442,12 @@ def _raster_impl(
                 crad = (
                     cyl12[:, 7] * proj[1, 1] / zmin * 0.5 * H
                 )
-                front_any = cvalid[:m_cyl] | cvalid[3 * m_cyl :]
+                # any SAMPLE in front/in reach qualifies — a bond whose
+                # endpoints are both off-strip can still cross it
+                front_any = (
+                    cvalid.reshape(SAMP, m_cyl).any(axis=0)
+                )
                 hugec = front_any & ((slen > 80.0) | (crad > 14.0))
-                cvalid = cvalid & ~jnp.tile(hugec, SAMP)
                 ctab, ctv, ccnt = _build_home_table(
                     csx - x0p, csy, cvalid, txn, tiles_y, ccap,
                     stride_x=TX, depth=cwc,
@@ -454,8 +463,8 @@ def _raster_impl(
                     axis=1,
                 )
                 # global huge-capsule list, nearest-first
-                dqc = (
-                    (jnp.minimum(zmin, 1e6) - d_lo) * dsc
+                dqc = jnp.clip(
+                    (zmin - d_lo) * dsc, -1e9, 1e9
                 ).astype(jnp.int32)
                 gc = min(GCCAP, m_cyl)
                 order_c = jnp.argsort(
@@ -766,24 +775,48 @@ def render_molecules(
         pick_src = np.arange(pos.shape[0], dtype=np.int32)
 
     # coverage check: oversized primitives (spheres with vertical radius
-    # ≥ 32 px; bonds screen-longer than ~80 px or thicker than ~14 px)
-    # route to the GLOBAL huge tier, which has no footprint cap but
-    # fixed capacity (32 spheres / 16 capsules, nearest-first). Warn
-    # (rate-limited by vlog's dedup) only if that capacity overflows —
-    # the old 40 px clipping cap is gone.
+    # ≥ 40 px; bond halves screen-longer than ~80 px or thicker than
+    # ~14 px) route to the GLOBAL huge tier, which has no footprint cap
+    # but fixed capacity (64 spheres / 32 capsules, nearest-first; huge
+    # capsules also stay home-binned, so their overflow degrades to the
+    # old partial coverage). Warn (rate-limited by vlog's dedup) only on
+    # overflow — the old 40 px clipping cap is gone.
     zs = -np.asarray(pv)[:, 2]
     front = zs > 1e-2  # atoms behind the eye never rasterize
     if rad.size and front.any():
         p11 = float(np.asarray(proj)[1, 1])
         rpx_v = rad[front] / zs[front] * p11 * (s.height * 0.5)
-        if int(np.sum(rpx_v >= 32.0)) > 32:
+        if int(np.sum(rpx_v >= 40.0)) > 64:
             from viamd_tpu.core.vlog import warning
 
             # static message so vlog's dedup window suppresses repeats
             warning(
-                "raster: >32 huge spheres on screen — the global tier "
+                "raster: >64 huge spheres on screen — the global tier "
                 "drops the farthest (docs/ROADMAP.md coverage notes)"
             )
+    if len(cyl12):
+        c = np.asarray(cyl12)
+        z0 = -c[:, 2]
+        z1 = -(c[:, 2] + c[:, 5] * c[:, 6])
+        frontc = (z0 > 1e-2) | (z1 > 1e-2)
+        if frontc.any():
+            p11 = float(np.asarray(proj)[1, 1])
+            zm = np.maximum(np.minimum(z0, z1), 1e-2)
+            # conservative screen-length/radius estimates (host-side)
+            slen_est = c[:, 6] / zm * p11 * (s.height * 0.5)
+            crad_est = c[:, 7] / zm * p11 * (s.height * 0.5)
+            n_huge = int(
+                np.sum(frontc & ((slen_est > 80.0) | (crad_est > 14.0)))
+            )
+            if n_huge > 32:
+                from viamd_tpu.core.vlog import warning
+
+                warning(
+                    "raster: >32 huge bond capsules on screen — the "
+                    "global tier keeps the nearest; the rest fall back "
+                    "to sampled home-bin coverage (possible mid-span "
+                    "gaps beyond ~96 px)"
+                )
 
     img, depth, pick_idx = _raster_impl(
         jnp.asarray(pv), jnp.asarray(rad), jnp.asarray(cols),

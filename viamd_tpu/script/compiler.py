@@ -1179,14 +1179,9 @@ def _rdf(c: _Compiler, node, args):
             # a 2 GiB live budget (the 100M-atom scale the reference
             # reasons about, main.cpp:1134-1138): bounds plane memory to
             # slab windows at identical results
-            ncells = int(np.prod(dims))
-            plane_bytes = ncells * S_off * cap_b * 16
-            budget = 2 << 30
-            slab_rows = None
-            if plane_bytes > budget:
-                slab_rows = max(
-                    2 * radius + 1, int(dims[0] * budget / plane_bytes)
-                )
+            from viamd_tpu.ops.rdf import choose_slab_rows
+
+            slab_rows = choose_slab_rows(dims, S_off, cap_b, radius)
             hist = pair_dist_histogram_pl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
@@ -1248,16 +1243,40 @@ def _sdf(c: _Compiler, node, args):
         cl_dims, cl_cap = choose_grid_r(
             box_np, 1.7320508 * extent, idx_t.size, radius=1, tail=3.5
         )
+        # the Poisson cap assumes uniform target density; clustered
+        # selections (within(r, ref) etc.) concentrate targets into few
+        # cells — floor the capacity by the frame-0 MEASURED max cell
+        # occupancy ×1.5 (+slack for drift) so the cell list never
+        # silently drops the cluster
+        if idx_t.size:
+            xt0 = np.asarray(c.x0)[np.asarray(idx_t)]
+            cell3 = np.floor(
+                np.mod(xt0 / box_np, 1.0) * np.array(cl_dims)
+            ).astype(np.int64)
+            cell3 = np.minimum(cell3, np.array(cl_dims) - 1)
+            flat = (
+                cell3[:, 0] * cl_dims[1] + cell3[:, 1]
+            ) * cl_dims[2] + cell3[:, 2]
+            occ0 = int(np.bincount(flat).max()) if flat.size else 0
+            cl_cap = max(cl_cap, int(1.5 * occ0) + 8)
         stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
         span = int(stencil.max() - stencil.min()) + 1
         use_cl = span <= min(cl_dims)
     if use_cl:
         # pre-splat compaction: the stencil ball over-covers the ±extent
         # cube ~25× at headline scale; pack in-support points into a
-        # Poisson-sized static buffer so splat HBM traffic tracks REAL
-        # points, not candidate slots
+        # static buffer so splat HBM traffic tracks REAL points, not
+        # candidate slots. Sized from BOTH the uniform Poisson floor and
+        # the frame-0 exact in-support count (clustered target
+        # selections like within(r, ref) far exceed bulk density)
+        support0 = sdf_ops.sdf_frame0_support_count(
+            np.asarray(c.x0)[np.asarray(idx_t)], np.asarray(c.x0),
+            np.asarray(idx), np.asarray(w), np.asarray(refc),
+            box_np, extent, SDF_DIMS,
+        )
         compact_cap = sdf_ops.sdf_compact_capacity(
-            len(structs), int(idx_t.size), box_np, extent, SDF_DIMS
+            len(structs), int(idx_t.size), box_np, extent, SDF_DIMS,
+            support_count=support0,
         )
         grid = sdf_ops.sdf_accumulate_cl(
             c._trace_x, jnp.asarray(tw),
