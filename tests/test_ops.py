@@ -444,6 +444,71 @@ class TestSDF:
             )
             assert 0.0 < cl_s.sum() <= cl_c.sum() + 1e-3
 
+    def test_celllist_triclinic_matches_dense(self):
+        """Fractional-space SDF cell list on a 60° triclinic cell: must
+        match the dense (all-pairs) path exactly — skewed cells
+        previously fell back to the dense path only."""
+        from viamd_tpu.core.unitcell import UnitCell
+        from viamd_tpu.ops import sdf as sdf_ops
+        from viamd_tpu.ops.neighbors import choose_grid_triclinic
+
+        cell = UnitCell.from_lengths_angles(26, 26, 26, 90, 90, 60)
+        B = np.asarray(cell.basis, np.float32)
+        rng = np.random.RandomState(7)
+        n = 700
+        x = (rng.uniform(0, 1, (n, 3)) @ B).astype(np.float32)
+        structs = [np.arange(i * 5, i * 5 + 5, dtype=np.int32) for i in range(4)]
+        idx, w, refc = sdf_ops.make_structure_inputs(
+            structs, np.ones(n, np.float32), x
+        )
+        tw = (rng.rand(n) < 0.5).astype(np.float32)
+        idx_t = np.nonzero(tw)[0].astype(np.int32)
+        extent, dims = 4.0, 16
+        dense = np.asarray(
+            sdf_ops.sdf_accumulate(
+                jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                jnp.asarray(w), jnp.asarray(refc), extent, dims,
+                jnp.asarray(B),
+                jnp.asarray(np.linalg.inv(B), np.float32),
+            )
+        )
+        cl_dims, cl_cap = choose_grid_triclinic(
+            B, 1.7320508 * extent, idx_t.size, radius=1
+        )
+        stencil = sdf_ops.make_sdf_stencil_triclinic(extent, B, cl_dims)
+        if int(stencil.max() - stencil.min()) + 1 > min(cl_dims):
+            pytest.skip("box too small for the triclinic stencil")
+        got = np.asarray(
+            sdf_ops.sdf_accumulate_cl(
+                jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                jnp.asarray(w), jnp.asarray(refc), extent, dims,
+                jnp.asarray(np.diag(B).copy()), cl_dims, cl_cap, stencil,
+                idx_t=jnp.asarray(idx_t), basis=jnp.asarray(B),
+            )
+        )
+        np.testing.assert_allclose(got, dense, atol=1e-3, rtol=1e-3)
+        # with compaction too
+        support0 = sdf_ops.sdf_frame0_support_count(
+            x[idx_t], x, idx, w, refc,
+            np.full(3, abs(np.linalg.det(B)) ** (1 / 3)), extent, dims,
+            basis=B,
+        )
+        cap = sdf_ops.sdf_compact_capacity(
+            len(structs), int(idx_t.size),
+            np.full(3, abs(np.linalg.det(B)) ** (1 / 3)), extent, dims,
+            support_count=support0,
+        )
+        got_c = np.asarray(
+            sdf_ops.sdf_accumulate_cl(
+                jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                jnp.asarray(w), jnp.asarray(refc), extent, dims,
+                jnp.asarray(np.diag(B).copy()), cl_dims, cl_cap, stencil,
+                idx_t=jnp.asarray(idx_t), basis=jnp.asarray(B),
+                compact_cap=cap,
+            )
+        )
+        np.testing.assert_allclose(got_c, dense, atol=1e-3, rtol=1e-3)
+
     def test_compact_capacity_clustered_targets(self):
         """Targets concentrated around the structures (the within(r, ref)
         pattern) far exceed bulk density — the data-aware capacity must
@@ -712,6 +777,62 @@ class TestPallasRDF:
                 )
             )
             np.testing.assert_allclose(hslab, dense, atol=1e-2)
+
+    def test_triclinic_matches_dense(self):
+        """Fractional-space cell binning + in-kernel fractional
+        min-image: triclinic boxes (the rhombic-dodecahedron /
+        truncated-octahedron production cells) must match the dense
+        path exactly — previously they fell back to O(n²)."""
+        from viamd_tpu.core.unitcell import UnitCell
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid_triclinic
+
+        c = UnitCell.from_lengths_angles(30, 30, 30, 90, 90, 60)
+        B = np.asarray(c.basis, np.float32)
+        inv = np.asarray(np.linalg.inv(B), np.float32)
+        rng = np.random.RandomState(5)
+        n = 500
+        x = (rng.uniform(0, 1, (n, 3)) @ B).astype(np.float32)
+        rmax = 5.0
+        wa = np.ones(n, np.float32)
+        wb = (rng.rand(n) < 0.6).astype(np.float32)
+        idx_a = jnp.asarray(np.arange(n, dtype=np.int32))
+        idx_b = jnp.asarray(np.nonzero(wb)[0].astype(np.int32))
+        dense_s = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wa),
+                jnp.asarray(B), jnp.asarray(inv), 128, rmax, tile=64,
+            )
+        )
+        dense_ab = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                jnp.asarray(B), jnp.asarray(inv), 128, rmax, tile=64,
+            )
+        )
+        boxd = jnp.asarray(np.diag(B).copy())
+        for radius in (1, 2):
+            dims, cap = choose_grid_triclinic(B, rmax, n, radius=radius)
+            if min(dims) < 2 * radius + 1:
+                continue
+            hs = np.asarray(
+                pallas_rdf.pair_dist_histogram_pl(
+                    jnp.asarray(x), idx_a, idx_a, boxd, 128, rmax,
+                    dims, cap, cap, radius=radius, symmetric=True,
+                    interpret=True, basis=jnp.asarray(B),
+                )
+            )
+            np.testing.assert_allclose(hs, dense_s, atol=1e-2)
+        dims, cap = choose_grid_triclinic(B, rmax, n, radius=1)
+        _, cap_b = choose_grid_triclinic(B, rmax, int(idx_b.size), radius=1)
+        hab = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx_a, idx_b, boxd, 128, rmax,
+                dims, cap, cap_b, radius=1, symmetric=False,
+                interpret=True, basis=jnp.asarray(B),
+            )
+        )
+        np.testing.assert_allclose(hab, dense_ab, atol=1e-2)
 
     def test_fuzz_matches_dense(self):
         """Randomized configs: box shapes, selection sparsity, radii,

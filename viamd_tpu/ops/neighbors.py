@@ -77,15 +77,51 @@ def choose_grid_r(
     return tuple(int(d) for d in dims), capacity
 
 
+def choose_grid_triclinic(
+    basis: np.ndarray, cutoff: float, n_atoms: int, radius: int = 1,
+    tail: float = 4.5,
+) -> tuple:
+    """Host-side sizing for a TRICLINIC cell grid: (dims, capacity).
+
+    Cells are uniform in FRACTIONAL space; the stencil-coverage
+    condition uses the lattice-plane spacings: two points within
+    `cutoff` differ in fractional axis i by at most cutoff·|inv[:, i]|,
+    so radius-r coverage needs dims_i ≤ r·spacing_i/cutoff with
+    spacing_i = 1/|inv[:, i]| (the perpendicular width of the cell
+    along axis i). Same Poisson-tail capacity as choose_grid_r.
+    """
+    b = np.asarray(basis, np.float64)
+    inv = np.linalg.inv(b)
+    spacing = 1.0 / np.linalg.norm(inv, axis=0)  # (3,)
+    dims = np.maximum(
+        np.floor(radius * spacing / max(cutoff, 1e-6)).astype(int), 1
+    )
+    dims = np.minimum(dims, 128)
+    ncells = int(dims.prod())
+    lam = n_atoms / ncells
+    capacity = int(np.ceil(lam + tail * np.sqrt(lam) + 2.0))
+    return tuple(int(d) for d in dims), capacity
+
+
 @partial(jax.jit, static_argnames=("dims", "capacity"))
 def build_cell_list(
-    x: jnp.ndarray, box: jnp.ndarray, dims: tuple, capacity: int
+    x: jnp.ndarray, box: jnp.ndarray, dims: tuple, capacity: int,
+    inv_basis: "jnp.ndarray | None" = None,
 ) -> CellList:
-    """Bin atoms of one frame into an orthorhombic cell grid."""
+    """Bin atoms of one frame into a cell grid.
+
+    Orthorhombic: `box` is the (3,) extents. Triclinic: pass
+    `inv_basis` (3,3) — atoms bin on a uniform grid in FRACTIONAL
+    space (`box` is then ignored)."""
     n = x.shape[0]
     dx, dy, dz = dims
     dims_arr = jnp.array(dims, jnp.int32)
-    frac = x / box  # box: (3,) extents
+    if inv_basis is not None:
+        from viamd_tpu.ops.pbc import cellmul
+
+        frac = cellmul(x, inv_basis)
+    else:
+        frac = x / box  # box: (3,) extents
     frac = frac - jnp.floor(frac)  # wrap into [0,1)
     c3 = jnp.clip((frac * dims_arr).astype(jnp.int32), 0, dims_arr - 1)
     cid = (c3[:, 0] * dy + c3[:, 1]) * dz + c3[:, 2]

@@ -32,6 +32,28 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of a (3,3) basis — jnp.linalg.inv /
+    tiny matmuls are pathological on this backend (CLAUDE.md)."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + d * B + g * C
+    rows = jnp.stack(
+        [jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, I])]
+    )
+    return rows / det
+
+
 def _hist_kernel(
     box_ref,  # SMEM (1, 3)
     occ_ref,  # SMEM (nblocks,) int32 max A-cell occupancy per cell block
@@ -49,6 +71,7 @@ def _hist_kernel(
     M: int,
     g_lo: int = 0,
     a_lo: int = 0,
+    triclinic: bool = False,
 ):
     """Pair tile orientation: A atoms in SUBLANES ((128,1) columns prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
@@ -75,12 +98,22 @@ def _hist_kernel(
     @pl.when(occ > a_lo)
     def _run():
         inv_bin = nbins / r_max
-        Lx = box_ref[0, 0]
-        Ly = box_ref[0, 1]
-        Lz = box_ref[0, 2]
+        if triclinic:
+            # box_ref is the (1, 9) row-major basis; displacements arrive
+            # in FRACTIONAL space, min-image is a plain round (the same
+            # single-round semantics as ops.pbc.min_image), and the
+            # cartesian conversion is the expanded row-vector product
+            B = [box_ref[0, k] for k in range(9)]
+        else:
+            Lx = box_ref[0, 0]
+            Ly = box_ref[0, 1]
+            Lz = box_ref[0, 2]
 
         def mimg(d, L):
             return d - L * jnp.round(d * (1.0 / L))
+
+        def mimg1(d):
+            return d - jnp.round(d)
 
         if symmetric:
             lane1 = jax.lax.broadcasted_iota(
@@ -102,9 +135,17 @@ def _hist_kernel(
             asl = slice(m * 128, (m + 1) * 128)
             aid = aid_ref[0, asl]  # (128, 1) int32
             bid = expand(bid_ref)  # (128, Cc) int32
-            dx = mimg(expand(bx_ref) - ax_ref[0, asl], Lx)
-            dy = mimg(expand(by_ref) - ay_ref[0, asl], Ly)
-            dz = mimg(expand(bz_ref) - az_ref[0, asl], Lz)
+            if triclinic:
+                f0 = mimg1(expand(bx_ref) - ax_ref[0, asl])
+                f1 = mimg1(expand(by_ref) - ay_ref[0, asl])
+                f2 = mimg1(expand(bz_ref) - az_ref[0, asl])
+                dx = f0 * B[0] + f1 * B[3] + f2 * B[6]
+                dy = f0 * B[1] + f1 * B[4] + f2 * B[7]
+                dz = f0 * B[2] + f1 * B[5] + f2 * B[8]
+            else:
+                dx = mimg(expand(bx_ref) - ax_ref[0, asl], Lx)
+                dy = mimg(expand(by_ref) - ay_ref[0, asl], Ly)
+                dz = mimg(expand(bz_ref) - az_ref[0, asl], Lz)
             dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
             if symmetric:
                 # half-stencil mode: the self-cell offset occupies the FIRST
@@ -233,6 +274,7 @@ def pair_dist_histogram_pl(
     interpret: bool = False,
     occ_sort: bool = True,
     slab_rows: int | None = None,
+    basis: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
@@ -250,6 +292,12 @@ def pair_dist_histogram_pl(
     the cell grid in slabs of this many leading-axis rows — bounds the
     materialized B-plane memory to slab size (the 100M-atom path; see
     the slab-streaming comment below); None = one full-grid slab.
+    `basis`: a (3,3) row-vector cell basis enables TRICLINIC mode —
+    atoms bin on a uniform grid in fractional space (size with
+    ops.neighbors.choose_grid_triclinic), the tables carry fractional
+    coords, and the kernel applies the same single-round fractional
+    min-image as ops.pbc.min_image before converting displacements to
+    cartesian (`box` is ignored; pass widths=None).
     """
     from viamd_tpu.ops.neighbors import build_cell_list
     from viamd_tpu.ops.rdf import neighborhood_planes, stencil_offsets
@@ -265,7 +313,16 @@ def pair_dist_histogram_pl(
     cap_a_pad = n_pass * ka
     G = LANES // ka
 
-    xa = x[idx_a]
+    tri = basis is not None
+    if tri:
+        from viamd_tpu.ops.pbc import cellmul
+
+        xw = cellmul(x, _inv3x3(basis))  # fractional coords
+        box_bins = jnp.ones(3, jnp.float32)
+    else:
+        xw = x
+        box_bins = box
+    xa = xw[idx_a]
     dx_, dy_, dz_ = dims
     ncells = dx_ * dy_ * dz_
 
@@ -289,15 +346,15 @@ def pair_dist_histogram_pl(
     if symmetric:
         # same selection on both sides: ONE sort + table + gather serve both
         capm = max(cap_a_pad, cap_b)
-        cl_a = build_cell_list(xa, box, dims, capm)
+        cl_a = build_cell_list(xa, box_bins, dims, capm)
         xyz_m, gid_m = tables(xa, idx_a, cl_a, capm, -1)
         a_xyz, a_gid = xyz_m[:, :cap_a_pad], gid_m[:, :cap_a_pad]
         b_xyz = xyz_m[:, :cap_b]
         b_gid = jnp.where(gid_m[:, :cap_b] < 0, -2, gid_m[:, :cap_b])
     else:
-        xb = x[idx_b]
-        cl_a = build_cell_list(xa, box, dims, cap_a_pad)
-        cl_b = build_cell_list(xb, box, dims, cap_b)
+        xb = xw[idx_b]
+        cl_a = build_cell_list(xa, box_bins, dims, cap_a_pad)
+        cl_b = build_cell_list(xb, box_bins, dims, cap_b)
         a_xyz, a_gid = tables(xa, idx_a, cl_a, cap_a_pad, -1)
         b_xyz, b_gid = tables(xb, idx_b, cl_b, cap_b, -2)
 
@@ -445,7 +502,7 @@ def pair_dist_histogram_pl(
                     functools.partial(
                         _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
                         nchunks=nchunks, cap_b=cap_b, symmetric=sym_k, M=M,
-                        g_lo=g_lo, a_lo=p * ka,
+                        g_lo=g_lo, a_lo=p * ka, triclinic=tri,
                     ),
                     out_shape=jax.ShapeDtypeStruct(
                         (nsteps, nb_eff, 1), jnp.float32
@@ -465,7 +522,9 @@ def pair_dist_histogram_pl(
                     scratch_shapes=[pltpu.VMEM((nb_eff, Cc), jnp.float32)],
                     interpret=interpret,
                 )(
-                    box.reshape(1, 3).astype(jnp.float32),
+                    (
+                        basis.reshape(1, 9) if tri else box.reshape(1, 3)
+                    ).astype(jnp.float32),
                     occ_blk,
                     *a_cols[p],
                     bxp, byp, bzp, bidp,

@@ -93,6 +93,7 @@ def sdf_accumulate_cl(
     stencil: "np.ndarray",  # (S3,3) pruned cell offsets (host-computed)
     idx_t: "jnp.ndarray | None" = None,  # static target indices
     compact_cap: "int | None" = None,
+    basis: "jnp.ndarray | None" = None,  # (3,3) → TRICLINIC mode
 ) -> jnp.ndarray:
     """Cell-list SDF for large systems: only targets near each structure.
 
@@ -118,22 +119,35 @@ def sdf_accumulate_cl(
     """
     from viamd_tpu.ops.density import splat_trilinear
     from viamd_tpu.ops.neighbors import build_cell_list, cell3_of_points
+    from viamd_tpu.ops.pbc import cellmul
 
     if idx_t is None:
         xt, twt = x, target_w
     else:
         xt = x[idx_t]
         twt = target_w[idx_t]
-    cl = build_cell_list(xt, box, cl_dims, cl_capacity)
+    tri = basis is not None
+    if tri:
+        from viamd_tpu.ops.pallas_rdf import _inv3x3
+
+        inv_b = _inv3x3(basis)
+        xt_b = cellmul(xt, inv_b)  # bin + gather in FRACTIONAL space
+        box_bins = jnp.ones(3, jnp.float32)
+        Rb, cb = basis, inv_b
+    else:
+        xt_b = xt
+        box_bins = box
+        Rb, cb = jnp.diag(box), jnp.diag(1.0 / box)
+    cl = build_cell_list(xt_b, box_bins, cl_dims, cl_capacity)
     R, c = sdf_reference_frames(
-        x, struct_idx, struct_w, ref_centered,
-        jnp.diag(box), jnp.diag(1.0 / box),
+        x, struct_idx, struct_w, ref_centered, Rb, cb
     )
     # candidate targets per structure from the pruned stencil, gathered
     # directly from the sorted order via per-cell segment offsets — the
     # dense (ncells, cap) slot table is never materialized (its gather is
     # pure overhead when the stencil visits fewer cells than the grid has)
-    c3 = cell3_of_points(c, box, cl.dims)  # (S,3)
+    c_b = cellmul(c, inv_b) if tri else c
+    c3 = cell3_of_points(c_b, box_bins, cl.dims)  # (S,3)
     offs = jnp.asarray(stencil, jnp.int32)  # (S3,3)
     dims_arr = jnp.array(cl.dims, jnp.int32)
     dxc, dyc, dzc = cl.dims
@@ -149,11 +163,18 @@ def sdf_accumulate_cl(
     # into cell order, indexed by segment position directly — the
     # order[pos] → xt[cand] → w[cand] triple indirection was the dominant
     # SDF cost (three ~C-sized gathers instead of this single one)
-    xs4 = jnp.concatenate([xt, twt[:, None]], axis=1)[cl.order]
+    xs4 = jnp.concatenate([xt_b, twt[:, None]], axis=1)[cl.order]
     cd = xs4[jnp.minimum(pos, nt - 1).reshape(c.shape[0], -1)]  # (S, C, 4)
 
-    d = cd[..., :3] - c[:, None, :]  # (S, C, 3)
-    d = d - box * jnp.round(d / box)
+    if tri:
+        # fractional single-round min-image, then cart via the basis
+        # (matches ops.pbc.min_image semantics)
+        f = cd[..., :3] - c_b[:, None, :]
+        f = f - jnp.round(f)
+        d = cellmul(f, basis)
+    else:
+        d = cd[..., :3] - c[:, None, :]  # (S, C, 3)
+        d = d - box * jnp.round(d / box)
     # p_i = sum_j R_ij d_j, expanded (K=3 einsums are pathological on TPU)
     d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
     p = jnp.stack(
@@ -241,6 +262,32 @@ def sdf_compact_capacity(
     return -(-cap // 512) * 512
 
 
+def make_sdf_stencil_triclinic(
+    extent: float, basis: "np.ndarray", dims: tuple
+) -> "np.ndarray":
+    """Pruned FRAC-space cell-offset stencil covering the √3·extent ball
+    for a triclinic cell. Reach per frac axis i: ceil(D·|inv[:,i]|·dims_i)
+    + 1; pruning uses the per-axis lower bound |cart(f)| ≥ |f_i|·spacing_i
+    (spacing = lattice-plane distance), which is safe for any skew."""
+    b = np.asarray(basis, np.float64)
+    inv = np.linalg.inv(b)
+    spacing = 1.0 / np.linalg.norm(inv, axis=0)
+    D = 1.7320508 * extent
+    dims = np.asarray(dims, np.int64)
+    rc = np.ceil(D / spacing * dims).astype(int) + 1
+    offs = []
+    for i in range(-rc[0], rc[0] + 1):
+        for j in range(-rc[1], rc[1] + 1):
+            for k in range(-rc[2], rc[2] + 1):
+                dmin = max(
+                    max(abs(o) - 1, 0) / dims[ax] * spacing[ax]
+                    for ax, o in enumerate((i, j, k))
+                )
+                if dmin <= D:
+                    offs.append((i, j, k))
+    return np.asarray(offs, np.int32)
+
+
 def sdf_frame0_support_count(
     target_xyz: "np.ndarray",  # (n_t, 3) frame-0 target coords
     x0: "np.ndarray",  # (n, 3) frame-0 coords
@@ -250,6 +297,7 @@ def sdf_frame0_support_count(
     box: "np.ndarray",
     extent: float,
     dims: int,
+    basis: "np.ndarray | None" = None,
 ) -> int:
     """Exact frame-0 count of (structure, target) pairs inside the
     ±(extent + ½·voxel) support cube — host-side NumPy Kabsch, used to
@@ -257,9 +305,22 @@ def sdf_frame0_support_count(
 
     The rotation-convention ambiguity is resolved defensively: both
     R and Rᵀ orientations are counted and the larger taken (a capacity
-    bound only needs to be ≥ the true count).
+    bound only needs to be ≥ the true count). `basis` switches the
+    min-image to the triclinic fractional round.
     """
     b = np.asarray(box, np.float64)
+    if basis is not None:
+        Bm = np.asarray(basis, np.float64)
+        Bi = np.linalg.inv(Bm)
+
+        def _mimg(d):
+            f = d @ Bi
+            f -= np.round(f)
+            return f @ Bm
+    else:
+
+        def _mimg(d):
+            return d - b * np.round(d / b)
     t = np.asarray(target_xyz, np.float64)
     if not len(t):
         return 0
@@ -270,8 +331,7 @@ def sdf_frame0_support_count(
         ws = np.asarray(struct_w[s], np.float64)
         P = np.asarray(x0, np.float64)[ix]
         # deperiodize about the first atom, then weighted center
-        d0 = P - P[0]
-        P = P[0] + (d0 - b * np.round(d0 / b))
+        P = P[0] + _mimg(P - P[0])
         c = (P * ws[:, None]).sum(0) / max(ws.sum(), 1e-30)
         Pc = (P - c) * (ws[:, None] > 0)
         ref = np.asarray(ref_centered[s], np.float64)
@@ -281,8 +341,7 @@ def sdf_frame0_support_count(
         if np.linalg.det(Rm) < 0:
             U[:, -1] *= -1
             Rm = (U @ Vt).T
-        d = t - c
-        d -= b * np.round(d / b)
+        d = _mimg(t - c)
         for R_ in (Rm, Rm.T):
             cnt = int(
                 np.sum(np.max(np.abs(d @ R_.T), axis=1) < sup)

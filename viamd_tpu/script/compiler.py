@@ -1131,12 +1131,58 @@ def _rdf(c: _Compiler, node, args):
     cutoff = float(args[2])
     wa = c.dense_weights(a, masses=False)
     wb = c.dense_weights(bsel, masses=False)
-    # Large orthorhombic systems route through the O(n·k) cell-list kernel
-    # (ops.neighbors); small or triclinic/aperiodic ones use the tiled dense
-    # path (where the single-round min-image is exact or PBC is off).
+    # Large periodic systems route through the O(n·k) cell-list kernel
+    # (ops.neighbors): orthorhombic cells bin in cartesian space,
+    # triclinic ones in fractional space (TPU only). Small or aperiodic
+    # systems use the tiled dense path.
     use_cl = False
     idx_a = a.mask.indices()
     idx_b = bsel.mask.indices()
+    if (
+        c.sys.cell.is_periodic
+        and not c.sys.cell.is_orthorhombic
+        and c.n >= 4096
+        and jax.default_backend() == "tpu"
+        and RDF_BINS % 128 == 0
+    ):
+        # TRICLINIC cell-list path (Pallas): fractional-space binning +
+        # in-kernel single-round fractional min-image (same semantics as
+        # the dense path's ops.pbc.min_image). Without this, skewed
+        # boxes — rhombic dodecahedron / truncated octahedron, the most
+        # common production cells — fell back to the O(n²) dense pair
+        # histogram.
+        from viamd_tpu.ops.neighbors import choose_grid_triclinic
+        from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
+        from viamd_tpu.ops.rdf import stencil_offsets
+
+        B0 = np.asarray(c.sys.cell.basis, np.float64)
+        dims, cap_a = choose_grid_triclinic(B0, cutoff, idx_a.size, radius=1)
+        _, cap_b = choose_grid_triclinic(B0, cutoff, idx_b.size, radius=1)
+        if min(dims) >= 3:
+            sym = bool(
+                idx_a.size == idx_b.size and np.array_equal(idx_a, idx_b)
+            )
+            from viamd_tpu.ops.rdf import snap_capacity
+
+            S_off = len(stencil_offsets(1, sym))
+            lam_b = idx_b.size / max(int(np.prod(dims)), 1)
+            cap_b = snap_capacity(cap_b, lam_b, S_off)
+            hist = pair_dist_histogram_pl(
+                c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
+                jnp.diagonal(c._trace_basis), RDF_BINS, cutoff,
+                dims, cap_a, cap_b, radius=1, symmetric=sym,
+                basis=c._trace_basis,
+            )
+            spec = AccumSpec(
+                kind="distribution",
+                nbins=RDF_BINS,
+                r_min=0.0,
+                r_max=cutoff,
+                x_unit="Å",
+                count_a=float(wa.sum()),
+                count_b=float(wb.sum()),
+            )
+            return AccumValue(hist, spec)
     if c.sys.cell.is_orthorhombic and c.n >= 4096:
         from viamd_tpu.ops.neighbors import choose_grid, choose_grid_r
 
@@ -1227,22 +1273,36 @@ def _sdf(c: _Compiler, node, args):
     # Large orthorhombic systems gather only candidate targets around each
     # structure from a cell list (√3·extent coverage ball).
     use_cl = False
+    tri_basis = None
     idx_t = target.mask.indices()
-    if c.sys.cell.is_orthorhombic and c.n >= 8192:
-        from viamd_tpu.ops.neighbors import choose_grid
-
-        from viamd_tpu.ops.neighbors import choose_grid_r
-
-        box_np = c.sys.cell.extent()
-        # cell width ≥ √3·extent ⇒ a 27-cell stencil covers the coverage
-        # ball; the cell list bins only TARGET atoms (smaller sort + tighter
-        # Poisson capacity — fewer dead candidate slots)
-        # 3.5σ tail: candidate rows (the gather + splat input) scale
-        # linearly with the cap here (no lane quantum on the XLA side) and
-        # the ~3e-4 per-draw drop rate matches the rdf path's semantics
-        cl_dims, cl_cap = choose_grid_r(
-            box_np, 1.7320508 * extent, idx_t.size, radius=1, tail=3.5
+    if c.sys.cell.is_periodic and c.n >= 8192:
+        from viamd_tpu.ops.neighbors import (
+            choose_grid_r, choose_grid_triclinic,
         )
+
+        ortho = c.sys.cell.is_orthorhombic
+        if ortho:
+            box_np = c.sys.cell.extent()
+            # cell width ≥ √3·extent ⇒ a 27-cell stencil covers the
+            # coverage ball; the cell list bins only TARGET atoms (smaller
+            # sort + tighter Poisson capacity — fewer dead candidates).
+            # 3.5σ tail: candidate rows (the gather + splat input) scale
+            # linearly with the cap here (no lane quantum on the XLA side)
+            # and the ~3e-4 per-draw drop rate matches the rdf path
+            cl_dims, cl_cap = choose_grid_r(
+                box_np, 1.7320508 * extent, idx_t.size, radius=1, tail=3.5
+            )
+            frac0 = None
+        else:
+            # TRICLINIC: bin in fractional space (same XLA machinery);
+            # volume-equivalent box for the uniform Poisson floor
+            B0 = np.asarray(c.sys.cell.basis, np.float64)
+            det = abs(np.linalg.det(B0))
+            box_np = np.full(3, det ** (1.0 / 3.0))
+            cl_dims, cl_cap = choose_grid_triclinic(
+                B0, 1.7320508 * extent, idx_t.size, radius=1, tail=3.5
+            )
+            frac0 = np.asarray(c.x0) @ np.linalg.inv(B0)
         # the Poisson cap assumes uniform target density; clustered
         # selections (within(r, ref) etc.) concentrate targets into few
         # cells — floor the capacity by the frame-0 MEASURED max cell
@@ -1250,16 +1310,27 @@ def _sdf(c: _Compiler, node, args):
         # silently drops the cluster
         if idx_t.size:
             xt0 = np.asarray(c.x0)[np.asarray(idx_t)]
-            cell3 = np.floor(
-                np.mod(xt0 / box_np, 1.0) * np.array(cl_dims)
-            ).astype(np.int64)
+            f0 = (
+                np.mod(xt0 / box_np, 1.0)
+                if ortho
+                else np.mod(frac0[np.asarray(idx_t)], 1.0)
+            )
+            cell3 = np.floor(f0 * np.array(cl_dims)).astype(np.int64)
             cell3 = np.minimum(cell3, np.array(cl_dims) - 1)
             flat = (
                 cell3[:, 0] * cl_dims[1] + cell3[:, 1]
             ) * cl_dims[2] + cell3[:, 2]
             occ0 = int(np.bincount(flat).max()) if flat.size else 0
             cl_cap = max(cl_cap, int(1.5 * occ0) + 8)
-        stencil = sdf_ops.make_sdf_stencil(extent, box_np / np.array(cl_dims))
+        if ortho:
+            stencil = sdf_ops.make_sdf_stencil(
+                extent, box_np / np.array(cl_dims)
+            )
+        else:
+            stencil = sdf_ops.make_sdf_stencil_triclinic(
+                extent, B0, cl_dims
+            )
+            tri_basis = True
         span = int(stencil.max() - stencil.min()) + 1
         use_cl = span <= min(cl_dims)
     if use_cl:
@@ -1273,6 +1344,7 @@ def _sdf(c: _Compiler, node, args):
             np.asarray(c.x0)[np.asarray(idx_t)], np.asarray(c.x0),
             np.asarray(idx), np.asarray(w), np.asarray(refc),
             box_np, extent, SDF_DIMS,
+            basis=None if tri_basis is None else B0,
         )
         compact_cap = sdf_ops.sdf_compact_capacity(
             len(structs), int(idx_t.size), box_np, extent, SDF_DIMS,
@@ -1285,6 +1357,7 @@ def _sdf(c: _Compiler, node, args):
             cl_dims, cl_cap, stencil,
             idx_t=jnp.asarray(idx_t),
             compact_cap=compact_cap,
+            basis=None if tri_basis is None else c._trace_basis,
         )
     else:
         grid = sdf_ops.sdf_accumulate(
