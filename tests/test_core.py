@@ -131,6 +131,52 @@ class TestSystemBuild:
         # O-H bonds inferred: 2 per water
         assert s.nbonds == 128
 
+    def test_bonds_triclinic_wraparound(self):
+        """A molecule straddling a 60° triclinic boundary: the PBC image
+        of its partner atom is <1 Å away while the unwrapped distance is
+        ~a full cell — previously triclinic cells were treated as
+        aperiodic and the bond was missed."""
+        from viamd_tpu.core.unitcell import UnitCell
+        from viamd_tpu.ops.bonds import infer_covalent_bonds
+
+        cell = UnitCell.from_lengths_angles(20, 20, 20, 90, 90, 60)
+        B = np.asarray(cell.basis, np.float64)
+        # O at the origin corner, H displaced by -0.96 Å along the SKEWED
+        # a axis then wrapped by +a: cartesian distance is huge, fractional
+        # min-image distance is 0.96
+        a = B[0]
+        o = np.array([0.05, 0.05, 0.05]) @ B
+        h = o - 0.96 * a / np.linalg.norm(a) + a
+        coords = np.stack([o, h])
+        z = np.array([8, 1])
+        pairs = infer_covalent_bonds(coords, z, cell)
+        assert pairs.shape == (1, 2)
+        # large enough that the cell-list (non-brute) path runs: tile the
+        # same pair through a 5000-atom lattice and re-check the wrap bond
+        rng = np.random.RandomState(3)
+        frac = rng.uniform(0.1, 0.9, (5000, 3))  # interior, no extra wraps
+        bulk = frac @ B
+        coords2 = np.concatenate([coords, bulk])
+        z2 = np.concatenate([z, np.full(5000, 2)])  # He: no bonds
+        pairs2 = infer_covalent_bonds(coords2, z2, cell)
+        assert [0, 1] in pairs2.tolist()
+
+    def test_grow_by_radius_triclinic(self):
+        from viamd_tpu.core.bitfield import Bitfield
+        from viamd_tpu.core.selection_utils import grow_by_radius
+        from viamd_tpu.core.unitcell import UnitCell
+
+        cell = UnitCell.from_lengths_angles(20, 20, 20, 90, 90, 60)
+        B = np.asarray(cell.basis, np.float64)
+        a = B[0]
+        p0 = np.array([0.02, 0.5, 0.5]) @ B
+        near_img = p0 + a - 1.2 * a / np.linalg.norm(a)  # 1.2 Å via wrap
+        far = np.array([0.5, 0.5, 0.5]) @ B
+        coords = np.stack([p0, near_img, far])
+        m = Bitfield.from_bools(np.array([True, False, False]))
+        g = grow_by_radius(m, coords, 2.0, cell)
+        assert g.to_bools().tolist() == [True, True, False]
+
 
 class TestLogging:
     def test_sinks_and_dedup(self):

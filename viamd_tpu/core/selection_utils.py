@@ -38,18 +38,21 @@ def grow_by_bonds(mask: Bitfield, bonds: np.ndarray, steps: int = 1) -> Bitfield
 def grow_by_radius(
     mask: Bitfield, coords: np.ndarray, radius: float, cell=None
 ) -> Bitfield:
-    """Expand a selection to all atoms within `radius` Å of it (PBC-aware
-    for orthorhombic cells)."""
+    """Expand a selection to all atoms within `radius` Å of it (PBC-aware:
+    orthorhombic cells min-image per axis, triclinic via the fractional
+    round)."""
     sel = mask.to_bools()
     idx = np.nonzero(sel)[0]
     if not idx.size:
         return Bitfield.from_bools(sel)
     coords = np.asarray(coords, np.float32)
-    ext = (
-        cell.extent().astype(np.float32)
-        if cell is not None and cell.is_orthorhombic
-        else None
-    )
+    ext = basis = inv = None
+    if cell is not None and cell.is_periodic:
+        if cell.is_orthorhombic:
+            ext = cell.extent().astype(np.float32)
+        else:
+            basis = np.asarray(cell.basis, np.float32)
+            inv = np.linalg.inv(basis.astype(np.float64)).astype(np.float32)
     out = sel.copy()
     # chunked distance check against the selected set
     chunk = max(1, int(4e6 // max(idx.size, 1)))
@@ -58,6 +61,9 @@ def grow_by_radius(
         d = coords[beg:end, None, :] - coords[None, idx, :]
         if ext is not None:
             d -= ext * np.round(d / ext)
+        elif basis is not None:
+            f = d @ inv
+            d = (f - np.round(f)) @ basis
         near = (d * d).sum(-1).min(axis=1) <= radius * radius
         out[beg:end] |= near
     return Bitfield.from_bools(out)

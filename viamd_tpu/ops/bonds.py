@@ -26,8 +26,9 @@ def infer_covalent_bonds(
     """Return (nbonds, 2) int32 bond pairs (i < j).
 
     PBC note: bonds across the periodic boundary are found by wrapping bin
-    neighbors when the cell is orthorhombic; triclinic wrap-around bonds are
-    rare at load time and currently skipped (matching typical loader behavior).
+    neighbors; triclinic cells bin in FRACTIONAL space (per-axis bin count
+    from the lattice-plane spacing, min-image = fractional round — the same
+    scheme as the device-side ops.neighbors triclinic grid).
     """
     n = coords.shape[0]
     if n < 2:
@@ -38,10 +39,23 @@ def infer_covalent_bonds(
     max_cut = float(2.0 * rcov.max() + BOND_TOLERANCE)
     max_cut = max(max_cut, 1.0)
 
-    periodic = cell is not None and cell.is_orthorhombic
-    if periodic:
+    periodic = cell is not None and cell.is_periodic
+    tri = periodic and not cell.is_orthorhombic
+    basis32 = inv64 = None
+    if tri:
+        b64 = np.asarray(cell.basis, np.float64)
+        inv64 = np.linalg.inv(b64)
+        basis32 = b64.astype(np.float32)
+        # fractional bins; per-axis perpendicular width = spacing/nbins
+        spacing = 1.0 / np.linalg.norm(inv64, axis=0)
+        span = np.ones(3)
+        pos = np.mod(coords.astype(np.float64) @ inv64, 1.0)
+        pos[pos >= 1.0] = 0.0
+        nbins = np.maximum(
+            1, np.floor(spacing / max_cut).astype(np.int64)
+        )
+    elif periodic:
         ext = cell.extent().astype(np.float64)
-        lo = np.zeros(3)
         span = ext.copy()
         pos = np.mod(coords.astype(np.float64), ext)
     else:
@@ -49,7 +63,8 @@ def infer_covalent_bonds(
         span = coords.max(axis=0) - lo + 2e-3
         pos = coords.astype(np.float64) - lo
 
-    nbins = np.maximum(1, np.floor(span / max_cut).astype(np.int64))
+    if not tri:
+        nbins = np.maximum(1, np.floor(span / max_cut).astype(np.int64))
     if periodic:
         # need ≥3 bins per axis for a correct wrap half-stencil; else brute force
         if (nbins < 3).any():
@@ -77,7 +92,9 @@ def infer_covalent_bonds(
 
     out_i, out_j = [], []
     ext32 = (
-        cell.extent().astype(np.float32) if periodic else np.zeros(3, np.float32)
+        cell.extent().astype(np.float32)
+        if periodic and not tri
+        else np.ones(3, np.float32)
     )
     pos32 = pos.astype(np.float32)
 
@@ -114,6 +131,8 @@ def infer_covalent_bonds(
             d = pos32[pi] - pos32[pj]
             if periodic:
                 d -= ext32 * np.round(d / ext32)
+            if tri:
+                d = d @ basis32  # fractional min-image → cartesian
             dist = np.sqrt((d * d).sum(axis=1))
             cut = rcov[pi] + rcov[pj] + BOND_TOLERANCE
             ok = (dist > BOND_MIN) & (dist < cut)
@@ -136,9 +155,14 @@ def _brute_force(coords, rcov, cell):
     if n > 4096:  # safety: brute force only for small systems
         return np.zeros((0, 2), np.int32)
     d = coords[:, None, :] - coords[None, :, :]
-    if cell is not None and cell.is_orthorhombic:
-        ext = cell.extent()
-        d -= ext * np.round(d / ext)
+    if cell is not None and cell.is_periodic:
+        if cell.is_orthorhombic:
+            ext = cell.extent()
+            d -= ext * np.round(d / ext)
+        else:
+            b = np.asarray(cell.basis, np.float64)
+            f = d @ np.linalg.inv(b)
+            d = (f - np.round(f)) @ b
     dist = np.sqrt((d * d).sum(axis=-1))
     cut = rcov[:, None] + rcov[None, :] + BOND_TOLERANCE
     ok = (dist > BOND_MIN) & (dist < cut)
