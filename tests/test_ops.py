@@ -276,6 +276,31 @@ class TestRDF:
                     ref[int(dist / rmax * nbins)] += 1
         np.testing.assert_allclose(h, ref, atol=1e-2)
 
+    def test_scatter_matches_dense(self):
+        """Host-backend scatter-add variant == the compare-CDF dense path
+        (the compiler routes non-TPU backends through it, incl. triclinic
+        cells and uneven tiling)."""
+        rng = np.random.RandomState(9)
+        from viamd_tpu.core.unitcell import UnitCell
+
+        for trial, (n, cellargs) in enumerate(
+            [(40, (8, 8, 8, 90, 90, 90)), (150, (12, 10, 9, 90, 90, 60))]
+        ):
+            c = UnitCell.from_lengths_angles(*cellargs)
+            B = np.asarray(c.basis, np.float32)
+            x = (rng.uniform(0, 1, (n, 3)) @ B).astype(np.float32)
+            wa = (rng.rand(n) < 0.5).astype(np.float32)
+            wb = (rng.rand(n) < 0.7).astype(np.float32)
+            basis = jnp.asarray(B)
+            inv = jnp.asarray(np.linalg.inv(B.astype(np.float64)), jnp.float32)
+            args = (
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, 16, 4.0,
+            )
+            dense = np.asarray(rdf.pair_dist_histogram(*args, tile=64))
+            got = np.asarray(rdf.pair_dist_histogram_scatter(*args, tile=64))
+            np.testing.assert_allclose(got, dense, atol=1e-2)
+
     def test_celllist_matches_dense(self):
         from viamd_tpu.ops.neighbors import choose_grid
 

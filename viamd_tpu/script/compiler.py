@@ -1242,7 +1242,15 @@ def _rdf(c: _Compiler, node, args):
                 radius=radius,
             )
     else:
-        hist = rdf_ops.pair_dist_histogram(
+        # dense all-pairs: TPU rides the compare-CDF formulation (no
+        # native scatter); host backends scatter-add — ~50× at the
+        # 1ALA-500 regime (BASELINE config #1 runs the script on CPU)
+        dense = (
+            rdf_ops.pair_dist_histogram
+            if jax.default_backend() == "tpu"
+            else rdf_ops.pair_dist_histogram_scatter
+        )
+        hist = dense(
             c._trace_x, jnp.asarray(wa), jnp.asarray(wb),
             c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
         )
