@@ -812,9 +812,25 @@ class TestPallasRDF:
         from viamd_tpu.ops import pallas_rdf
         from viamd_tpu.ops.neighbors import choose_grid_triclinic
 
-        c = UnitCell.from_lengths_angles(30, 30, 30, 90, 90, 60)
-        B = np.asarray(c.basis, np.float32)
-        inv = np.asarray(np.linalg.inv(B), np.float32)
+        c = UnitCell.from_lengths_angles(30, 28, 26, 80, 95, 60)
+        # rigidly rotate the basis too: the kernel must not assume any
+        # axis alignment (all 9 basis entries nonzero)
+        th = 0.37
+        R = np.array(
+            [
+                [np.cos(th), np.sin(th), 0],
+                [-np.sin(th), np.cos(th), 0],
+                [0, 0, 1],
+            ]
+        ) @ np.array(
+            [
+                [1, 0, 0],
+                [0, np.cos(0.21), np.sin(0.21)],
+                [0, -np.sin(0.21), np.cos(0.21)],
+            ]
+        )
+        B = (np.asarray(c.basis, np.float64) @ R).astype(np.float32)
+        inv = np.asarray(np.linalg.inv(B.astype(np.float64)), np.float32)
         rng = np.random.RandomState(5)
         n = 500
         x = (rng.uniform(0, 1, (n, 3)) @ B).astype(np.float32)

@@ -135,3 +135,30 @@ class TestScriptFuzz:
                 compile_script(src, sys_small)
             except ScriptError:
                 pass
+
+    def test_filterlang_fuzz_never_crashes(self, sys_small):
+        """The display-filter front-end (md_filter analog) sees arbitrary
+        text from the representation filter box every keystroke
+        (update_representation, viamd.cpp:1316/1510) — same contract:
+        a Bitfield or a located ScriptError, never an internal crash."""
+        from viamd_tpu.core.bitfield import Bitfield
+        from viamd_tpu.script.filterlang import evaluate_filter
+
+        rng = np.random.RandomState(3)
+        frags = [
+            "protein", "water", "all", "not", "and", "or", "within(",
+            "resname(", "element(", "atom(", "x(", "5.0", "'ALA'", "1:4",
+            ")", "(", ",", ";", "s1", "{", "]", "..", "9e99", "-",
+        ]
+        ok = err = 0
+        for _ in range(300):
+            n = rng.randint(1, 10)
+            src = " ".join(rng.choice(frags) for _ in range(n))
+            try:
+                mask, dyn = evaluate_filter(src, sys_small, {})
+                assert isinstance(mask, Bitfield)
+                assert isinstance(dyn, bool)
+                ok += 1
+            except ScriptError:
+                err += 1
+        assert ok > 0 and err > 0
