@@ -350,6 +350,23 @@ class TestComponents:
             img, depth = dv.render(width=48, height=48)
             assert img.shape == (48, 48, 4)
             assert np.isfinite(img).all()
+            # vis.sdf payload + inverse reference-frame matrices
+            # (density_volume.cpp:180-270)
+            rec = dv.sdf_vis("v")
+            assert rec["extent"] == 4.0
+            assert len(rec["structures"]) == 4
+            M = dv.reference_frames("v", frame=0)
+            assert M.shape == (4, 4, 4)
+            # applying a structure's world→reference matrix to its own
+            # atoms must land near its centered reference coordinates
+            coords, _ = s.trajectory.load_frame(0)
+            a0 = rec["structures"][0]
+            p = coords[a0] @ M[0, :3, :3].T + M[0, :3, 3]
+            ref = rec["ref_centered"][0][: len(a0)]
+            assert float(np.abs(p - ref).max()) < 0.5  # jittered frame
+            rimg, rdepth = dv.render_references("v", frame=0, width=48, height=48)
+            assert rimg.shape == (48, 48, 4) and np.isfinite(rimg).all()
+            assert (rdepth < np.inf).any()  # something was drawn
         finally:
             s.shutdown()
 

@@ -56,6 +56,111 @@ class DensityVolumeComponent:
         self.iso_values = values
         self.iso_colors = tuple(colors)[: len(values)]
 
+    def sdf_vis(self, prop_name: Optional[str] = None) -> dict:
+        """The vis.sdf payload for a volume property (the reference's
+        md_script_vis_eval_payload MD_SCRIPT_VISUALIZE_SDF record,
+        density_volume.cpp:180-204): {extent, structures, struct_idx,
+        struct_w, ref_centered}. Records pair with kind=='volume'
+        properties in statement order."""
+        compiled = self.session.compiled
+        if compiled is None:
+            raise ValueError("no compiled script")
+        names = self.volume_properties()
+        if not names:
+            raise ValueError("no volume properties")
+        prop_name = prop_name or names[0]
+        recs = compiled.visualization.get("sdf", [])
+        if prop_name not in names or len(recs) <= names.index(prop_name):
+            raise KeyError(prop_name)
+        return recs[names.index(prop_name)]
+
+    def reference_frames(
+        self, prop_name: Optional[str] = None, frame: Optional[int] = None
+    ) -> np.ndarray:
+        """Per-structure world→reference 4×4 matrices for one frame (the
+        inverse reference-frame matrices of density_volume.cpp:246-270):
+        p_ref = R·(p_world − com). Returns (S, 4, 4)."""
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.sdf import sdf_reference_frames
+
+        rec = self.sdf_vis(prop_name)
+        ses = self.session
+        coords = (
+            ses.current_coords()
+            if frame is None
+            else ses.trajectory.load_frame(int(frame))[0]
+        )
+        cell = ses.system.cell
+        R, c = sdf_reference_frames(
+            jnp.asarray(coords, jnp.float32),
+            jnp.asarray(rec["struct_idx"]),
+            jnp.asarray(rec["struct_w"]),
+            jnp.asarray(rec["ref_centered"]),
+            jnp.asarray(np.asarray(cell.basis, np.float32)),
+            jnp.asarray(np.asarray(cell.inv_basis, np.float32)),
+        )
+        R = np.asarray(R)
+        c = np.asarray(c)
+        S = R.shape[0]
+        M = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        M[:, :3, :3] = R
+        M[:, :3, 3] = -np.einsum("sij,sj->si", R, c)
+        return M
+
+    def render_references(
+        self,
+        prop_name: Optional[str] = None,
+        frame: Optional[int] = None,
+        width: int = 512,
+        height: int = 512,
+        camera: Optional[cam_mod.Camera] = None,
+        max_structures: int = 100,
+    ):
+        """Render the SDF reference structures aligned into the volume's
+        reference frame (the ≤100 per-structure reps the reference draws
+        inside the density-volume window, density_volume.cpp:245-270).
+        Returns ((H,W,4) RGBA, (H,W) depth) composable with render()."""
+        from viamd_tpu.render.overlay import OverlayQueue
+
+        rec = self.sdf_vis(prop_name)
+        M = self.reference_frames(prop_name, frame)
+        ses = self.session
+        coords = (
+            ses.current_coords()
+            if frame is None
+            else ses.trajectory.load_frame(int(frame))[0]
+        )
+        extent = rec["extent"]
+        if camera is None:
+            camera = cam_mod.compute_optimal_view(
+                [-extent] * 3, [extent] * 3
+            )
+        from viamd_tpu.core import elements as E
+        from viamd_tpu.render.color import color_atoms_cpk
+
+        q = OverlayQueue()
+        sys_ = ses.system
+        all_cols = color_atoms_cpk(sys_)
+        for s, atoms in enumerate(rec["structures"][:max_structures]):
+            Ms = M[s]
+            p = coords[atoms] @ Ms[:3, :3].T + Ms[:3, 3]
+            cols = all_cols[atoms]
+            radii = E.VDW_RADII[sys_.element[atoms]] * 0.3
+            for k in range(len(atoms)):
+                q.add_sphere(
+                    p[k], float(radii[k]),
+                    tuple(float(v) for v in cols[k][:3]) + (1.0,),
+                    pick_id=int(atoms[k]),
+                )
+        img, depth, _pick = q.render(
+            camera.view_matrix(),
+            camera.proj_matrix(width, height),
+            width, height,
+            capacity=max(128, sum(len(a) for a in rec["structures"][:max_structures])),
+        )
+        return np.asarray(img), np.asarray(depth)
+
     def render(
         self,
         prop_name: Optional[str] = None,

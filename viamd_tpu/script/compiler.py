@@ -114,7 +114,8 @@ class _Compiler:
         self._trace_inv = None
         self.warnings: list[str] = []
         self.vis: dict = {
-            "points": [], "lines": [], "angles": [], "dihedrals": []
+            "points": [], "lines": [], "angles": [], "dihedrals": [],
+            "sdf": []
         }
 
     # -- public -------------------------------------------------------------
@@ -188,7 +189,8 @@ class _Compiler:
         for name, bf in self.injected.items():
             self.env[name] = Selection(bf, [bf.indices()], "atom")
         self.context = None
-        self.vis = {"points": [], "lines": [], "angles": [], "dihedrals": []}
+        self.vis = {"points": [], "lines": [], "angles": [], "dihedrals": [],
+            "sdf": []}
         self._trace_x = x
         self._trace_basis = basis
         self._trace_inv = inv_basis
@@ -1276,6 +1278,19 @@ def _sdf(c: _Compiler, node, args):
     structs = ref_sel.structures
     idx, w, refc = sdf_ops.make_structure_inputs(
         [np.asarray(s) for s in structs], c.masses, c.x0
+    )
+    # vis payload (vis.sdf.{extent, structures, matrices} capability,
+    # density_volume.cpp:180-270): one record per sdf() in statement order —
+    # enough to recompute per-frame world→reference matrices host-side
+    # (ops.sdf.sdf_reference_frames) and draw reference structures
+    c.vis["sdf"].append(
+        {
+            "extent": float(args[2]),
+            "structures": [np.asarray(s) for s in structs],
+            "struct_idx": np.asarray(idx),
+            "struct_w": np.asarray(w),
+            "ref_centered": np.asarray(refc),
+        }
     )
     tw = c.dense_weights(target, masses=False)
     # Large orthorhombic systems gather only candidate targets around each
