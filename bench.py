@@ -105,5 +105,46 @@ def main() -> None:
     )
 
 
+def _watchdog(seconds: float):
+    """Hard-exit with a parseable JSON line if the run wedges.
+
+    The tunneled backend can hang indefinitely at device init when the
+    relay is wedged (observed r2: hours-long outage after concurrent
+    TPU processes); a hung bench is worse than a failed one — emit the
+    one-line JSON with value 0 and exit nonzero so the driver records a
+    clean failure instead of stalling.
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "rdf_sdf_shape_analysis_frames_per_sec_100k_atoms"
+                        ),
+                        "value": 0.0,
+                        "unit": "frames/s",
+                        "vs_baseline": 0.0,
+                        "error": f"wedged: no completion in {seconds:.0f}s "
+                        "(TPU tunnel unavailable?)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 if __name__ == "__main__":
+    _done = _watchdog(float(__import__("os").environ.get(
+        "VIAMD_TPU_BENCH_TIMEOUT", "5400"
+    )))
     main()
+    _done.set()
