@@ -161,6 +161,26 @@ class TestSystemBuild:
         pairs2 = infer_covalent_bonds(coords2, z2, cell)
         assert [0, 1] in pairs2.tolist()
 
+    def test_bonds_small_periodic_cell_large_system(self):
+        """Periodic cell too small for the wrap stencil + >4096 atoms:
+        must fall back to the aperiodic cell list (all non-wrap bonds),
+        NOT return zero bonds."""
+        from viamd_tpu.core.unitcell import UnitCell
+        from viamd_tpu.ops.bonds import infer_covalent_bonds
+
+        rng = np.random.RandomState(1)
+        n_pairs = 2500  # 5000 atoms > the brute-force cap
+        centers = rng.uniform(5, 45, (n_pairs, 3))
+        h = centers + np.array([0.96, 0, 0])
+        coords = np.empty((2 * n_pairs, 3), np.float32)
+        coords[0::2] = centers
+        coords[1::2] = h
+        z = np.tile([8, 1], n_pairs)
+        # a 50 Å cell with one tiny axis: < 3 bins along z
+        cell = UnitCell.orthorhombic(50, 50, 4.0)
+        pairs = infer_covalent_bonds(coords, z, cell)
+        assert pairs.shape[0] >= n_pairs * 0.95  # O-H bonds found
+
     def test_grow_by_radius_triclinic(self):
         from viamd_tpu.core.bitfield import Bitfield
         from viamd_tpu.core.selection_utils import grow_by_radius

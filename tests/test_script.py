@@ -173,6 +173,81 @@ class TestCompile:
         assert "s1" in cs.selections
         assert cs.selections["s1"].n_structures == 3  # residues 2..4
 
+    def test_rdf_triclinic_compiler_route(self, monkeypatch):
+        """The compiler's triclinic Pallas RDF branch (normally TPU-only)
+        driven in interpret mode via VIAMD_TPU_PALLAS_INTERPRET: must
+        match the dense-path compile of the same script."""
+        import jax.numpy as jnp
+
+        from tests.conftest import make_water_box
+        from viamd_tpu.core.unitcell import UnitCell
+        from viamd_tpu.ops import pbc as pbc_ops
+
+        import dataclasses
+
+        sys_, _ = make_water_box(n_waters=1500, box=36.0, n_frames=1)
+        cell = UnitCell.from_lengths_angles(36, 36, 36, 90, 90, 60)
+        B = np.asarray(cell.basis, np.float32)
+        # re-wrap the cubic coords into the skewed cell (fractional mod)
+        frac = np.mod(sys_.coords().astype(np.float64) / 36.0, 1.0)
+        coords = (frac @ B).astype(np.float32)
+        sys_ = dataclasses.replace(
+            sys_, x=coords[:, 0], y=coords[:, 1], z=coords[:, 2], cell=cell
+        )
+        src = "r = rdf(element('O'), element('O'), 6.0);\n"
+        x = jnp.asarray(coords)
+        basis = jnp.asarray(B)
+        inv = pbc_ops.inv_basis_of(basis)
+
+        cs_dense = compile_script(src, sys_)
+        _, a_dense = cs_dense.frame_fn(x, basis, inv)
+
+        monkeypatch.setenv("VIAMD_TPU_PALLAS_INTERPRET", "1")
+        cs_pl = compile_script(src, sys_)
+        _, a_pl = cs_pl.frame_fn(x, basis, inv)
+        np.testing.assert_allclose(
+            np.asarray(a_pl["r"]), np.asarray(a_dense["r"]), atol=1e-2
+        )
+
+    def test_rdf_ortho_compiler_route(self, monkeypatch):
+        """The compiler's orthorhombic Pallas RDF branch (TPU-only) in
+        interpret mode vs the dense compile — exercises the full routing
+        (snap_capacity, offset classes, slab budget) at compiler level."""
+        import jax.numpy as jnp
+
+        from tests.conftest import make_water_box
+        from viamd_tpu.ops import pbc as pbc_ops
+
+        sys_, _ = make_water_box(n_waters=1500, box=36.0, n_frames=1)
+        src = "r = rdf(element('O'), element('O'), 6.0);\n"
+        x = jnp.asarray(sys_.coords())
+        basis = jnp.asarray(np.asarray(sys_.cell.basis, np.float32))
+        inv = pbc_ops.inv_basis_of(basis)
+        cs_dense = compile_script(src, sys_)
+        _, a_dense = cs_dense.frame_fn(x, basis, inv)
+        monkeypatch.setenv("VIAMD_TPU_PALLAS_INTERPRET", "1")
+        cs_pl = compile_script(src, sys_)
+        _, a_pl = cs_pl.frame_fn(x, basis, inv)
+        np.testing.assert_allclose(
+            np.asarray(a_pl["r"]), np.asarray(a_dense["r"]), atol=1e-2
+        )
+
+    def test_sdf_vis_follows_reassignment(self, ala_traj_system):
+        """vis.sdf payload is attached to the property SPEC: reassigning a
+        volume property must not leave the stale first record paired with
+        the name (positional pairing bug)."""
+        sys, _ = ala_traj_system
+        cs = compile_script(
+            "v = sdf(residue(1:2), element('O'), 2.0);\n"
+            "v = sdf(residue(3:4), element('O'), 4.0);\n",
+            sys,
+        )
+        rec = cs.property("v").spec.vis
+        assert rec["extent"] == 4.0
+        assert len(rec["structures"]) == 2
+        # both calls still appear in the call-ordered visualization list
+        assert len(cs.visualization["sdf"]) == 2
+
     def test_compile_errors(self, ala_system):
         with pytest.raises(ScriptError):
             compile_script("d = distance(1, 99999);", ala_system)

@@ -60,22 +60,33 @@ class DensityVolumeComponent:
         """The vis.sdf payload for a volume property (the reference's
         md_script_vis_eval_payload MD_SCRIPT_VISUALIZE_SDF record,
         density_volume.cpp:180-204): {extent, structures, struct_idx,
-        struct_w, ref_centered}. Records pair with kind=='volume'
-        properties in statement order."""
-        compiled = self.session.compiled
-        if compiled is None:
-            raise ValueError("no compiled script")
+        struct_w, ref_centered}. Read from the property's spec, so it
+        stays correct through property reassignment."""
+        res = self._last_result or self.session.eval_result
+        if res is None:
+            raise ValueError("no evaluation result — run session.evaluate()")
         names = self.volume_properties()
         if not names:
             raise ValueError("no volume properties")
         prop_name = prop_name or names[0]
-        recs = compiled.visualization.get("sdf", [])
-        if prop_name not in names or len(recs) <= names.index(prop_name):
-            raise KeyError(prop_name)
-        return recs[names.index(prop_name)]
+        rec = res.property(prop_name).spec.vis
+        if rec is None:
+            raise KeyError(f"{prop_name}: no vis.sdf payload")
+        return rec
+
+    def _frame_coords(self, frame: Optional[int]) -> np.ndarray:
+        ses = self.session
+        return (
+            ses.current_coords()
+            if frame is None
+            else ses.trajectory.load_frame(int(frame))[0]
+        )
 
     def reference_frames(
-        self, prop_name: Optional[str] = None, frame: Optional[int] = None
+        self,
+        prop_name: Optional[str] = None,
+        frame: Optional[int] = None,
+        coords: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Per-structure world→reference 4×4 matrices for one frame (the
         inverse reference-frame matrices of density_volume.cpp:246-270):
@@ -86,11 +97,8 @@ class DensityVolumeComponent:
 
         rec = self.sdf_vis(prop_name)
         ses = self.session
-        coords = (
-            ses.current_coords()
-            if frame is None
-            else ses.trajectory.load_frame(int(frame))[0]
-        )
+        if coords is None:
+            coords = self._frame_coords(frame)
         cell = ses.system.cell
         R, c = sdf_reference_frames(
             jnp.asarray(coords, jnp.float32),
@@ -124,13 +132,9 @@ class DensityVolumeComponent:
         from viamd_tpu.render.overlay import OverlayQueue
 
         rec = self.sdf_vis(prop_name)
-        M = self.reference_frames(prop_name, frame)
         ses = self.session
-        coords = (
-            ses.current_coords()
-            if frame is None
-            else ses.trajectory.load_frame(int(frame))[0]
-        )
+        coords = self._frame_coords(frame)
+        M = self.reference_frames(prop_name, frame, coords=coords)
         extent = rec["extent"]
         if camera is None:
             camera = cam_mod.compute_optimal_view(

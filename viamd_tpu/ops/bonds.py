@@ -65,10 +65,22 @@ def infer_covalent_bonds(
 
     if not tri:
         nbins = np.maximum(1, np.floor(span / max_cut).astype(np.int64))
-    if periodic:
-        # need ≥3 bins per axis for a correct wrap half-stencil; else brute force
-        if (nbins < 3).any():
+    if periodic and (nbins < 3).any():
+        # too few bins per axis for a correct wrap half-stencil: small
+        # systems brute-force with full PBC; large ones fall back to the
+        # APERIODIC cell list (all non-wrap bonds found; wrap-around bonds
+        # missed with a warning) — returning zero bonds here would be a
+        # far worse failure than missing the boundary crossers
+        if n <= 4096:
             return _brute_force(coords, rcov, cell)
+        from viamd_tpu.core.vlog import warning
+
+        warning(
+            "bond inference: periodic cell too small for the wrap stencil "
+            f"(bins {tuple(int(v) for v in nbins)}); bonds across the "
+            "periodic boundary will be missed"
+        )
+        return infer_covalent_bonds(coords, z, cell=None)
     binw = span / nbins
     bidx = np.minimum((pos / binw).astype(np.int64), nbins - 1)
     flat = (bidx[:, 0] * nbins[1] + bidx[:, 1]) * nbins[2] + bidx[:, 2]

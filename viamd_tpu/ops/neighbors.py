@@ -105,23 +105,17 @@ def choose_grid_triclinic(
 
 @partial(jax.jit, static_argnames=("dims", "capacity"))
 def build_cell_list(
-    x: jnp.ndarray, box: jnp.ndarray, dims: tuple, capacity: int,
-    inv_basis: "jnp.ndarray | None" = None,
+    x: jnp.ndarray, box: jnp.ndarray, dims: tuple, capacity: int
 ) -> CellList:
     """Bin atoms of one frame into a cell grid.
 
-    Orthorhombic: `box` is the (3,) extents. Triclinic: pass
-    `inv_basis` (3,3) — atoms bin on a uniform grid in FRACTIONAL
-    space (`box` is then ignored)."""
+    Orthorhombic: `box` is the (3,) extents. Triclinic callers convert to
+    FRACTIONAL coords first (ops.pbc.cellmul with the inverse basis) and
+    pass box=ones — the grid is uniform in fractional space."""
     n = x.shape[0]
     dx, dy, dz = dims
     dims_arr = jnp.array(dims, jnp.int32)
-    if inv_basis is not None:
-        from viamd_tpu.ops.pbc import cellmul
-
-        frac = cellmul(x, inv_basis)
-    else:
-        frac = x / box  # box: (3,) extents
+    frac = x / box  # box: (3,) extents (ones in fractional mode)
     frac = frac - jnp.floor(frac)  # wrap into [0,1)
     c3 = jnp.clip((frac * dims_arr).astype(jnp.int32), 0, dims_arr - 1)
     cid = (c3[:, 0] * dy + c3[:, 1]) * dz + c3[:, 2]

@@ -58,6 +58,21 @@ RDF_BINS = 128
 SDF_DIMS = 64
 
 
+def _pallas_route() -> tuple[bool, bool]:
+    """(route through the Pallas kernels?, interpret mode?).
+
+    Real TPUs compile the kernels; VIAMD_TPU_PALLAS_INTERPRET=1 forces
+    the same routing in Pallas interpret mode so the compiler's kernel
+    branches are testable on the CPU suite."""
+    import os
+
+    if jax.default_backend() == "tpu":
+        return True, False
+    if os.environ.get("VIAMD_TPU_PALLAS_INTERPRET") == "1":
+        return True, True
+    return False, False
+
+
 @dataclass
 class CompiledScript:
     """Result of compiling a script against a system."""
@@ -1138,54 +1153,34 @@ def _rdf(c: _Compiler, node, args):
     # triclinic ones in fractional space (TPU only). Small or aperiodic
     # systems use the tiled dense path.
     use_cl = False
+    tri = False
     idx_a = a.mask.indices()
     idx_b = bsel.mask.indices()
+    pl_route, pl_interp = _pallas_route()
     if (
         c.sys.cell.is_periodic
         and not c.sys.cell.is_orthorhombic
         and c.n >= 4096
-        and jax.default_backend() == "tpu"
+        and pl_route
         and RDF_BINS % 128 == 0
     ):
-        # TRICLINIC cell-list path (Pallas): fractional-space binning +
-        # in-kernel single-round fractional min-image (same semantics as
+        # TRICLINIC cell-list path (Pallas only): fractional-space binning
+        # + in-kernel single-round fractional min-image (same semantics as
         # the dense path's ops.pbc.min_image). Without this, skewed
         # boxes — rhombic dodecahedron / truncated octahedron, the most
         # common production cells — fell back to the O(n²) dense pair
         # histogram.
         from viamd_tpu.ops.neighbors import choose_grid_triclinic
-        from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
-        from viamd_tpu.ops.rdf import stencil_offsets
 
         B0 = np.asarray(c.sys.cell.basis, np.float64)
+        radius = 1
         dims, cap_a = choose_grid_triclinic(B0, cutoff, idx_a.size, radius=1)
         _, cap_b = choose_grid_triclinic(B0, cutoff, idx_b.size, radius=1)
-        if min(dims) >= 3:
-            sym = bool(
-                idx_a.size == idx_b.size and np.array_equal(idx_a, idx_b)
-            )
-            from viamd_tpu.ops.rdf import snap_capacity
-
-            S_off = len(stencil_offsets(1, sym))
-            lam_b = idx_b.size / max(int(np.prod(dims)), 1)
-            cap_b = snap_capacity(cap_b, lam_b, S_off)
-            hist = pair_dist_histogram_pl(
-                c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
-                jnp.diagonal(c._trace_basis), RDF_BINS, cutoff,
-                dims, cap_a, cap_b, radius=1, symmetric=sym,
-                basis=c._trace_basis,
-            )
-            spec = AccumSpec(
-                kind="distribution",
-                nbins=RDF_BINS,
-                r_min=0.0,
-                r_max=cutoff,
-                x_unit="Å",
-                count_a=float(wa.sum()),
-                count_b=float(wb.sum()),
-            )
-            return AccumValue(hist, spec)
-    if c.sys.cell.is_orthorhombic and c.n >= 4096:
+        use_cl = tri = min(dims) >= 3
+        # static offset-class bin skipping needs cartesian cell widths;
+        # fractional cells have none (anisotropic reach) — disabled
+        box_np = None
+    elif c.sys.cell.is_orthorhombic and c.n >= 4096:
         from viamd_tpu.ops.neighbors import choose_grid, choose_grid_r
 
         box_np = c.sys.cell.extent()
@@ -1204,9 +1199,7 @@ def _rdf(c: _Compiler, node, args):
         use_cl = min(dims) >= (3 if radius == 1 else 5)
     if use_cl:
         box = jnp.diagonal(c._trace_basis)
-        use_pallas = (
-            jax.default_backend() == "tpu" and RDF_BINS % 128 == 0
-        )
+        use_pallas = pl_route and RDF_BINS % 128 == 0
         if use_pallas:
             from viamd_tpu.ops.pallas_rdf import pair_dist_histogram_pl
             from viamd_tpu.ops.rdf import snap_capacity, stencil_offsets
@@ -1234,8 +1227,14 @@ def _rdf(c: _Compiler, node, args):
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
                 radius=radius, symmetric=sym,
-                widths=tuple(float(w) for w in box_np / np.array(dims)),
+                widths=(
+                    None
+                    if tri
+                    else tuple(float(w) for w in box_np / np.array(dims))
+                ),
                 slab_rows=slab_rows,
+                basis=c._trace_basis if tri else None,
+                interpret=pl_interp,
             )
         else:
             hist = rdf_ops.pair_dist_histogram_cl(
@@ -1280,18 +1279,19 @@ def _sdf(c: _Compiler, node, args):
         [np.asarray(s) for s in structs], c.masses, c.x0
     )
     # vis payload (vis.sdf.{extent, structures, matrices} capability,
-    # density_volume.cpp:180-270): one record per sdf() in statement order —
-    # enough to recompute per-frame world→reference matrices host-side
-    # (ops.sdf.sdf_reference_frames) and draw reference structures
-    c.vis["sdf"].append(
-        {
-            "extent": float(args[2]),
-            "structures": [np.asarray(s) for s in structs],
-            "struct_idx": np.asarray(idx),
-            "struct_w": np.asarray(w),
-            "ref_centered": np.asarray(refc),
-        }
-    )
+    # density_volume.cpp:180-270): enough to recompute per-frame
+    # world→reference matrices host-side (ops.sdf.sdf_reference_frames)
+    # and draw reference structures. Attached to the AccumSpec below so
+    # it follows the property NAME (also mirrored into the
+    # CompiledScript.visualization["sdf"] list, in sdf() call order).
+    vis_rec = {
+        "extent": float(args[2]),
+        "structures": [np.asarray(s) for s in structs],
+        "struct_idx": np.asarray(idx),
+        "struct_w": np.asarray(w),
+        "ref_centered": np.asarray(refc),
+    }
+    c.vis["sdf"].append(vis_rec)
     tw = c.dense_weights(target, masses=False)
     # Large orthorhombic systems gather only candidate targets around each
     # structure from a cell list (√3·extent coverage ball).
@@ -1394,6 +1394,7 @@ def _sdf(c: _Compiler, node, args):
         extent=extent,
         x_unit="Å",
         n_structures=len(structs),
+        vis=vis_rec,
     )
     return AccumValue(grid, spec)
 

@@ -101,6 +101,11 @@ class AccumSpec:
     dims: int = 0
     extent: float = 0.0
     n_structures: int = 1
+    # volume vis payload (vis.sdf: structures + alignment inputs), attached
+    # to the spec so it follows the PROPERTY NAME through reassignment —
+    # a positional pairing with sdf() call order desynchronizes when a
+    # volume property is reassigned
+    vis: Any = None
 
 
 @dataclass
