@@ -331,6 +331,18 @@ class TestComponents:
         buf = io.StringIO()
         ss.export_csv(buf)
         assert "lin" in buf.getvalue().splitlines()[0]
+        import tempfile
+
+        from viamd_tpu.io.xvg import read_xvg
+
+        with tempfile.NamedTemporaryFile("w", suffix=".xvg", delete=False) as f:
+            ss.export_xvg(f)
+            xvg_path = f.name
+        txt = open(xvg_path).read()
+        assert '"lin"' in txt and txt.splitlines()[0].startswith("@")
+        data, meta = read_xvg(xvg_path)
+        assert data.shape[0] == 4  # frame + 3 weights
+        assert meta["legends"] == ["lin", "plan", "iso"]
 
     def test_density_volume(self, water, tmp_path):
         from viamd_tpu.app import Session

@@ -116,3 +116,22 @@ class ShapespaceComponent:
             cols.append(c)
             header.append(name)
         write_csv(path_or_buf, np.stack(cols), header)
+
+    def export_xvg(self, path_or_buf):
+        """Per-frame per-structure weights → XVG (the reference exports
+        both XVG and CSV from the shapespace window, shapespace.cpp)."""
+        from viamd_tpu.io.xvg import write_xvg
+
+        if self._result is None:
+            self.evaluate()
+        F, S, _ = self._result.shape
+        flat = self._result.reshape(F * S, 3)
+        cols = np.concatenate(
+            [np.repeat(np.arange(F), S)[None].astype(np.float64), flat.T]
+        )
+        write_xvg(
+            path_or_buf, cols,
+            title="shape space weights",
+            xaxis="frame", yaxis="weight",
+            legends=["lin", "plan", "iso"],
+        )
