@@ -875,6 +875,66 @@ class TestPallasRDF:
         )
         np.testing.assert_allclose(hab, dense_ab, atol=1e-2)
 
+    def test_slab_sharded_matches_dense(self):
+        """Multi-chip slab sharding (pair_dist_histogram_pl_sharded): each
+        of the 8 virtual devices builds only its window of B planes (the
+        100M-atom memory wall sharded over the atom mesh axis) — the
+        psummed histogram must equal the dense path, in symmetric and
+        A≠B modes, including an uneven rows/devices split."""
+        import jax
+        from jax.sharding import Mesh
+
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        rng = np.random.RandomState(11)
+        L = 44.0
+        n = 900
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        rmax = 4.0
+        basis, inv = ortho_cell(L)
+        wa = np.ones(n, np.float32)
+        wb = (rng.rand(n) < 0.5).astype(np.float32)
+        idx_a = jnp.asarray(np.arange(n, dtype=np.int32))
+        idx_b = jnp.asarray(np.nonzero(wb)[0].astype(np.int32))
+        box = jnp.asarray(np.full(3, L, np.float32))
+        mesh = Mesh(np.array(jax.devices()[:8]), ("atoms",))
+        # dims[0]=11 rows over 8 devices: ceil→2 rows/device, devices 6-7
+        # clamp+mask (the uneven-tail case)
+        dims, cap = choose_grid_r(
+            np.full(3, L), rmax, n, radius=1
+        )
+        assert dims[0] % 8 != 0  # the test must cover the uneven split
+        dense_s = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wa),
+                basis, inv, 128, rmax, tile=64,
+            )
+        )
+        got_s = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl_sharded(
+                jnp.asarray(x), idx_a, idx_a, box, 128, rmax,
+                dims, cap, cap, mesh, radius=1, symmetric=True,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got_s, dense_s, atol=1e-2)
+        dense_ab = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, 128, rmax, tile=64,
+            )
+        )
+        _, cap_b = choose_grid_r(np.full(3, L), rmax, int(idx_b.size), radius=1)
+        got_ab = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl_sharded(
+                jnp.asarray(x), idx_a, idx_b, box, 128, rmax,
+                dims, cap, cap_b, mesh, radius=1, symmetric=False,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got_ab, dense_ab, atol=1e-2)
+
     def test_fuzz_matches_dense(self):
         """Randomized configs: box shapes, selection sparsity, radii,
         symmetric mode — pallas (interpret) vs dense must agree exactly."""

@@ -254,7 +254,7 @@ def _offset_classes(
     jax.jit,
     static_argnames=(
         "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
-        "widths", "ka", "interpret", "occ_sort", "slab_rows",
+        "widths", "ka", "interpret", "occ_sort", "slab_rows", "slab_shard",
     ),
 )
 def pair_dist_histogram_pl(
@@ -275,6 +275,7 @@ def pair_dist_histogram_pl(
     occ_sort: bool = True,
     slab_rows: int | None = None,
     basis: jnp.ndarray | None = None,
+    slab_shard: "tuple[str, int] | None" = None,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
@@ -292,6 +293,12 @@ def pair_dist_histogram_pl(
     the cell grid in slabs of this many leading-axis rows — bounds the
     materialized B-plane memory to slab size (the 100M-atom path; see
     the slab-streaming comment below); None = one full-grid slab.
+    `slab_shard=(axis_name, n_devices)`: MULTI-CHIP slab sharding — must
+    be called inside a shard_map over `axis_name`; each device processes
+    one slab window of cell rows (derived from lax.axis_index) and
+    returns its partial histogram (caller psums). Distributes the
+    B-plane memory wall — the single-chip 100M-atom limit — across the
+    atom mesh axis; replaces slab_rows.
     `basis`: a (3,3) row-vector cell basis enables TRICLINIC mode —
     atoms bin on a uniform grid in fractional space (size with
     ops.neighbors.choose_grid_triclinic), the tables carry fractional
@@ -373,7 +380,21 @@ def pair_dist_histogram_pl(
     # 100M atoms); per-slab roll+slice builds only a w·dy·dz-row window
     # (slice-of-roll fuses, full planes never materialize). One slab ≡
     # the original full-grid path.
-    if slab_rows is None or slab_rows >= dx_:
+    x0_dyn = row_ok = None
+    if slab_shard is not None:
+        # multi-chip slab sharding: device k owns global cell rows
+        # [k·w, (k+1)·w). dynamic_slice clamps the window start at dx−w,
+        # so the slice can overlap a neighbor's rows — the row mask kills
+        # those A cells (counts→0, gid→−1); B planes need no mask (a pair
+        # needs a live A slot).
+        ax_name, n_dev = slab_shard
+        w_sh = max(-(-dx_ // int(n_dev)), min(dx_, 2 * radius + 1))
+        k_dev = jax.lax.axis_index(ax_name)
+        x0_dyn = jnp.minimum(k_dev * w_sh, dx_ - w_sh)
+        g_row = x0_dyn + jnp.arange(w_sh)
+        row_ok = (g_row >= k_dev * w_sh) & (g_row < (k_dev + 1) * w_sh)
+        slabs = [(None, w_sh)]
+    elif slab_rows is None or slab_rows >= dx_:
         slabs = [(0, dx_)]
     else:
         sr = max(int(slab_rows), 2 * radius + 1)
@@ -382,7 +403,25 @@ def pair_dist_histogram_pl(
     total = jnp.zeros(nbins, jnp.float32)
     for x0, w in slabs:
         ncells_s = w * yz
-        if len(slabs) > 1:
+        if x0 is None:  # sharded dynamic slab
+            sl_s = a_xyz.shape[1]
+            a_xyz_s = jax.lax.dynamic_slice_in_dim(
+                a_xyz.reshape(dx_, yz, sl_s, 3), x0_dyn, w, 0
+            )
+            a_gid_s = jax.lax.dynamic_slice_in_dim(
+                a_gid.reshape(dx_, yz, sl_s), x0_dyn, w, 0
+            )
+            counts_s = jax.lax.dynamic_slice_in_dim(
+                counts_full.reshape(dx_, yz), x0_dyn, w, 0
+            )
+            a_gid_s = jnp.where(row_ok[:, None, None], a_gid_s, -1)
+            counts_s = jnp.where(row_ok[:, None], counts_s, 0)
+            a_xyz_s = a_xyz_s.reshape(ncells_s, sl_s, 3)
+            a_gid_s = a_gid_s.reshape(ncells_s, sl_s)
+            counts_s = counts_s.reshape(-1)
+            b_xyz_d, b_gid_d = b_xyz, b_gid
+            x0 = x0_dyn  # planes() slices dynamically
+        elif len(slabs) > 1:
             # sequence slabs: tie this slab's table reads to the running
             # histogram so XLA cannot hoist every slab's plane build to
             # the front (which would defeat the live-memory bound)
@@ -533,3 +572,54 @@ def pair_dist_histogram_pl(
                     jnp.sum(partial_hists, axis=(0, 2))
                 )
     return total * 2.0 if symmetric else total
+
+
+def pair_dist_histogram_pl_sharded(
+    x: jnp.ndarray,
+    idx_a: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    box: jnp.ndarray,
+    nbins: int,
+    r_max: float,
+    dims: tuple,
+    cap_a: int,
+    cap_b: int,
+    mesh,
+    axis: str = "atoms",
+    radius: int = 1,
+    symmetric: bool = False,
+    interpret: bool = False,
+    basis: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Multi-chip slab-sharded cell-list pair histogram → (nbins,).
+
+    The 100M-atom scale-out (SURVEY.md §2.4 atom-range parallelism across
+    chips): the B neighborhood planes — the single-chip memory wall
+    (~12 GB at 100M atoms; docs/PERF.md) — shard over the `axis` mesh
+    dimension. Each device builds only ITS window of cell rows
+    (roll+dynamic-slice, same fusion as the single-chip slab streaming),
+    runs the Pallas kernel on that slab, and the (nbins,) partials psum
+    over ICI. Coordinates and cell tables are replicated (cheap relative
+    to the planes); results are bit-identical to the single-chip kernel.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.shape[axis])
+
+    def local(x_, ia_, ib_, box_, *maybe_basis):
+        h = pair_dist_histogram_pl(
+            x_, ia_, ib_, box_, nbins, r_max, dims, cap_a, cap_b,
+            radius=radius, symmetric=symmetric, interpret=interpret,
+            basis=maybe_basis[0] if maybe_basis else None,
+            slab_shard=(axis, n_dev),
+        )
+        return jax.lax.psum(h, axis)
+
+    args = (x, idx_a, idx_b, box) + ((basis,) if basis is not None else ())
+    in_specs = tuple(P() for _ in args)
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=P(),
+            check_vma=False,
+        )
+    )(*args)

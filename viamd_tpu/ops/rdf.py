@@ -179,12 +179,17 @@ def neighborhood_planes(
     a4 = arr.reshape(dx, dy, dz, K)
     if offsets is None:
         offsets = stencil_offsets(radius)
+    dynamic = not isinstance(x0, int)
     parts = []
     for ox, oy, oz in offsets:
-        parts.append(
-            jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))[x0 : x0 + w]
-            .reshape(w * dy * dz, K)
+        rolled = jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))
+        win = (
+            jax.lax.dynamic_slice_in_dim(rolled, x0, w, axis=0)
+            if dynamic  # traced slab start (shard_map slab sharding);
+            # NB dynamic_slice clamps x0 to dx-w — callers mask A rows
+            else rolled[x0 : x0 + w]
         )
+        parts.append(win.reshape(w * dy * dz, K))
     return jnp.concatenate(parts, axis=1)
 
 
