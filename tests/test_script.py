@@ -232,6 +232,42 @@ class TestCompile:
             np.asarray(a_pl["r"]), np.asarray(a_dense["r"]), atol=1e-2
         )
 
+    def test_rdf_atom_sharded_compile(self, monkeypatch):
+        """compile_script(atom_shard=...) → the RDF kernel slab-shards
+        over the atoms mesh axis and psums inside the frame graph; traced
+        under a shard_map it must match the meshless dense compile."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from jax.sharding import PartitionSpec as PS
+
+        from tests.conftest import make_water_box
+        from viamd_tpu.ops import pbc as pbc_ops
+
+        sys_, _ = make_water_box(n_waters=1500, box=36.0, n_frames=1)
+        src = "r = rdf(element('O'), element('O'), 6.0);\n"
+        x = jnp.asarray(sys_.coords())
+        basis = jnp.asarray(np.asarray(sys_.cell.basis, np.float32))
+        inv = pbc_ops.inv_basis_of(basis)
+        cs_dense = compile_script(src, sys_)
+        _, a_dense = cs_dense.frame_fn(x, basis, inv)
+
+        monkeypatch.setenv("VIAMD_TPU_PALLAS_INTERPRET", "1")
+        mesh = Mesh(np.array(jax.devices()[:4]), ("atoms",))
+        cs_tp = compile_script(src, sys_, atom_shard=("atoms", 4))
+
+        def run(x_, b_, i_):
+            _, a = cs_tp.frame_fn(x_, b_, i_)
+            return a
+
+        a_tp = jax.shard_map(
+            run, mesh=mesh, in_specs=(PS(), PS(), PS()), out_specs=PS(),
+            check_vma=False,
+        )(x, basis, inv)
+        np.testing.assert_allclose(
+            np.asarray(a_tp["r"]), np.asarray(a_dense["r"]), atol=1e-2
+        )
+
     def test_sdf_vis_follows_reassignment(self, ala_traj_system):
         """vis.sdf payload is attached to the property SPEC: reassigning a
         volume property must not leave the stale first record paired with

@@ -98,19 +98,33 @@ def compile_script(
     src: str,
     system: S.System,
     identifiers: Optional[dict[str, Bitfield]] = None,
+    atom_shard: "Optional[tuple[str, int]] | None" = None,
 ) -> CompiledScript:
     """Compile script text against a system (reference frame = system coords).
 
     `identifiers` injects stored selections as script identifiers, mirroring
     main.cpp:860-863.
+
+    `atom_shard=(axis_name, n_devices)`: intra-frame atom-axis (tensor)
+    parallelism — the cell-list RDF kernel slab-shards its B planes over
+    that mesh axis and psums (ops.pallas_rdf slab_shard). The returned
+    frame_fn then REQUIRES tracing inside a shard_map whose mesh has
+    `axis_name` (the Evaluator's 2D frames×atoms mesh); it cannot run
+    meshless.
     """
     stmts = P.parse(src)
-    comp = _Compiler(system, identifiers or {})
+    comp = _Compiler(system, identifiers or {}, atom_shard=atom_shard)
     return comp.compile(stmts, src)
 
 
 class _Compiler:
-    def __init__(self, system: S.System, identifiers: dict[str, Bitfield]):
+    def __init__(
+        self,
+        system: S.System,
+        identifiers: dict[str, Bitfield],
+        atom_shard: "Optional[tuple[str, int]]" = None,
+    ):
+        self.atom_shard = atom_shard
         self.sys = system
         self.n = system.natoms
         self.x0 = np.ascontiguousarray(system.coords(), dtype=np.float32)
@@ -161,8 +175,22 @@ class _Compiler:
             a_out = {k: v.data for k, v in accum.items()}
             return t_out, a_out
 
+        probe_fn = probe
+        if self.atom_shard is not None:
+            # the frame graph now contains psums over the atoms mesh axis;
+            # the dry-run probe must trace inside a shard_map that binds it
+            ax, ndev = self.atom_shard
+            from jax.sharding import Mesh
+            from jax.sharding import PartitionSpec as PS
+
+            mesh_p = Mesh(np.array(jax.devices()[:ndev]), (ax,))
+            probe_fn = jax.shard_map(
+                probe, mesh=mesh_p,
+                in_specs=(PS(), PS(), PS()), out_specs=PS(),
+                check_vma=False,
+            )
         t_shapes, _a_shapes = jax.eval_shape(
-            probe,
+            probe_fn,
             jax.ShapeDtypeStruct((self.n, 3), jnp.float32),
             jax.ShapeDtypeStruct((3, 3), jnp.float32),
             jax.ShapeDtypeStruct((3, 3), jnp.float32),
@@ -1232,10 +1260,16 @@ def _rdf(c: _Compiler, node, args):
                     if tri
                     else tuple(float(w) for w in box_np / np.array(dims))
                 ),
-                slab_rows=slab_rows,
+                slab_rows=None if c.atom_shard else slab_rows,
                 basis=c._trace_basis if tri else None,
                 interpret=pl_interp,
+                slab_shard=c.atom_shard,
             )
+            if c.atom_shard is not None:
+                # intra-frame atom-axis parallelism: each device computed
+                # its slab window's partial histogram — reduce over the
+                # atoms mesh axis (requires tracing inside shard_map)
+                hist = jax.lax.psum(hist, c.atom_shard[0])
         else:
             hist = rdf_ops.pair_dist_histogram_cl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
