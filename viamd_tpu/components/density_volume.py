@@ -71,6 +71,16 @@ class DensityVolumeComponent:
         prop_name = prop_name or names[0]
         rec = res.property(prop_name).spec.vis
         if rec is None:
+            # checkpoint-restored results drop spec.vis (array payloads are
+            # not serialized); recover it from the session's compiled
+            # script, matching volume-property order ↔ sdf() call order
+            compiled = self.session.compiled
+            recs = (
+                compiled.visualization.get("sdf", []) if compiled else []
+            )
+            i = names.index(prop_name)
+            if i < len(recs):
+                return recs[i]
             raise KeyError(f"{prop_name}: no vis.sdf payload")
         return rec
 
