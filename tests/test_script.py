@@ -268,6 +268,34 @@ class TestCompile:
             np.asarray(a_tp["r"]), np.asarray(a_dense["r"]), atol=1e-2
         )
 
+    def test_empty_selection_rejected(self, water):
+        """Geometric reductions over a statically-empty selection must be
+        located compile errors (min over nothing = inf, shape weights of
+        nothing = garbage) — found by the round-2 fuzz campaign."""
+        sys_, _ = water
+        import pytest
+
+        from viamd_tpu.script.parser import ScriptError
+
+        for src in [
+            "p = distance_min(name('CA'), backbone);",
+            "p = distance_max(not chains, water);",
+            "p = distance_pair(name('CA'), water);",
+            "p = rmsd(name('CA'));",
+            "p = shape_weights(name('CA'));",
+            "p = com(resname('ALA'));",
+            "p = plane(name('CA'));",
+        ]:
+            with pytest.raises(ScriptError, match="no atoms"):
+                compile_script(src, sys_)
+        # but zero-result accumulations stay valid (count/rdf of empty)
+        cs = compile_script(
+            "p = count(resname('ALA'));\n"
+            "r = rdf(element('O'), resname('ALA'), 4.0);\n",
+            sys_,
+        )
+        assert [p.name for p in cs.properties] == ["p", "r"]
+
     def test_sdf_vis_follows_reassignment(self, ala_traj_system):
         """vis.sdf payload is attached to the property SPEC: reassigning a
         volume property must not leave the stale first record paired with

@@ -987,6 +987,18 @@ def _mapped_indices(c: _Compiler, raw_args, node, arity):
     return [np.asarray(o, np.int32) for o in out]
 
 
+def _require_atoms(name: str, node, *sels):
+    """Compile-time empty-selection check (selections are static): the
+    geometric reductions below produce garbage on zero atoms (min over
+    nothing = inf, shape weights of nothing, …) — reject with a located
+    error like the reference's typed compile errors (main.cpp:868-930)."""
+    for s in sels:
+        if s.mask.popcount() == 0:
+            raise ScriptError(
+                f"{name}: selection matches no atoms", node.line, node.col
+            )
+
+
 @builtin("distance")
 def _distance(c: _Compiler, node, args):
     if len(args) != 2:
@@ -1007,6 +1019,7 @@ def _distance(c: _Compiler, node, args):
 def _distance_min(c: _Compiler, node, args):
     a = c._as_selection(args[0], node)
     bsel = c._as_selection(args[1], node)
+    _require_atoms("distance_min", node, a, bsel)
     dmin, _ = geom_ops.distance_min_max(
         c._trace_x,
         jnp.asarray(c.dense_weights(a, masses=False)),
@@ -1020,6 +1033,7 @@ def _distance_min(c: _Compiler, node, args):
 def _distance_max(c: _Compiler, node, args):
     a = c._as_selection(args[0], node)
     bsel = c._as_selection(args[1], node)
+    _require_atoms("distance_max", node, a, bsel)
     _, dmax = geom_ops.distance_min_max(
         c._trace_x,
         jnp.asarray(c.dense_weights(a, masses=False)),
@@ -1033,6 +1047,7 @@ def _distance_max(c: _Compiler, node, args):
 def _distance_pair(c: _Compiler, node, args):
     a = c._as_selection(args[0], node)
     bsel = c._as_selection(args[1], node)
+    _require_atoms("distance_pair", node, a, bsel)
     ia = a.mask.indices()
     ib_ = bsel.mask.indices()
     if ia.size * ib_.size > 65536:
@@ -1096,6 +1111,7 @@ def _dihedral(c: _Compiler, node, args):
 @builtin("com")
 def _com(c: _Compiler, node, args):
     sel = c._as_selection(args[0] if args else NULLARY["all"](c, node), node)
+    _require_atoms("com", node, sel)
     if c.context is not None and c.context.n_structures > 1:
         idx, w = Selection(
             sel.mask, c.context.structures, "atom"
@@ -1120,6 +1136,7 @@ def _com(c: _Compiler, node, args):
 def _plane(c: _Compiler, node, args):
     """Best-fit plane of a selection → (nx, ny, nz, d) coefficients."""
     sel = c._as_selection(args[0], node)
+    _require_atoms("plane", node, sel)
     w = jnp.asarray(c.dense_weights(sel))
     x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
     cm, vals, vecs = cov_ops.principal_axes(x, w, b, ib)
@@ -1131,6 +1148,7 @@ def _plane(c: _Compiler, node, args):
 @builtin("rmsd")
 def _rmsd(c: _Compiler, node, args):
     sel = c._as_selection(args[0], node)
+    _require_atoms("rmsd", node, sel)
     structs = (
         c.context.structures
         if c.context is not None and c.context.n_structures > 1
@@ -1151,6 +1169,7 @@ def _rmsd(c: _Compiler, node, args):
 @builtin("shape_weights")
 def _shape_weights(c: _Compiler, node, args):
     sel = c._as_selection(args[0], node)
+    _require_atoms("shape_weights", node, sel)
     structs = sel.structures if sel.n_structures > 1 else None
     if c.context is not None and c.context.n_structures > 1:
         structs = c.context.structures
