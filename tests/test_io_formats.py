@@ -97,6 +97,39 @@ class TestXTC:
         np.testing.assert_allclose(xyz, coords[0], atol=0.05, rtol=1e-5)
 
 
+class TestXTCCorrupt:
+    def test_mutated_files_raise_cleanly(self, tmp_path):
+        """Seeded corrupt-file sweep over the native decoder: every load
+        must succeed or raise a clean error — never crash. (The r2 fuzz
+        found an unchecked run-length writing past the output buffer;
+        xtc.cpp now rejects runs exceeding the frame's remaining atoms.)"""
+        from viamd_tpu.io.xtc import XTCTrajectory, write_xtc
+
+        coords = _frames(F=2, n=60, seed=4)
+        p0 = str(tmp_path / "base.xtc")
+        write_xtc(p0, coords, UnitCell.orthorhombic(30, 30, 30))
+        base = open(p0, "rb").read()
+        rng = np.random.RandomState(0)
+        for i in range(200):
+            data = bytearray(base)
+            mode = rng.randint(3)
+            if mode == 0:
+                data = data[: rng.randint(1, len(data))]
+            elif mode == 1:
+                for _ in range(rng.randint(1, 30)):
+                    data[rng.randint(len(data))] = rng.randint(256)
+            else:
+                k = rng.randint(1, len(data))
+                data = data[k:] + data[:k]
+            p = str(tmp_path / "c.xtc")
+            open(p, "wb").write(bytes(data))
+            try:
+                t = XTCTrajectory(p)
+                t.load_frame(0)
+            except (ValueError, OSError, EOFError):
+                pass
+
+
 class TestXTCRuns:
     """Small-delta run encoding (native/xtc.cpp encode_coords): gromacs-
     comparable sizes on spatially coherent data, integer-exact decode."""

@@ -56,8 +56,12 @@ class XTCTrajectory(Trajectory):
             ctypes.byref(natoms),
             times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
-        if n < 0:
-            raise ValueError(f"XTC: failed to scan '{path}'")
+        if n <= 0:
+            raise ValueError(
+                f"XTC: no readable frames in '{path}'"
+                if n == 0
+                else f"XTC: failed to scan '{path}'"
+            )
         self._offsets = offsets[:n].copy()
         self._times = times[:n].copy()
         self._natoms = int(natoms.value)

@@ -80,9 +80,18 @@ def parse_xyz(text: str | bytes) -> tuple[System, InMemoryTrajectory | None]:
             elif not is_arc:
                 cell = _parse_lattice(lines[pos])
                 pos += 1  # comment line
+        if natoms < 0:
+            raise ValueError(f"XYZ: negative atom count at line {pos}")
+        if pos + natoms > len(lines):
+            raise ValueError(
+                f"XYZ: truncated frame — {natoms} atoms declared, "
+                f"{len(lines) - pos} lines remain"
+            )
         xyz = np.empty((natoms, 3), np.float32)
         for i in range(natoms):
             t = lines[pos + i].split()
+            if len(t) < 4:
+                raise ValueError(f"XYZ: malformed atom row at line {pos+i+1}")
             if t and t[0].isdigit() and len(t) >= 5:
                 # Tinker ARC row: idx Sym x y z [type bonded...]
                 sym = t[1]

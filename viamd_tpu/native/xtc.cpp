@@ -318,6 +318,10 @@ static bool decode_coords(Reader& r, int lsize, float* out /* lsize*3 */) {
       run = 0;
     }
     if (run > 0) {
+      // corrupt input guard: a 5-bit run field can claim more atoms than
+      // remain in the frame — without this check the run loop writes past
+      // `out` (heap corruption; found by the r2 corrupt-file fuzz)
+      if (i + run / 3 > lsize) return false;
       for (int k = 0; k < run; k += 3) {
         receiveints(br, 3, smallidx, sizesmall, thiscoord);
         i++;
