@@ -44,6 +44,36 @@ with tempfile.TemporaryDirectory() as td:
             writer(p, coords)
         corpus[ext] = open(p, "rb").read()
 
+
+    # extended corpus: mmCIF, LAMMPS data+trj, .vtraj cache, .edr, .via
+    corpus[".cif"] = (
+        "data_test\nloop_\n_atom_site.group_PDB\n_atom_site.id\n"
+        "_atom_site.type_symbol\n_atom_site.label_atom_id\n"
+        "_atom_site.label_comp_id\n_atom_site.label_asym_id\n"
+        "_atom_site.label_seq_id\n_atom_site.Cartn_x\n_atom_site.Cartn_y\n"
+        "_atom_site.Cartn_z\nATOM 1 N N ALA A 1 1.0 2.0 3.0\n"
+        "ATOM 2 C CA ALA A 1 2.0 2.0 3.0\n"
+    ).encode()
+    corpus[".data"] = (
+        "LAMMPS data\n\n2 atoms\n1 atom types\n\n0 10 xlo xhi\n"
+        "0 10 ylo yhi\n0 10 zlo zhi\n\nMasses\n\n1 15.999\n\n"
+        "Atoms # atomic\n\n1 1 1.0 2.0 3.0\n2 1 4.0 5.0 6.0\n"
+    ).encode()
+    from viamd_tpu.io.cache import write_cache
+    pv = os.path.join(td, "c.vtraj")
+    cells_ = np.tile(np.eye(3, dtype=np.float32) * 20, (2, 1, 1))
+    write_cache(
+        pv,
+        ((coords[k].astype(np.float32), cells_[k]) for k in range(2)),
+        coords.shape[1], 2,
+    )
+    corpus[".vtraj"] = open(pv, "rb").read()
+    from viamd_tpu.io.edr import write_edr
+    pe = os.path.join(td, "e.edr")
+    write_edr(pe, ["Potential", "Kinetic"],
+              np.arange(4, dtype=np.float64),
+              np.random.RandomState(0).rand(4, 2))
+    corpus[".edr"] = open(pe, "rb").read()
     gro = ["ala", "3"]
     gro += [f"{1:5d}{'SOL':<5s}{'OW':>5s}{i+1:5d}{0.1*i:8.3f}{0.2:8.3f}{0.3:8.3f}"
             for i in range(3)]
@@ -74,7 +104,11 @@ with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, f"f{i}{ext}")
         open(p, "wb").write(bytes(data))
         try:
-            res = load_file(p)
+            if ext == ".edr":
+                from viamd_tpu.io.edr import read_edr
+                read_edr(p)
+            else:
+                res = load_file(p)
             n_loaded += 1
         except (ValueError, OSError, EOFError, KeyError,
                 struct.error, UnicodeDecodeError, StopIteration) as e:

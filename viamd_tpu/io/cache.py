@@ -116,6 +116,25 @@ class PackedTrajectory(Trajectory):
                 raise ValueError(f"vtraj version {version} unsupported")
         self._natoms = int(natoms)
         self._nframes = int(nframes)
+        # corrupt-header guard: the declared sizes must fit the file
+        # (memmap would otherwise fail with OverflowError/ValueError deep
+        # inside numpy on garbage counts)
+        expect = (
+            _HEADER
+            + self._nframes * (8 + 36)
+            + self._nframes * self._natoms * 12
+        )
+        actual = os.path.getsize(path)
+        if (
+            self._natoms <= 0
+            or self._nframes <= 0
+            or expect > actual
+        ):
+            raise ValueError(
+                f"vtraj cache '{path}': header declares "
+                f"{self._nframes}×{self._natoms} atoms "
+                f"({expect} bytes) but the file has {actual}"
+            )
         off_times = _HEADER
         off_cells = off_times + 8 * self._nframes
         off_coords = off_cells + 4 * 9 * self._nframes

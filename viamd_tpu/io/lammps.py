@@ -87,6 +87,10 @@ def load_lammps_data(path: str, atom_style: str | None = None) -> System:
             continue
         if section == "Masses":
             p = line.split()
+            if len(p) < 2:
+                raise ValueError(
+                    f"LAMMPS data: malformed Masses line {i + 1}"
+                )
             masses[int(p[0])] = float(p[1])
         elif section == "Atoms":
             atoms_raw.append(line.split())
@@ -104,7 +108,15 @@ def load_lammps_data(path: str, atom_style: str | None = None) -> System:
     type_ids = np.empty(natoms, np.int32)
     mol_ids = np.zeros(natoms, np.int32)
     order = np.empty(natoms, np.int64)
+    def _row_error(k, p):
+        raise ValueError(
+            f"LAMMPS data: malformed Atoms row {k + 1} "
+            f"({len(p)} fields for style '{style}')"
+        )
+
     for k, p in enumerate(atoms_raw):
+        if len(p) < ncols or len(p) < 5:
+            _row_error(k, p)
         order[k] = int(p[0])
         if style in ("full", "molecular") or (
             style == "full_or_charge" and ncols >= 7 and "." not in p[2]
@@ -117,6 +129,8 @@ def load_lammps_data(path: str, atom_style: str | None = None) -> System:
             off = 3 if style == "charge" or (
                 style == "full_or_charge" and "." in p[2]
             ) else 2
+        if off + 3 > len(p):
+            _row_error(k, p)
         xyz[k] = [float(p[off]), float(p[off + 1]), float(p[off + 2])]
     # sort by atom id
     sidx = np.argsort(order)

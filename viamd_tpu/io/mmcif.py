@@ -62,7 +62,7 @@ def parse_mmcif(text: str | bytes) -> System:
                 tags.append(lines[i].strip().split()[0])
                 i += 1
             if tags and tags[0].startswith("_atom_site."):
-                atom_cols = [t.split(".", 1)[1] for t in tags]
+                atom_cols = [t.split(".", 1)[1] if "." in t else t for t in tags]
                 while i < n:
                     row = lines[i].strip()
                     if (
