@@ -63,7 +63,9 @@ struct Reader {
     return f;
   }
   void skip(size_t n) {
-    if (p + n > end) ok = false; else p += n;
+    // compare against the remaining size, not p + n (pointer overflow UB
+    // on huge corrupt counts)
+    if (n > size_t(end - p)) ok = false; else p += n;
   }
 };
 
@@ -262,7 +264,10 @@ static bool decode_coords(Reader& r, int lsize, float* out /* lsize*3 */) {
   for (int k = 0; k < 3; k++) minint[k] = r.i32();
   for (int k = 0; k < 3; k++) maxint[k] = r.i32();
   int smallidx = r.i32();
-  if (smallidx < 0 || smallidx >= LASTIDX) return false;
+  // smallidx below FIRSTIDX indexes the zero entries of magicints —
+  // sizesmall would be 0 and receiveints divides by sizes[i] (SIGFPE on
+  // corrupt files); real encoders never emit < FIRSTIDX
+  if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return false;
   int tmp = smallidx + 8;
   tmp = smallidx - 1;
   tmp = (FIRSTIDX > tmp) ? FIRSTIDX : tmp;
@@ -278,7 +283,8 @@ static bool decode_coords(Reader& r, int lsize, float* out /* lsize*3 */) {
   bool large = false;
   for (int k = 0; k < 3; k++) {
     sizeint[k] = unsigned(maxint[k] - minint[k]) + 1;
-    if (sizeint[k] > 0xffffff) large = true;
+    if (sizeint[k] == 0) return false;  // corrupt extents: receiveints
+    if (sizeint[k] > 0xffffff) large = true;  // would divide by zero
   }
   if (large) {
     for (int k = 0; k < 3; k++) bitsizeint[k] = sizeofint(int(sizeint[k]));
@@ -288,9 +294,12 @@ static bool decode_coords(Reader& r, int lsize, float* out /* lsize*3 */) {
   }
 
   int nbytes = r.i32();
-  if (!r.ok || nbytes < 0 || r.p + ((nbytes + 3) & ~3) > r.end) return false;
+  // padded size computed in size_t: (nbytes + 3) overflows int for
+  // corrupt nbytes near INT_MAX, corrupting the bounds check
+  size_t padded = (size_t(nbytes) + 3) & ~size_t(3);
+  if (!r.ok || nbytes < 0 || padded > size_t(r.end - r.p)) return false;
   BitReader br{r.p, size_t(nbytes)};
-  r.skip(size_t((nbytes + 3) & ~3));
+  r.skip(padded);
 
   int thiscoord[3], prevcoord[3] = {0, 0, 0};
   int run = 0;
@@ -548,7 +557,7 @@ int64_t xtc_scan(const char* path, int64_t max_frames, int64_t* offsets,
       for (int k = 0; k < 7; k++) r.i32();  // minint, maxint, smallidx
       int nbytes = r.i32();
       if (nbytes < 0) return -1;
-      r.skip(size_t((nbytes + 3) & ~3));
+      r.skip((size_t(nbytes) + 3) & ~size_t(3));
     }
     if (!r.ok) break;
     offsets[nframes] = frame_start - base;
