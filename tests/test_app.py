@@ -335,14 +335,15 @@ class TestComponents:
 
         from viamd_tpu.io.xvg import read_xvg
 
-        with tempfile.NamedTemporaryFile("w", suffix=".xvg", delete=False) as f:
-            ss.export_xvg(f)
-            xvg_path = f.name
-        txt = open(xvg_path).read()
-        assert '"lin"' in txt and txt.splitlines()[0].startswith("@")
-        data, meta = read_xvg(xvg_path)
-        assert data.shape[0] == 4  # frame + 3 weights
-        assert meta["legends"] == ["lin", "plan", "iso"]
+        with tempfile.TemporaryDirectory() as td:
+            xvg_path = td + "/w.xvg"
+            with open(xvg_path, "w") as f:
+                ss.export_xvg(f)
+            txt = open(xvg_path).read()
+            assert '"lin"' in txt and txt.splitlines()[0].startswith("@")
+            data, meta = read_xvg(xvg_path)
+            assert data.shape[0] == 4  # frame + 3 weights
+            assert meta["legends"] == ["lin", "plan", "iso"]
 
     def test_density_volume(self, water, tmp_path):
         from viamd_tpu.app import Session

@@ -899,8 +899,9 @@ class TestPallasRDF:
         idx_b = jnp.asarray(np.nonzero(wb)[0].astype(np.int32))
         box = jnp.asarray(np.full(3, L, np.float32))
         mesh = Mesh(np.array(jax.devices()[:8]), ("atoms",))
-        # dims[0]=11 rows over 8 devices: ceil→2 rows/device, devices 6-7
-        # clamp+mask (the uneven-tail case)
+        # dims[0]=11 rows over 8 devices: w_sh = max(ceil(11/8), 3) = 3
+        # rows/device — devices 0-3 cover all rows, devices 4-7 are fully
+        # masked, device 3's window clamps (the uneven-tail case)
         dims, cap = choose_grid_r(
             np.full(3, L), rmax, n, radius=1
         )

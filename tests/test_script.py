@@ -311,6 +311,18 @@ class TestCompile:
         assert len(rec["structures"]) == 2
         # both calls still appear in the call-ordered visualization list
         assert len(cs.visualization["sdf"]) == 2
+        # the NAME-keyed mirror (used for checkpoint-restored results,
+        # where spec.vis is dropped) must also resolve to the live record
+        # even when call order and property order diverge
+        cs2 = compile_script(
+            "v = sdf(residue(1:2), element('O'), 4.0);\n"
+            "v = sdf(residue(3:4), element('O'), 5.0);\n"
+            "u = sdf(residue(1:4), element('O'), 6.0);\n",
+            sys,
+        )
+        by_name = cs2.visualization["sdf_by_name"]
+        assert by_name["v"]["extent"] == 5.0
+        assert by_name["u"]["extent"] == 6.0
 
     def test_compile_errors(self, ala_system):
         with pytest.raises(ScriptError):

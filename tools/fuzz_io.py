@@ -81,8 +81,6 @@ with tempfile.TemporaryDirectory() as td:
     corpus[".gro"] = ("\n".join(gro) + "\n").encode()
     corpus[".xyz"] = b"3\ncomment\nC 0 0 0\nH 1 0 0\nH 0 1 0\n"
 
-    OK_ERRORS = (ValueError, OSError, EOFError, KeyError, RuntimeError,
-                 StopIteration, UnicodeDecodeError, struct_err := Exception)
     import struct
 
     n_loaded = n_err = n_ugly = 0

@@ -69,18 +69,22 @@ class DensityVolumeComponent:
         if not names:
             raise ValueError("no volume properties")
         prop_name = prop_name or names[0]
+        if prop_name not in names:
+            raise KeyError(prop_name)
         rec = res.property(prop_name).spec.vis
         if rec is None:
-            # checkpoint-restored results drop spec.vis (array payloads are
-            # not serialized); recover it from the session's compiled
-            # script, matching volume-property order ↔ sdf() call order
+            # checkpoint-restored results drop spec.vis (array payloads
+            # are not serialized); recover it by NAME from the session's
+            # compiled script (the call-ordered "sdf" list desynchronizes
+            # under property reassignment)
             compiled = self.session.compiled
-            recs = (
-                compiled.visualization.get("sdf", []) if compiled else []
+            by_name = (
+                compiled.visualization.get("sdf_by_name", {})
+                if compiled
+                else {}
             )
-            i = names.index(prop_name)
-            if i < len(recs):
-                return recs[i]
+            if prop_name in by_name:
+                return by_name[prop_name]
             raise KeyError(f"{prop_name}: no vis.sdf payload")
         return rec
 

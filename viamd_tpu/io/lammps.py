@@ -115,7 +115,9 @@ def load_lammps_data(path: str, atom_style: str | None = None) -> System:
         )
 
     for k, p in enumerate(atoms_raw):
-        if len(p) < ncols or len(p) < 5:
+        # per-row minimum is the STYLE's requirement, not the first row's
+        # width (rows may legally differ by the optional image flags)
+        if len(p) < 5:
             _row_error(k, p)
         order[k] = int(p[0])
         if style in ("full", "molecular") or (

@@ -352,6 +352,10 @@ static bool decode_coords(Reader& r, int lsize, float* out /* lsize*3 */) {
       for (int d = 0; d < 3; d++) *lfp++ = thiscoord[d] * inv_precision;
     }
     smallidx += is_smaller;
+    // corrupt-input clamp: is_smaller=+1 at smallidx==LASTIDX-1 would
+    // index magicints[LASTIDX] (OOB read); <FIRSTIDX hits the zero rows
+    // (division by zero in receiveints)
+    if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return false;
     if (is_smaller < 0) {
       smallnum = smaller;
       if (smallidx > FIRSTIDX)

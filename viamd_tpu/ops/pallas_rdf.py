@@ -388,6 +388,16 @@ def pair_dist_histogram_pl(
         # those A cells (counts→0, gid→−1); B planes need no mask (a pair
         # needs a live A slot).
         ax_name, n_dev = slab_shard
+        # derive the REAL axis size at trace time (static under shard_map)
+        # — trusting the declared count silently drops cell rows when the
+        # runtime mesh is smaller (compile_script(atom_shard=…) takes the
+        # count on faith)
+        n_actual = jax.lax.axis_size(ax_name)
+        if int(n_dev) != int(n_actual):
+            raise ValueError(
+                f"slab_shard declared {n_dev} devices on axis "
+                f"'{ax_name}' but the mesh has {n_actual}"
+            )
         w_sh = max(-(-dx_ // int(n_dev)), min(dx_, 2 * radius + 1))
         k_dev = jax.lax.axis_index(ax_name)
         x0_dyn = jnp.minimum(k_dev * w_sh, dx_ - w_sh)
@@ -602,6 +612,22 @@ def pair_dist_histogram_pl_sharded(
     over ICI. Coordinates and cell tables are replicated (cheap relative
     to the planes); results are bit-identical to the single-chip kernel.
     """
+    fn = _sharded_fn(
+        mesh, axis, nbins, r_max, dims, cap_a, cap_b, radius, symmetric,
+        interpret, basis is not None,
+    )
+    args = (x, idx_a, idx_b, box) + ((basis,) if basis is not None else ())
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_fn(
+    mesh, axis, nbins, r_max, dims, cap_a, cap_b, radius, symmetric,
+    interpret, has_basis,
+):
+    """Cached jitted shard_map for pair_dist_histogram_pl_sharded — a
+    fresh closure per call would retrace/relower the whole kernel graph
+    every invocation (minutes per compile on the tunneled backend)."""
     from jax.sharding import PartitionSpec as P
 
     n_dev = int(mesh.shape[axis])
@@ -610,16 +636,15 @@ def pair_dist_histogram_pl_sharded(
         h = pair_dist_histogram_pl(
             x_, ia_, ib_, box_, nbins, r_max, dims, cap_a, cap_b,
             radius=radius, symmetric=symmetric, interpret=interpret,
-            basis=maybe_basis[0] if maybe_basis else None,
+            basis=maybe_basis[0] if has_basis else None,
             slab_shard=(axis, n_dev),
         )
         return jax.lax.psum(h, axis)
 
-    args = (x, idx_a, idx_b, box) + ((basis,) if basis is not None else ())
-    in_specs = tuple(P() for _ in args)
+    nargs = 4 + (1 if has_basis else 0)
     return jax.jit(
         jax.shard_map(
-            local, mesh=mesh, in_specs=in_specs, out_specs=P(),
-            check_vma=False,
+            local, mesh=mesh, in_specs=tuple(P() for _ in range(nargs)),
+            out_specs=P(), check_vma=False,
         )
-    )(*args)
+    )

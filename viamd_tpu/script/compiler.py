@@ -183,6 +183,11 @@ class _Compiler:
             from jax.sharding import Mesh
             from jax.sharding import PartitionSpec as PS
 
+            if len(jax.devices()) < ndev:
+                raise ScriptError(
+                    f"atom_shard declares {ndev} devices on axis '{ax}' "
+                    f"but only {len(jax.devices())} exist"
+                )
             mesh_p = Mesh(np.array(jax.devices()[:ndev]), (ax,))
             probe_fn = jax.shard_map(
                 probe, mesh=mesh_p,
@@ -223,7 +228,10 @@ class _Compiler:
             selections=selections,
             source=src,
             warnings=list(self.warnings),
-            visualization={k: list(v) for k, v in self.vis.items()},
+            visualization={
+                k: dict(v) if isinstance(v, dict) else list(v)
+                for k, v in self.vis.items()
+            },
         )
 
     # -- walking ------------------------------------------------------------
@@ -271,6 +279,12 @@ class _Compiler:
                     temporal[nm] = v
                 elif isinstance(v, AccumValue):
                     accum[nm] = v
+                    if v.spec is not None and v.spec.vis is not None:
+                        # name-keyed vis.sdf mirror: the order-based list
+                        # desynchronizes under property reassignment
+                        self.vis.setdefault("sdf_by_name", {})[nm] = (
+                            v.spec.vis
+                        )
                 elif isinstance(v, (int, float)):
                     temporal[nm] = DynValue(jnp.float32(v))
                 elif isinstance(v, np.ndarray):
