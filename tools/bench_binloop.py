@@ -8,6 +8,15 @@ Synthetic (128, Cc) distance tiles, T grid steps ≈ the bench config's
   i8        — compare in int8
   factored  — two-level: 16 sub-onehots + 8 block-masks, mul+reduce per bin
   cdf       — compare dist<edge in f32, bf16 mask-mult, diff at the end
+  mxu       — two-level one-hot MXU outer product: flatten the tile to one
+              lane row, build C (8, S) coarse and F (16, S) fine one-hots
+              (24 compares/slot on the VPU; w folded into the fine sentinel),
+              hist(8,16) = C @ F^T on the MXU (contraction over slots)
+  pack8     — bit-packed byte fields: each int32 word holds 4 bins as 8-bit
+              counters (sublane counts ≤ 128 < 256 cannot overflow), so one
+              slot's contribution is select(word_id == k, 1 << (fine·8), 0)
+              over 32 words instead of 128 bin compares; unpack the 4 bytes
+              after the sublane reduce on (1, Cc) rows
 """
 
 from __future__ import annotations
@@ -75,6 +84,42 @@ def kernel(d_ref, w_ref, out_ref, scratch, *, variant):
                 for j in range(16)
             ]
             scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
+    elif variant == "mxu":
+        blk = bin_id >> 4  # 8 values
+        # fold w in via a fine-index sentinel (16 never matches 0..15)
+        sub = jnp.where(w > zero, bin_id & 15, 16)
+        S = 128 * Cc
+        blkf = jnp.reshape(blk, (1, S))
+        subf = jnp.reshape(sub, (1, S))
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0)
+        f_iota = jax.lax.broadcasted_iota(jnp.int32, (16, S), 0)
+        C = (blkf == c_iota).astype(jnp.bfloat16)  # (8, S)
+        F = (subf == f_iota).astype(jnp.bfloat16)  # (16, S)
+        hist = jax.lax.dot_general(
+            C, F, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, 16)
+        scratch[0:NBINS, 0:1] = jnp.reshape(hist, (NBINS, 1))
+        out_ref[0] = scratch[0:NBINS, 0:1]
+        return
+    elif variant == "pack8":
+        # invalid slots (w==0) get word_id 32 → match no word
+        wid = jnp.where(w > zero, bin_id >> 2, 32)
+        shiftval = jnp.left_shift(
+            jnp.int32(1), jnp.left_shift(bin_id & 3, 3)
+        )  # 1 << (fine*8)
+        zero_i = jnp.int32(0)
+        for k in range(NBINS // 4):
+            word = jnp.sum(
+                jnp.where(wid == k, shiftval, zero_i),
+                axis=0, keepdims=True, dtype=jnp.int32,
+            )  # (1, Cc) packed: 4 byte counters
+            b0 = word & 0xFF
+            b1 = (word >> 8) & 0xFF
+            b2 = (word >> 16) & 0xFF
+            b3 = (word >> 24) & 0xFF
+            block = jnp.concatenate([b0, b1, b2, b3], 0).astype(jnp.float32)
+            scratch[k * 4 : (k + 1) * 4, :] = block
     elif variant == "cdf":
         # cdf[j] = sum(dist < edge_j): cmp f32 → bf16 mult by w
         for g in range(NBINS // 16):
