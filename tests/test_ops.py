@@ -726,6 +726,42 @@ class TestBackbone:
 
 
 class TestPallasRDF:
+    def test_mxu_bin_mode_matches_block(self):
+        """Two-level one-hot MXU binning (bin_mode='mxu') is bit-identical
+        to the unrolled block loop — symmetric and A≠B, radius 1 and 2,
+        and with widths-based offset classes collapsed."""
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid, choose_grid_r
+
+        rng = np.random.RandomState(7)
+        L, n = 26.0, 500
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        ia = jnp.asarray(np.arange(0, n, 2, dtype=np.int32))
+        ib = jnp.asarray(np.arange(1, n, 3, dtype=np.int32))
+        boxj = jnp.asarray([L, L, L], jnp.float32)
+        nbins, rmax = 128, 5.0
+        cases = []
+        dims1, cap1 = choose_grid_r(np.array([L] * 3), rmax, n, radius=1)
+        dims2, cap2 = choose_grid(np.array([L] * 3), rmax, n)
+        cases.append(dict(dims=dims1, cap_a=cap1, cap_b=cap1, radius=1,
+                          symmetric=True))
+        cases.append(dict(dims=dims1, cap_a=cap1, cap_b=cap1, radius=1,
+                          symmetric=False))
+        cases.append(dict(dims=dims2, cap_a=cap2, cap_b=cap2, radius=2,
+                          symmetric=False,
+                          widths=tuple(L / d for d in dims2)))
+        for kw in cases:
+            sym = kw["symmetric"]
+            a, b = (ia, ia) if sym else (ia, ib)
+            h_blk = np.asarray(pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), a, b, boxj, nbins, rmax,
+                interpret=True, **kw))
+            h_mxu = np.asarray(pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), a, b, boxj, nbins, rmax,
+                interpret=True, bin_mode="mxu", **kw))
+            np.testing.assert_array_equal(h_blk, h_mxu)
+            assert h_mxu.sum() > 0
+
     def test_multipass_and_radius1_interpret(self):
         from viamd_tpu.ops import pallas_rdf
         from viamd_tpu.ops.neighbors import choose_grid

@@ -34,10 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import os
+
 NBINS = 128
-Cc = 2048
-T = 164  # tiles ≈ 43M slots
-K = 8  # fori_loop reps
+Cc = int(os.environ.get("BINLOOP_CC", "2048"))
+T = int(os.environ.get("BINLOOP_T", "164"))  # tiles ≈ 43M slots at 2048
+K = int(os.environ.get("BINLOOP_K", "8"))  # fori_loop reps
 
 
 def kernel(d_ref, w_ref, out_ref, scratch, *, variant):
@@ -86,25 +88,33 @@ def kernel(d_ref, w_ref, out_ref, scratch, *, variant):
             scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
     elif variant == "mxu":
         blk = bin_id >> 4  # 8 values
-        # fold w in via a fine-index sentinel (16 never matches 0..15)
-        sub = jnp.where(w > zero, bin_id & 15, 16)
-        S = 128 * Cc
-        blkf = jnp.reshape(blk, (1, S))
-        subf = jnp.reshape(sub, (1, S))
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (8, S), 0)
-        f_iota = jax.lax.broadcasted_iota(jnp.int32, (16, S), 0)
-        C = (blkf == c_iota).astype(jnp.bfloat16)  # (8, S)
-        F = (subf == f_iota).astype(jnp.bfloat16)  # (16, S)
-        hist = jax.lax.dot_general(
-            C, F, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (8, 16)
-        scratch[0:NBINS, 0:1] = jnp.reshape(hist, (NBINS, 1))
-        out_ref[0] = scratch[0:NBINS, 0:1]
+        # fold w in via a fine-index sentinel (16 never matches 0..15);
+        # NOTE: bf16 compares crash Mosaic on this backend — compare in f32
+        sub = jnp.where(w.astype(jnp.float32) > 0.0, bin_id & 15, 16)
+        # chunk the slot axis so the (8, Sc) + (16, Sc) bf16 one-hots stay
+        # within the per-step VMEM budget (full-S was ~12 MB → OOM)
+        CHUNK_L = int(os.environ.get("BINLOOP_CHUNK_L", "256"))
+        hist = jnp.zeros((8, 16), jnp.float32)
+        for c0 in range(0, Cc, CHUNK_L):
+            Sc = 128 * CHUNK_L
+            blkf = jnp.reshape(blk[:, c0 : c0 + CHUNK_L], (1, Sc))
+            subf = jnp.reshape(sub[:, c0 : c0 + CHUNK_L], (1, Sc))
+            c_iota = jax.lax.broadcasted_iota(jnp.int32, (8, Sc), 0)
+            f_iota = jax.lax.broadcasted_iota(jnp.int32, (16, Sc), 0)
+            C = (blkf == c_iota).astype(jnp.bfloat16)  # (8, Sc)
+            F = (subf == f_iota).astype(jnp.bfloat16)  # (16, Sc)
+            hist = hist + jax.lax.dot_general(
+                C, F, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, 16)
+        # out block is (1, 8, 16): no (128,1) reshape/1-lane write (both
+        # crash or pessimize Mosaic)
+        out_ref[0] = hist
         return
     elif variant == "pack8":
-        # invalid slots (w==0) get word_id 32 → match no word
-        wid = jnp.where(w > zero, bin_id >> 2, 32)
+        # invalid slots (w==0) get word_id 32 → match no word (f32 cmp:
+        # bf16 compares crash Mosaic on this backend)
+        wid = jnp.where(w.astype(jnp.float32) > 0.0, bin_id >> 2, 32)
         shiftval = jnp.left_shift(
             jnp.int32(1), jnp.left_shift(bin_id & 3, 3)
         )  # 1 << (fine*8)
@@ -141,18 +151,21 @@ def run(variant):
     d_j = jnp.asarray(d)
     w_j = jnp.asarray(w).astype(jnp.bfloat16)
 
+    oshape = (T, 8, 16) if variant == "mxu" else (T, NBINS, 1)
+    oblock = (1, 8, 16) if variant == "mxu" else (1, NBINS, 1)
+
     @jax.jit
     def go(dd, ww):
         def step(i, carry):
             out = pl.pallas_call(
                 functools.partial(kernel, variant=variant),
-                out_shape=jax.ShapeDtypeStruct((T, NBINS, 1), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct(oshape, jnp.float32),
                 grid=(T,),
                 in_specs=[
                     pl.BlockSpec((1, 128, Cc), lambda i: (i, 0, 0)),
                     pl.BlockSpec((1, 128, Cc), lambda i: (i, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, NBINS, 1), lambda i: (i, 0, 0)),
+                out_specs=pl.BlockSpec(oblock, lambda i: (i, 0, 0)),
                 scratch_shapes=[pltpu.VMEM((NBINS, Cc), jnp.float32)],
             )(dd + carry * 1e-30, ww)
             return jnp.sum(out) + carry * 0.0
@@ -174,7 +187,8 @@ def run(variant):
 
 
 if __name__ == "__main__":
-    for v in sys.argv[1:] or ["base", "cdf", "i16", "i8", "factored"]:
+    for v in sys.argv[1:] or ["base", "cdf", "i16", "i8", "factored",
+                              "mxu", "pack8"]:
         try:
             run(v)
         except Exception as e:

@@ -72,6 +72,7 @@ def _hist_kernel(
     g_lo: int = 0,
     a_lo: int = 0,
     triclinic: bool = False,
+    bin_mode: str = "block",
 ):
     """Pair tile orientation: A atoms in SUBLANES ((128,1) columns prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
@@ -124,6 +125,9 @@ def _hist_kernel(
             is_self1 = lane1 < thresh
 
         zero_bf = jnp.bfloat16(0)
+        if bin_mode == "mxu":
+            NC = nbins // 16
+            hist_acc = jnp.zeros((NC, 16), jnp.float32)
         for m in range(M):
 
             def expand(ref):
@@ -158,8 +162,42 @@ def _hist_kernel(
                 pair_ok = bid != aid
             w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
             bin_id = jnp.where(
-                dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 1
+                dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 16
             )
+            if bin_mode == "mxu":
+                # Two-level one-hot MXU binning (tools/bench_binloop.py
+                # 'mxu': 9.1 vs 4.9 Gslot/s for the block loop): coarse =
+                # bin>>4 (NC rows), fine = bin&15 (16 rows), both built as
+                # bf16 one-hots over the flattened slot axis (24 compares
+                # per slot vs ~2.5 ops per slot·bin), contracted on the
+                # MXU: hist(NC,16) = C @ F^T. Validity folds in via
+                # sentinels: w==0 → fine 16 (no F row), out-of-range dist
+                # → coarse ≥ NC (no C row). f32 compare on w — bf16
+                # compares crash this backend's Mosaic compiler. Lane
+                # chunks keep the one-hots inside the VMEM budget; the
+                # (rows, CHUNK_L)→(1, Sc) reshape is the only relayout.
+                blk_c = bin_id >> 4
+                sub_c = jnp.where(w > 0.0, bin_id & 15, 16)
+                rows = dist.shape[0]
+                Cc_ = dist.shape[1]
+                CHUNK_L = min(256, Cc_)
+                for c0 in range(0, Cc_, CHUNK_L):
+                    Sc = rows * CHUNK_L
+                    blkf = jnp.reshape(blk_c[:, c0 : c0 + CHUNK_L], (1, Sc))
+                    subf = jnp.reshape(sub_c[:, c0 : c0 + CHUNK_L], (1, Sc))
+                    Cm = (
+                        blkf
+                        == jax.lax.broadcasted_iota(jnp.int32, (NC, Sc), 0)
+                    ).astype(jnp.bfloat16)
+                    Fm = (
+                        subf
+                        == jax.lax.broadcasted_iota(jnp.int32, (16, Sc), 0)
+                    ).astype(jnp.bfloat16)
+                    hist_acc = hist_acc + jax.lax.dot_general(
+                        Cm, Fm, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                continue
             # select+accumulate rows in bf16 — EXACT (per-(bin, lane) partial
             # counts ≤ 128 sublanes are integers ≤ 256, all exactly
             # representable) and 2×-packed on the VPU; the compare stays
@@ -217,7 +255,10 @@ def _hist_kernel(
 
                 pl.when(live)(_compute)
                 pl.when(jnp.logical_not(live))(_dead)
-        out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
+        if bin_mode == "mxu":
+            out_ref[0] = hist_acc
+        else:
+            out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
 
 
 def _offset_classes(
@@ -255,6 +296,7 @@ def _offset_classes(
     static_argnames=(
         "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
         "widths", "ka", "interpret", "occ_sort", "slab_rows", "slab_shard",
+        "bin_mode",
     ),
 )
 def pair_dist_histogram_pl(
@@ -276,6 +318,7 @@ def pair_dist_histogram_pl(
     slab_rows: int | None = None,
     basis: jnp.ndarray | None = None,
     slab_shard: "tuple[str, int] | None" = None,
+    bin_mode: str = "block",
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
@@ -299,6 +342,11 @@ def pair_dist_histogram_pl(
     returns its partial histogram (caller psums). Distributes the
     B-plane memory wall — the single-chip 100M-atom limit — across the
     atom mesh axis; replaces slab_rows.
+    `bin_mode`: "block" = the unrolled 16-bin compare/select/reduce loop
+    with static (g_lo classes) and dynamic (d_lo/d_hi) bin-block skipping;
+    "mxu" = two-level one-hot MXU contraction (flat cost over all bins —
+    bin-range skipping does not apply, so offset classes collapse to one
+    pruned class).
     `basis`: a (3,3) row-vector cell basis enables TRICLINIC mode —
     atoms bin on a uniform grid in fractional space (size with
     ops.neighbors.choose_grid_triclinic), the tables carry fractional
@@ -494,7 +542,20 @@ def pair_dist_histogram_pl(
             jnp.pad(counts_s, (0, padc)).reshape(nblocks // M, M * G), axis=1
         ).astype(jnp.int32)
 
-        for g_lo, offs_k in _offset_classes(offsets, widths, r_max, nbins):
+        if bin_mode == "mxu":
+            # one class: keep the dmin ≥ r_max offset pruning, drop the
+            # bin-range classing (the MXU contraction has flat bin cost)
+            pruned = [
+                o for _, offs in _offset_classes(offsets, widths, r_max,
+                                                 nbins) for o in offs
+            ]
+            if symmetric and (0, 0, 0) in pruned:
+                pruned.remove((0, 0, 0))
+                pruned.insert(0, (0, 0, 0))
+            classes = [(0, pruned)]
+        else:
+            classes = _offset_classes(offsets, widths, r_max, nbins)
+        for g_lo, offs_k in classes:
             S = len(offs_k)
             C = S * cap_b
             # candidate chunking: per-step tiles (128, Cc) with Cc a lane
@@ -546,15 +607,24 @@ def pair_dist_histogram_pl(
             sym_k = symmetric and (0, 0, 0) in offs_k
 
             nsteps = nblocks // M * nchunks
+            if bin_mode == "mxu":
+                out_blk = (1, nbins // 16, 16)
+                # the kernel's mxu branch never touches scratch; a minimal
+                # VMEM block satisfies the signature
+                scratch = pltpu.VMEM((8, LANES), jnp.float32)
+            else:
+                out_blk = (1, nb_eff, 1)
+                scratch = pltpu.VMEM((nb_eff, Cc), jnp.float32)
             for p in range(n_pass):
                 partial_hists = pl.pallas_call(
                     functools.partial(
                         _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
                         nchunks=nchunks, cap_b=cap_b, symmetric=sym_k, M=M,
                         g_lo=g_lo, a_lo=p * ka, triclinic=tri,
+                        bin_mode=bin_mode,
                     ),
                     out_shape=jax.ShapeDtypeStruct(
-                        (nsteps, nb_eff, 1), jnp.float32
+                        (nsteps,) + out_blk[1:], jnp.float32
                     ),
                     grid=(nsteps,),
                     in_specs=[
@@ -564,11 +634,11 @@ def pair_dist_histogram_pl(
                         b_spec, b_spec, b_spec, b_spec,
                     ],
                     out_specs=pl.BlockSpec(
-                        (1, nb_eff, 1),
+                        out_blk,
                         lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                    scratch_shapes=[pltpu.VMEM((nb_eff, Cc), jnp.float32)],
+                    scratch_shapes=[scratch],
                     interpret=interpret,
                 )(
                     (
@@ -578,9 +648,14 @@ def pair_dist_histogram_pl(
                     *a_cols[p],
                     bxp, byp, bzp, bidp,
                 )
-                total = total.at[16 * g_lo :].add(
-                    jnp.sum(partial_hists, axis=(0, 2))
-                )
+                if bin_mode == "mxu":
+                    total = total + jnp.sum(partial_hists, axis=0).reshape(
+                        nbins
+                    )
+                else:
+                    total = total.at[16 * g_lo :].add(
+                        jnp.sum(partial_hists, axis=(0, 2))
+                    )
     return total * 2.0 if symmetric else total
 
 
@@ -600,6 +675,7 @@ def pair_dist_histogram_pl_sharded(
     symmetric: bool = False,
     interpret: bool = False,
     basis: jnp.ndarray | None = None,
+    bin_mode: str = "block",
 ) -> jnp.ndarray:
     """Multi-chip slab-sharded cell-list pair histogram → (nbins,).
 
@@ -614,7 +690,7 @@ def pair_dist_histogram_pl_sharded(
     """
     fn = _sharded_fn(
         mesh, axis, nbins, r_max, dims, cap_a, cap_b, radius, symmetric,
-        interpret, basis is not None,
+        interpret, basis is not None, bin_mode,
     )
     args = (x, idx_a, idx_b, box) + ((basis,) if basis is not None else ())
     return fn(*args)
@@ -623,7 +699,7 @@ def pair_dist_histogram_pl_sharded(
 @functools.lru_cache(maxsize=64)
 def _sharded_fn(
     mesh, axis, nbins, r_max, dims, cap_a, cap_b, radius, symmetric,
-    interpret, has_basis,
+    interpret, has_basis, bin_mode="block",
 ):
     """Cached jitted shard_map for pair_dist_histogram_pl_sharded — a
     fresh closure per call would retrace/relower the whole kernel graph
@@ -637,7 +713,7 @@ def _sharded_fn(
             x_, ia_, ib_, box_, nbins, r_max, dims, cap_a, cap_b,
             radius=radius, symmetric=symmetric, interpret=interpret,
             basis=maybe_basis[0] if has_basis else None,
-            slab_shard=(axis, n_dev),
+            slab_shard=(axis, n_dev), bin_mode=bin_mode,
         )
         return jax.lax.psum(h, axis)
 

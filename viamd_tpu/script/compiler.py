@@ -21,6 +21,7 @@ Compilation strategy (SURVEY.md §7 "hard parts"):
 from __future__ import annotations
 
 import fnmatch
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
@@ -1284,6 +1285,10 @@ def _rdf(c: _Compiler, node, args):
             from viamd_tpu.ops.rdf import choose_slab_rows
 
             slab_rows = choose_slab_rows(dims, S_off, cap_b, radius)
+            # two-level one-hot MXU binning: 1.92 vs 3.87 ms/frame for the
+            # unrolled block loop at the headline config, identical
+            # histograms (tools/exp_binmode.py; docs/PERF.md r3)
+            bin_mode = os.environ.get("VIAMD_TPU_RDF_BIN_MODE", "mxu")
             hist = pair_dist_histogram_pl(
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
@@ -1297,6 +1302,7 @@ def _rdf(c: _Compiler, node, args):
                 basis=c._trace_basis if tri else None,
                 interpret=pl_interp,
                 slab_shard=c.atom_shard,
+                bin_mode=bin_mode,
             )
             if c.atom_shard is not None:
                 # intra-frame atom-axis parallelism: each device computed
