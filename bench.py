@@ -18,8 +18,11 @@ Timing discipline for the tunneled backend (see CLAUDE.md):
   host→device moves at ~1-2 MB/s through the tunnel and must never appear
   in (or queue behind) the timed region.
 
-Prints exactly one JSON line:
+Prints one JSON line PER BASELINE.md config (1/2/4/5 as
+`baseline_config_*` metrics, each guarded so a failure emits value 0
+instead of killing the run), then the headline metric LAST:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/5000}
+Set VIAMD_TPU_BENCH_HEADLINE_ONLY=1 to skip the extra configs.
 """
 
 from __future__ import annotations
@@ -34,6 +37,78 @@ CHUNK = 64  # frames per fused launch (CHUNK=128 measured 117.7 vs 119.9 f/s)
 BASELINE_FRAMES_PER_S = 5000.0
 
 
+def _emit(metric: str, value: float, **extra) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(value / BASELINE_FRAMES_PER_S, 5),
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _run_config1_cpu_subprocess() -> None:
+    """Config #1 is the reference's CPU regime; it must pin the CPU
+    platform before backend init, so it runs in its own process."""
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/bench_configs.py", "1"],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, timeout=1200,
+        )
+        m = re.search(
+            r"config1_1ala500_cpu: ([0-9.]+) frames/s", proc.stdout
+        )
+        if proc.returncode == 0 and m:
+            _emit("baseline_config1_1ala500_distance_rdf_cpu",
+                  float(m.group(1)), note="CPU regime per BASELINE.md")
+            return
+        err = proc.stdout[-300:]
+    except Exception as e:
+        err = repr(e)
+    _emit("baseline_config1_1ala500_distance_rdf_cpu", 0.0, error=err)
+
+
+def _run_extra_tpu_configs() -> None:
+    """BASELINE configs #2/#4/#5 in-process on the same device, human
+    chatter redirected to stderr; each guarded individually."""
+    import contextlib
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_configs", os.path.join(repo, "tools", "bench_configs.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    jobs = [
+        ("baseline_config2_sdf_alignment_20k_atoms", bc.config2),
+        ("baseline_config4_full_pipeline_1M_atoms", bc.config4),
+        ("baseline_config5_sustained_8192_frames_20k_atoms", bc.config5),
+    ]
+    for metric, fn in jobs:
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                fps = fn()
+            _emit(metric, fps)
+        except Exception as e:
+            _emit(metric, 0.0, error=repr(e)[:300])
+
+
 def main() -> None:
     import jax
 
@@ -41,6 +116,12 @@ def main() -> None:
     # (minutes); cache hits bring bench warmup to seconds on reruns
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import os
+
+    if os.environ.get("VIAMD_TPU_BENCH_HEADLINE_ONLY", "") != "1":
+        _run_config1_cpu_subprocess()
+        _run_extra_tpu_configs()
 
     from viamd_tpu.datagen import water_box_device
     from viamd_tpu.eval import Evaluator
@@ -144,7 +225,7 @@ def _watchdog(seconds: float):
 
 if __name__ == "__main__":
     _done = _watchdog(float(__import__("os").environ.get(
-        "VIAMD_TPU_BENCH_TIMEOUT", "5400"
+        "VIAMD_TPU_BENCH_TIMEOUT", "7200"
     )))
     main()
     _done.set()

@@ -296,6 +296,168 @@ class TestWorkspace:
             s2.shutdown()
 
 
+class TestReferenceViaFormat:
+    """Reference-dialect .via compatibility (save_workspace writer logic,
+    /root/reference/src/viamd.cpp:1042-1199; parser semantics
+    serialization_utils.cpp)."""
+
+    def _fixture_text(self, molfile, mask):
+        # transcribed from the reference writer: banner, section order,
+        # ident spellings, %f floats, multiline Script fenced with three
+        # double-quotes, Selection as Label+Mask, repeated UserBonds atoms=
+        return (
+            "\n#01010110#01001001#01000001#01001101#01000100#"
+            "01001101#01000001#01001001#01010110#\n"
+            "#   VIAMD - Visual Interactive Analysis of Molecular"
+            " Dynamics   #\n\n"
+            "[Files]\n"
+            f"MoleculeFile={molfile}\n"
+            "TrajectoryFile=\n"
+            "CoarseGrained=0\n"
+            "\n[Animation]\n"
+            "Frame=2.000000\n"
+            "Fps=30.000000\n"
+            "Interpolation=2\n"
+            "\n[RenderSettings]\n"
+            "SsaoEnabled=1\n"
+            "SsaoIntensity=2.500000\n"
+            "SsaoRadius=5.000000\n"
+            "DofEnabled=1\n"
+            "DofFocusScale=12.000000\n"
+            "\n[Camera]\n"
+            "Position=10.000000,20.000000,42.000000\n"
+            "Orientation=0.000000,0.000000,0.000000,1.000000\n"
+            "Distance=22.000000\n"
+            "Mode=0\n"
+            "\n[Representation]\n"
+            "Name=prot\n"
+            "Filter=element('C')\n"
+            "Enabled=1\n"
+            "Type=1\n"
+            "ColorMapping=8\n"
+            "BaseColor=1.000000,0.500000,0.250000,0.750000\n"
+            "Saturation=1.000000\n"
+            "Param=1.500000,1.000000,1.000000,1.000000\n"
+            "DynamicEval=0\n"
+            "\n[Script]\n"
+            'Text="""d1 = distance(1, 6);\n'
+            'a1 = angle(2, 1, 3);"""\n'
+            "\n[Selection]\n"
+            "Label=picked\n"
+            f"Mask={mask}\n"
+            "\n[UserBonds]\n"
+            "atoms=0,7\n"
+            "atoms=1,9\n"
+        )
+
+    def test_reference_fixture_loads(self, tmp_path):
+        from viamd_tpu.app import Session
+        from viamd_tpu.app.workspace import serialize_mask
+        from viamd_tpu.core.bitfield import Bitfield
+
+        pdb = tmp_path / "m.pdb"
+        pdb.write_text(make_ala_pdb(6, n_models=4))
+        bf = Bitfield.from_indices(30, [0, 2, 4])
+        via = tmp_path / "ref.via"
+        via.write_text(self._fixture_text("m.pdb", serialize_mask(bf)))
+        s = Session(num_workers=2)
+        try:
+            s.load_workspace(str(via))
+            assert s.system is not None and s.system.natoms == 30
+            assert s.frame == 2.0
+            assert s.fps == 30.0
+            assert s.interpolation == "cubic"
+            assert s.visuals["ssao_intensity"] == 2.5
+            assert s.visuals["dof_enabled"] is True
+            # camera: identity quat → forward -z, up +y
+            np.testing.assert_allclose(
+                s.camera.eye, [10, 20, 42], atol=1e-4
+            )
+            np.testing.assert_allclose(
+                s.camera.center, [10, 20, 20], atol=1e-4
+            )
+            rep = s.representations[0]
+            assert rep.type == "licorice"
+            assert rep.color_mapping == "secondary_structure"
+            assert abs(rep.alpha - 0.75) < 1e-6
+            assert abs(rep.radius_scale - 1.5) < 1e-6
+            assert s.script_text == "d1 = distance(1, 6);\na1 = angle(2, 1, 3);"
+            assert s.compiled is not None
+            assert s.stored_selections["picked"].indices().tolist() == [
+                0, 2, 4,
+            ]
+            assert [0, 7] in s.system.bonds.tolist()
+            assert [1, 9] in s.system.bonds.tolist()
+        finally:
+            s.shutdown()
+
+    def test_write_bitfield_wrapper_accepted(self):
+        """The ###base64### write_bitfield form
+        (serialization_utils.cpp:103-117) decodes too."""
+        import base64 as b64
+
+        from viamd_tpu.app.workspace import deserialize_mask, serialize_mask
+        from viamd_tpu.core.bitfield import Bitfield
+
+        bf = Bitfield.from_indices(100, [1, 50, 99])
+        raw = serialize_mask(bf)
+        wrapped = "###" + raw + "###"
+        got = deserialize_mask(wrapped)
+        assert got is not None and got.indices().tolist() == [1, 50, 99]
+        # garbage degrades to None, not an exception
+        assert deserialize_mask("###not-base64!###") is None
+        assert deserialize_mask(
+            b64.b64encode(b"????????").decode()
+        ) is None
+
+    def test_roundtrip_reference_dialect(self, ala_session, tmp_path):
+        from viamd_tpu.app import Session
+
+        s = ala_session
+        s.set_script("d1 = distance(1, 6);\nr = rdf(element('C'), "
+                     "element('O'), 8.0);")
+        s.store_selection("sel A", s.select("atom(1:5)"))
+        s.interpolation = "cubic"
+        s.fps = 24.0
+        s.visuals = {"ssao_enabled": False, "dof_focus_scale": 3.5}
+        s.add_user_bonds([(0, 12)])
+        from viamd_tpu.render.camera import Camera
+
+        s.camera = Camera(
+            eye=np.array([5.0, 6.0, 30.0], np.float32),
+            center=np.array([5.0, 6.0, 2.0], np.float32),
+            up=np.array([0.0, 1.0, 0.0], np.float32),
+            fovy=0.9,
+        )
+        ws = str(tmp_path / "rt.via")
+        s.save_workspace(ws)
+        text = open(ws).read()
+        # the written file speaks the reference dialect
+        assert "Label=sel A" in text
+        assert 'Text="""' in text
+        assert "Interpolation=2" in text
+        assert "atoms=0,12" in text
+        assert "Orientation=" in text
+
+        s2 = Session(num_workers=2)
+        try:
+            s2.load_workspace(ws)
+            assert s2.script_text == s.script_text
+            assert s2.interpolation == "cubic"
+            assert s2.fps == 24.0
+            assert s2.visuals["ssao_enabled"] is False
+            assert s2.visuals["dof_focus_scale"] == 3.5
+            assert s2.stored_selections["sel A"].popcount() == 5
+            assert [0, 12] in s2.system.bonds.tolist()
+            np.testing.assert_allclose(s2.camera.eye, s.camera.eye,
+                                       atol=1e-3)
+            np.testing.assert_allclose(s2.camera.center, s.camera.center,
+                                       atol=1e-3)
+            assert abs(s2.camera.fovy - 0.9) < 1e-5
+        finally:
+            s2.shutdown()
+
+
 class TestComponents:
     def test_dataset_summary(self, ala_session):
         summary = ala_session.components["dataset"].summary()

@@ -585,3 +585,55 @@ class TestBatchModes:
         res = Evaluator(cs, traj, chunk=4, batch_mode="unroll").run()
         assert res.n_frames_done == 6
         assert np.asarray(res.distributions["r"]).sum() > 0
+
+
+class TestWeightedRebin:
+    """downsample_histogram parity (/root/reference/src/main.cpp:232-250,
+    display re-binning honoring per-property weights at main.cpp:1508)."""
+
+    @staticmethod
+    def _reference_downsample(src_bins, num_dst, src_weights=None):
+        """Direct numpy transcription of the reference C loop."""
+        num_src = len(src_bins)
+        factor = max(1, num_src // num_dst)
+        dst = np.zeros(num_dst, np.float64)
+        for j in range(num_dst):
+            b = 0.0
+            w = 0.0
+            for i in range(factor):
+                si = j * factor + i
+                b += float(src_bins[si])
+                w += float(src_weights[si]) if src_weights is not None else 1.0
+            dst[j] = b / w if w else 0.0
+        return dst.astype(np.float32)
+
+    def _result(self):
+        from viamd_tpu.datagen import water_box
+        from viamd_tpu.eval import Evaluator
+
+        sys, traj = water_box(40, n_frames=2, seed=5)
+        cs = compile_script("r = rdf(element('O'), element('H'), 5.0);\n", sys)
+        return Evaluator(cs, traj, chunk=2).run()
+
+    def test_unweighted_matches_reference(self):
+        res = self._result()
+        got = res.rebin("r", 32)
+        want = self._reference_downsample(
+            np.asarray(res.distributions["r"]), 32
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_weighted_matches_reference(self):
+        res = self._result()
+        src = np.asarray(res.distributions["r"])
+        rng = np.random.RandomState(3)
+        w = rng.uniform(0.5, 4.0, src.shape[0]).astype(np.float32)
+        w[5:9] = 0.0  # zero-weight bins divide to 0, not inf
+        res.set_distribution_weights("r", w)
+        got = res.rebin("r", 16)
+        want = self._reference_downsample(src, 16, w)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        with np.testing.assert_raises(KeyError):
+            res.set_distribution_weights("nope", w)
+        with np.testing.assert_raises(ValueError):
+            res.rebin("r", 4096)

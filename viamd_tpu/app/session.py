@@ -70,7 +70,13 @@ class Session:
         self.filtered_result: Optional[EvalResult] = None
         # playback
         self.frame: float = 0.0
+        self.fps: float = 10.0  # animation playback rate (viamd.h animation)
         self.interpolation: str = "linear"  # nearest | linear | cubic
+        # persisted render settings + user additions (.via sections
+        # RenderSettings / UserBonds, viamd.cpp:1096-1102,1193-1199)
+        self.visuals: dict = {}
+        self.coarse_grained: bool = False
+        self.user_bonds: list = []
         self.recenter_selection: Optional[str] = None
         self.camera: Optional[cam_mod.Camera] = None
         # component registry
@@ -158,6 +164,32 @@ class Session:
     def set_trajectory(self, traj: Trajectory):
         self.trajectory = CachedTrajectory(traj)
         self.events.broadcast(EventType.TRAJECTORY_INIT, self)
+
+    def add_user_bonds(self, pairs) -> int:
+        """Insert user-defined bonds (md_system_bond_insert with
+        MD_BOND_FLAG_USER_DEFINED, the .via UserBonds load path,
+        /root/reference/src/viamd.cpp:1020-1031). Out-of-range and
+        duplicate pairs are skipped. Returns the number inserted."""
+        import numpy as np
+
+        if self.system is None:
+            return 0
+        n = self.system.natoms
+        existing = {tuple(sorted(b)) for b in self.system.bonds.tolist()}
+        fresh = []
+        for i, j in pairs:
+            key = tuple(sorted((int(i), int(j))))
+            if 0 <= key[0] < n and 0 <= key[1] < n and key not in existing:
+                existing.add(key)
+                fresh.append(key)
+        if fresh:
+            self.system.bonds = np.concatenate(
+                [self.system.bonds, np.asarray(fresh, np.int32)]
+            )
+            for pair in fresh:
+                if list(pair) not in [sorted(u) for u in self.user_bonds]:
+                    self.user_bonds.append(pair)
+        return len(fresh)
 
     def stage_to_device(self, max_bytes: int = 2 << 30) -> bool:
         """Stage the whole trajectory into device HBM for batch evaluation.

@@ -67,6 +67,7 @@ class EvalResult:
     _temporal_np: Optional[dict] = None
     _dist_np: Optional[dict] = None
     _vol_np: Optional[dict] = None
+    _dist_weights: dict = dataclasses.field(default_factory=dict)
 
     def block_until_ready(self):
         """Wait for all device work without any host readback.
@@ -170,6 +171,49 @@ class EvalResult:
             hi = lo + 1.0
         hist, edges = np.histogram(v, bins=bins, range=(lo, hi))
         return hist.astype(np.float32), edges
+
+    def rebin(
+        self,
+        name: str,
+        num_bins: int,
+        weights: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Re-bin a distribution property to `num_bins` display bins with
+        the reference's exact downsample semantics
+        (downsample_histogram, /root/reference/src/main.cpp:232-250, used
+        for display properties at main.cpp:1508-1512): each destination
+        bin is the weight-normalized sum of `factor = num_src // num_dst`
+        consecutive source bins, dst[j] = Σ src[j·f+i] / Σ w[j·f+i].
+        `weights` defaults to the property's stored per-bin weights
+        (set_distribution_weights), else 1.0 per source bin — matching
+        the reference's NULL-weights branch."""
+        src = np.asarray(self.distributions[name], np.float64).reshape(-1)
+        if weights is None:
+            weights = self._dist_weights.get(name)
+        nsrc = src.shape[0]
+        if num_bins > nsrc:
+            raise ValueError(
+                f"rebin: {num_bins} display bins > {nsrc} source bins"
+            )
+        factor = max(1, nsrc // num_bins)
+        dst = np.zeros(num_bins, np.float64)
+        wsum = np.zeros(num_bins, np.float64)
+        idx = np.arange(num_bins) * factor
+        for i in range(factor):
+            dst += src[idx + i]
+            if weights is not None:
+                wsum += np.asarray(weights, np.float64).reshape(-1)[idx + i]
+            else:
+                wsum += 1.0
+        out = np.divide(dst, wsum, out=np.zeros_like(dst), where=wsum != 0)
+        return out.astype(np.float32)
+
+    def set_distribution_weights(self, name: str, weights) -> None:
+        """Attach per-bin weights to a distribution property (the
+        md_script_property_data_t `weights` array the reference's display
+        re-binning honors, main.cpp:1508)."""
+        self.property(name)  # raises KeyError for unknown properties
+        self._dist_weights[name] = np.asarray(weights, np.float32)
 
     def normalized_distribution(self, name: str, volume: float) -> np.ndarray:
         """g(r) for an rdf property."""
