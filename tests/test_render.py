@@ -664,3 +664,120 @@ class TestStripRendering:
         wrong = sum(1 for y, x in sample if brute(y, x) != pick[y, x])
         # tolerate a few capacity-drop divergences in pathological piles
         assert wrong <= 1, f"{wrong} of {len(sample)} pixels disagree"
+
+
+class TestTriangleRaster:
+    """render/triangles.py — the reference's triangle geometry capability
+    (vis payload triangles main.cpp:6540-6575; ribbon meshes md_gl)."""
+
+    def test_depth_pick_and_two_sided(self):
+        from viamd_tpu.render.camera import perspective
+        from viamd_tpu.render.triangles import render_triangles
+
+        W = H = 96
+        proj = perspective(np.radians(45), 1.0, 0.1, 100)
+        tris = np.array(
+            [
+                [[-3, -3, -10], [3, -3, -10], [0, 3, -10]],
+                [[-9, -9, -20], [9, -9, -20], [0, 9, -20]],
+            ],
+            np.float32,
+        )
+        cols = np.array([[1, 0, 0, 1], [0, 1, 0, 1]], np.float32)
+        img, depth, pick = render_triangles(
+            tris, cols, np.array([7, 8], np.int32), proj, W, H
+        )
+        assert pick[H // 2, W // 2] == 7
+        assert abs(depth[H // 2, W // 2] - 10.0) < 0.2
+        assert (pick == 8).sum() > 100  # the back triangle peeks out
+        # two-sided: flipped winding renders identically in coverage
+        i2, d2, p2 = render_triangles(
+            tris[:, ::-1].copy(), cols, np.array([7, 8], np.int32), proj,
+            W, H,
+        )
+        assert (np.asarray(p2) == 7).sum() == (np.asarray(pick) == 7).sum()
+        # empty input
+        i0, d0, p0 = render_triangles(
+            np.zeros((0, 3, 3)), np.zeros((0, 4)), np.zeros(0, np.int32),
+            proj, W, H,
+        )
+        assert (np.asarray(p0) == -1).all() and not np.isfinite(d0).any()
+
+
+class TestRibbonMesh:
+    """render/ribbon_mesh.py — true RIBBONS/CARTOON (viamd.h:161-169)."""
+
+    def _sys(self):
+        from tests.conftest import make_ala_pdb
+        import tempfile
+
+        from viamd_tpu.io import load_file
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".pdb", delete=False
+        ) as f:
+            f.write(make_ala_pdb(8))
+            path = f.name
+        return load_file(path).system
+
+    def test_ss_styling_and_arrowhead(self):
+        from viamd_tpu.render.ribbon_mesh import ribbon_mesh
+
+        sys = self._sys()
+        coords = sys.coords()
+        nbb = sys.backbone.count
+        # synthetic SS: residues 0-2 coil, 3-5 helix, 6-7 sheet (run ends)
+        w = np.zeros((nbb, 3), np.float32)
+        w[:3, 0] = 1
+        w[3:6, 1] = 1
+        w[6:, 2] = 1
+        tris, src = ribbon_mesh(sys, coords, ss_weights=w, cartoon=True)
+        assert np.isfinite(tris).all() and len(tris) == len(src)
+        res_of = np.asarray(sys.atom_res_idx)[src]
+
+        def extent(res_sel):
+            m = np.isin(res_of, res_sel)
+            v = tris[m].reshape(-1, 3)
+            # cross-section size ⊥ to the chain (x = chain axis in the
+            # fixture): spread in the y/z plane
+            return np.ptp(v[:, 1]) + np.ptp(v[:, 2])
+
+        coil, helix = extent([1]), extent([4])
+        assert helix > coil * 1.5, (coil, helix)
+        # arrowhead: the sheet run's final residue carries the widest
+        # cross-section (arrow base) AND tapers to near-zero at the tip
+        m7 = np.isin(res_of, [7])
+        v7 = tris[m7].reshape(-1, 3)
+        widths7 = np.ptp(v7[:, 1], axis=0) + np.ptp(v7[:, 2], axis=0)
+        m4 = np.isin(res_of, [4])
+        v4 = tris[m4].reshape(-1, 3)
+        widths4 = np.ptp(v4[:, 1], axis=0) + np.ptp(v4[:, 2], axis=0)
+        assert widths7 > widths4 * 1.2, (widths7, widths4)
+        # ribbons mode: constant flat section (no widening by SS)
+        tr2, _ = ribbon_mesh(sys, coords, ss_weights=w, cartoon=False)
+        assert len(tr2) > 0
+
+    def test_session_cartoon_render_and_pick(self, tmp_path):
+        from tests.conftest import make_ala_pdb
+
+        from viamd_tpu.app import Session
+
+        p = tmp_path / "a.pdb"
+        p.write_text(make_ala_pdb(8))
+        s = Session(num_workers=2)
+        try:
+            s.load(str(p))
+            s.representations[0].type = "cartoon"
+            img, depth, pick = s.render(128, 128)
+            img = np.asarray(img)
+            pick = np.asarray(pick)
+            assert (img[..., 3] > 0).sum() > 50
+            hits = pick[pick >= 0]
+            assert hits.size > 0
+            # picking resolves to CA atoms → per-residue selection works
+            ys, xs = np.nonzero(pick >= 0)
+            y, x = int(ys[len(ys) // 2]), int(xs[len(xs) // 2])
+            m = s.select_at(x, y, "residue", 128, 128)
+            assert m.popcount() == 5  # the fixture residue has 5 atoms
+        finally:
+            s.shutdown()

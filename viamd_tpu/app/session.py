@@ -532,13 +532,31 @@ class Session:
                 # atoms desaturate; the outline draws after compositing
                 cols = color_mod.desaturate_colors(cols, ~self.selection)
 
-            if rep.type in ("tube", "ribbons", "cartoon"):
+            if rep.type in ("ribbons", "cartoon"):
+                # true peptide-plane-oriented flat ribbon mesh with sheet
+                # arrowheads (md_gl RIBBONS/CARTOON, viamd.h:161-169)
+                from viamd_tpu.render.ribbon_mesh import ribbon_mesh
+                from viamd_tpu.render.triangles import render_triangles
+
+                tris, src = ribbon_mesh(
+                    sys, coords, ss_weights=ss_w,
+                    cartoon=rep.type == "cartoon",
+                    width_scale=rep.radius_scale,
+                )
+                vm = np.asarray(cam.view_matrix(), np.float32)
+                tv = tris @ vm[:3, :3].T + vm[:3, 3]
+                rgba, d, p = render_triangles(
+                    tv, cols[src], src,
+                    cam.proj_matrix(width, height, jitter), width, height,
+                )
+                rgba, d, p = np.asarray(rgba), np.asarray(d), np.asarray(p)
+            elif rep.type == "tube":
                 from viamd_tpu.render.backbone_rep import backbone_tube
 
                 pts, radii_t, src = backbone_tube(
                     sys, coords,
                     ss_weights=ss_w,
-                    cartoon=rep.type == "cartoon",
+                    cartoon=False,
                     radius=0.35 * rep.radius_scale,
                 )
                 tcols = cols[src]
