@@ -898,6 +898,55 @@ class TestOverlay:
         # overlays add visible pixels
         assert (img1[..., 3] > 0).sum() > (img0[..., 3] > 0).sum()
 
+    def test_triangles_and_text_primitives(self):
+        """Triangle + text channels of the immediate API — the reference
+        vis payload primitives (main.cpp:6540-6575)."""
+        from viamd_tpu.render.camera import look_at, perspective
+        from viamd_tpu.render.overlay import OverlayQueue
+
+        view = look_at((0, 0, 10), (0, 0, 0), (0, 1, 0))
+        proj = perspective(np.radians(45), 1.0, 0.1, 100)
+        q = OverlayQueue()
+        q.add_triangle(
+            [-3, -3, 0], [3, -3, 0], [0, 3, 0], (1, 0, 0, 1), pick_id=42
+        )
+        q.add_text([0, -4, 0], "1.23 Å", (1, 1, 1, 1), pick_id=9)
+        img, depth, pick = q.render(view, proj, 128, 128)
+        assert (pick == 42).sum() > 200  # filled triangle
+        assert np.isfinite(depth[pick == 42]).all()
+        assert (pick == 9).sum() > 20  # glyph pixels carry the text pick
+        white = (img[..., :3] > 0.95).all(-1) & (pick == 9)
+        assert white.sum() > 20
+        # semi-transparent triangle blends instead of replacing
+        q2 = OverlayQueue()
+        q2.add_sphere([0, 0, -6], 3.0, (0, 1, 0, 1))
+        q2.add_triangle([-3, -3, 0], [3, -3, 0], [0, 3, 0], (1, 0, 0, 0.5))
+        img2, _, _ = q2.render(view, proj, 128, 128)
+        c = img2[64, 64]
+        assert c[0] > 0.2 and c[1] > 0.2  # red fill over green sphere
+
+    def test_measurement_labels_and_arcs(self, ala_session):
+        """Angle arcs + value labels (the reference's labeled measurement
+        geometry, main.cpp:6540-6575)."""
+        s = ala_session
+        s.set_script("a1 = angle(1, 3, 6);\nph = dihedral(1, 3, 6, 8);")
+        assert s.compile_script()
+        vis = s.compiled.visualization
+        assert "triangles" in vis and "text" in vis  # channels exist
+        img, depth, pick = s.render(256, 256, show_script_vis=True)
+        img = np.asarray(img)
+        # white-ish glyph pixels from the value labels
+        white = (img[..., :3] > 0.95).all(-1) & (img[..., 3] > 0.9)
+        assert white.sum() > 20
+        # the arc fan produced overlay triangles
+        from viamd_tpu.render.overlay import OverlayQueue
+
+        q = OverlayQueue()
+        q.add_script_visualization(vis, s.current_coords())
+        assert len(q._tris) >= 2
+        texts = [t[1] for t in q._texts]
+        assert any("°" in t for t in texts)
+
 
 class TestVelocities:
     def test_finite_difference(self, ala_session):

@@ -182,9 +182,10 @@ def _hist_kernel(
                 Cc_ = dist.shape[1]
                 CHUNK_L = min(256, Cc_)
                 for c0 in range(0, Cc_, CHUNK_L):
-                    Sc = rows * CHUNK_L
-                    blkf = jnp.reshape(blk_c[:, c0 : c0 + CHUNK_L], (1, Sc))
-                    subf = jnp.reshape(sub_c[:, c0 : c0 + CHUNK_L], (1, Sc))
+                    cw = min(CHUNK_L, Cc_ - c0)  # last chunk may be shorter
+                    Sc = rows * cw
+                    blkf = jnp.reshape(blk_c[:, c0 : c0 + cw], (1, Sc))
+                    subf = jnp.reshape(sub_c[:, c0 : c0 + cw], (1, Sc))
                     Cm = (
                         blkf
                         == jax.lax.broadcasted_iota(jnp.int32, (NC, Sc), 0)

@@ -29,9 +29,9 @@ TILE = 16
 @functools.lru_cache(maxsize=32)
 def _tile_kernel(cap: int, w: int, h: int, tx: int, shade: bool):
     @jax.jit
-    def run(tri14, proj00, proj11, light):
-        # tri14: (ntiles, cap, 14) = v0 v1 v2 (9), rgba (4), pick (1)
-        ntiles = tri14.shape[0]
+    def run(tri15, proj00, proj11, light):
+        # tri15: (ntiles, cap, 15) = v0 v1 v2 (9), rgba (4), pick, valid
+        ntiles = tri15.shape[0]
         # pixel rays per tile: local (16,16) grid + per-tile origin
         tids = jnp.arange(ntiles, dtype=jnp.int32)
         ox = (tids % tx) * TILE
@@ -53,7 +53,7 @@ def _tile_kernel(cap: int, w: int, h: int, tx: int, shade: bool):
 
         def body(k, carry):
             bt, bi, bn = carry
-            tri = tri14[:, k]  # (nt, 14)
+            tri = tri15[:, k]  # (nt, 15)
             v0 = tri[:, 0:3][:, None, :]  # (nt,1,3)
             e1 = (tri[:, 3:6] - tri[:, 0:3])[:, None, :]
             e2 = (tri[:, 6:9] - tri[:, 0:3])[:, None, :]
@@ -73,7 +73,7 @@ def _tile_kernel(cap: int, w: int, h: int, tx: int, shade: bool):
                 (jnp.abs(det) > 1e-12)
                 & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                 & (t > 1e-3) & (t < bt)
-                & (tri[:, 13:14] >= 0)  # pick < 0 = padding slot
+                & (tri[:, 14:15] > 0)  # valid flag; 0 = padding slot
             )
             n = jnp.cross(e1, e2)  # (nt,1,3) face normal
             nl = jnp.linalg.norm(n, axis=-1, keepdims=True)
@@ -91,8 +91,8 @@ def _tile_kernel(cap: int, w: int, h: int, tx: int, shade: bool):
         )
         safe_i = jnp.maximum(best_i, 0)
         attr = jnp.take_along_axis(
-            tri14, safe_i[..., None], axis=1
-        )  # (nt,P,14)
+            tri15, safe_i[..., None], axis=1
+        )  # (nt,P,15)
         rgba = attr[..., 9:13]
         pick = attr[..., 13].astype(jnp.int32)
         hitm = best_i >= 0
@@ -183,21 +183,22 @@ def render_triangles(
     slots[sel] = tri_s[
         (seg_start[:, None] + slot_idx[None, :])[sel]
     ]
-    tri14 = np.zeros((ntiles, cap, 14), np.float32)
-    tri14[..., 13] = -1.0
+    tri15 = np.zeros((ntiles, cap, 15), np.float32)
+    tri15[..., 13] = -1.0
     filled = slots >= 0
     src = slots[filled]
-    tri14[filled] = np.concatenate(
+    tri15[filled] = np.concatenate(
         [
             v[src].reshape(-1, 9),
             np.asarray(colors, np.float32)[src],
             np.asarray(pick_ids, np.float32)[src, None],
+            np.ones((len(src), 1), np.float32),
         ],
         axis=1,
     )
     run = _tile_kernel(cap, width, height, tx, shade)
     img_t, d_t, p_t = run(
-        jnp.asarray(tri14), p00, p11,
+        jnp.asarray(tri15), p00, p11,
         jnp.asarray(np.asarray(light, np.float32)),
     )
 

@@ -145,7 +145,7 @@ class _Compiler:
         self.warnings: list[str] = []
         self.vis: dict = {
             "points": [], "lines": [], "angles": [], "dihedrals": [],
-            "sdf": []
+            "triangles": [], "text": [], "sdf": []
         }
 
     # -- public -------------------------------------------------------------
@@ -242,7 +242,7 @@ class _Compiler:
             self.env[name] = Selection(bf, [bf.indices()], "atom")
         self.context = None
         self.vis = {"points": [], "lines": [], "angles": [], "dihedrals": [],
-            "sdf": []}
+            "triangles": [], "text": [], "sdf": []}
         self._trace_x = x
         self._trace_basis = basis
         self._trace_inv = inv_basis
