@@ -469,10 +469,112 @@ class TestPostprocess:
         from viamd_tpu.render import postprocess as PP
 
         rgba, depth = self._frame()
-        out = PP.execute(rgba, depth, PP.PostprocessSettings(enable_dof=True))
+        out = PP.execute(
+            rgba, depth,
+            PP.PostprocessSettings(enable_dof=True, dof_max_blur=4.0),
+        )
         assert out.shape == (32, 40, 3)
         assert np.isfinite(out).all()
         assert (out >= 0).all() and (out <= 1).all()
+
+    def test_execute_chain_hbao(self):
+        # with a projection matrix the AO pass is the full HBAO
+        from viamd_tpu.render import camera as cam
+        from viamd_tpu.render import postprocess as PP
+
+        c = cam.Camera(
+            eye=np.array([0, 0, 20.0]), center=np.zeros(3),
+            up=np.array([0, 1, 0.0]),
+        )
+        rgba, depth = self._frame()
+        proj = np.asarray(c.proj_matrix(40, 32))
+        out = PP.execute(rgba, depth, PP.PostprocessSettings(), proj=proj)
+        assert out.shape == (32, 40, 3)
+        assert np.isfinite(out).all()
+
+
+class TestHighFidelityPasses:
+    """The full-algorithm FXAA 3.11 / HBAO / bokeh-DOF ports
+    (render/fxaa.py, render/hbao.py, render/bokeh.py)."""
+
+    def _proj(self, W, H):
+        from viamd_tpu.render import camera as cam
+
+        c = cam.Camera(
+            eye=np.array([0, 0, 20.0]), center=np.zeros(3),
+            up=np.array([0, 1, 0.0]),
+        )
+        return np.asarray(c.proj_matrix(W, H))
+
+    def test_fxaa311_edge_blend_and_early_exit(self):
+        from viamd_tpu.render.fxaa import fxaa311
+
+        img = np.zeros((32, 32, 3), np.float32)
+        img[:, 16:] = 1.0
+        out = np.asarray(fxaa311(jnp_arr(img)))
+        # the edge pixels blend toward each other (sub-pixel resample)
+        assert 0.01 < out[16, 15, 0] < 0.5
+        assert 0.5 < out[16, 16, 0] < 0.99
+        # rows away from the edge stay monotone
+        assert np.isfinite(out).all()
+        # flat image: the early-exit path returns it bit-exact
+        flat = np.full((16, 16, 3), 0.5, np.float32)
+        np.testing.assert_array_equal(np.asarray(fxaa311(jnp_arr(flat))), flat)
+        # rgba passthrough keeps alpha
+        rgba = np.concatenate([img, np.ones((32, 32, 1), np.float32)], -1)
+        out4 = np.asarray(fxaa311(jnp_arr(rgba)))
+        assert out4.shape == (32, 32, 4)
+        np.testing.assert_array_equal(out4[..., 3], 1.0)
+
+    def test_hbao_flat_step_background(self):
+        from viamd_tpu.render.hbao import hbao
+
+        H = W = 64
+        proj = self._proj(W, H)
+        flat = np.full((H, W), 10.0, np.float32)
+        ao_flat = np.asarray(hbao(flat, proj))
+        # flat open plane: no occlusion anywhere
+        assert ao_flat.min() > 0.99
+        # a closer box occludes the far plane next to its edges
+        step = flat.copy()
+        step[20:44, 20:44] = 6.0
+        ao = np.asarray(hbao(step, proj))
+        assert ao[18, 32] < 0.6 and ao[46, 32] < 0.6  # beside the box
+        assert ao[32, 32] > 0.95  # box interior: open
+        assert ao[2, 2] > 0.95  # far from the box: open
+        # background (inf depth) is untouched
+        bg = flat.copy()
+        bg[:8, :] = np.inf
+        assert np.asarray(hbao(bg, proj))[2, 2] == 1.0
+
+    def test_hbao_view_normals(self):
+        from viamd_tpu.render.hbao import view_normals
+
+        H = W = 32
+        proj = self._proj(W, H)
+        flat = np.full((H, W), 10.0, np.float32)
+        n = np.asarray(view_normals(jnp_arr(flat), proj))
+        # constant-depth plane faces the camera
+        assert abs(abs(n[16, 16, 2]) - 1.0) < 1e-5
+
+    def test_bokeh_dof_focus_behavior(self):
+        from viamd_tpu.render.bokeh import bokeh_dof
+
+        H = W = 64
+        rgb = np.zeros((H, W, 3), np.float32)
+        rgb[:, 32, :] = 1.0
+        kw = dict(focus_depth=10.0, focus_scale=10.0, dither=False,
+                  max_blur=6.0)
+        # in focus: bit-exact passthrough
+        d_foc = np.full((H, W), 10.0, np.float32)
+        out_foc = np.asarray(bokeh_dof(jnp_arr(rgb), jnp_arr(d_foc), **kw))
+        np.testing.assert_allclose(out_foc, rgb, atol=1e-6)
+        # defocused: the line dims and energy spreads sideways
+        d_far = np.full((H, W), 30.0, np.float32)
+        out_far = np.asarray(bokeh_dof(jnp_arr(rgb), jnp_arr(d_far), **kw))
+        assert out_far[32, 32, 0] < 0.9
+        assert out_far[32, 35, 0] > 1e-3
+        assert np.isfinite(out_far).all()
 
 
 def jnp_arr(x):

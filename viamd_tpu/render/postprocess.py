@@ -123,7 +123,12 @@ def ssao(view_depth, strength=1.0, radius_px: int = 8, n_samples: int = 8):
     return ao
 
 
-# -- FXAA (luma-based, fxaa.frag capability) ----------------------------------
+# -- FXAA -----------------------------------------------------------------
+# The full FXAA 3.11 port lives in render/fxaa.py (fxaa311) and is what the
+# pipeline runs; `fxaa` below is the cheap luma-blend fallback kept for
+# callers that want a single-pass approximation.
+
+from viamd_tpu.render.fxaa import fxaa311  # noqa: E402  (pipeline pass)
 
 
 @jax.jit
@@ -148,7 +153,12 @@ def fxaa(rgb):
     return rgb * (1 - w[..., None]) + blur * w[..., None]
 
 
-# -- DOF (scatter-as-gather, dof/*.frag capability) ---------------------------
+# -- DOF ----------------------------------------------------------------------
+# The full single-pass bokeh DOF port (dof/dof.frag) lives in render/bokeh.py
+# (bokeh_dof) and is what the pipeline runs; `depth_of_field` below is the
+# cheap ring-blur fallback kept for callers that want a fast approximation.
+
+from viamd_tpu.render.bokeh import bokeh_dof  # noqa: E402  (pipeline pass)
 
 
 @functools.partial(jax.jit, static_argnames=("max_radius",))
@@ -315,9 +325,17 @@ class PostprocessSettings:
     gamma: float = 2.2
     enable_ssao: bool = True
     ssao_strength: float = 1.0
+    # HBAO controls (reference defaults, viamd.h:1232-1237) — used when a
+    # projection matrix is passed to execute(); falls back to the
+    # depth-only `ssao` pass otherwise.
+    ssao_intensity: float = 6.0
+    ssao_radius: float = 6.0
+    ssao_bias: float = 0.1
     enable_fxaa: bool = True
     enable_dof: bool = False
     focus_depth: float = 10.0
+    focus_scale: float = 10.0
+    dof_max_blur: float = 15.0  # MAX_BLUR_SIZE (dof.frag:16)
     enable_sharpen: bool = False
     enable_motion_blur: bool = False
     motion_blur_scale: float = 1.0
@@ -329,24 +347,45 @@ def execute(
     view_depth: np.ndarray,
     settings: PostprocessSettings = PostprocessSettings(),
     velocity: np.ndarray | None = None,
+    proj: np.ndarray | None = None,
+    ortho: bool = False,
 ) -> np.ndarray:
     """Run the pass chain on a rendered frame → display-ready (H,W,3).
 
     `velocity`: optional (H,W,2) per-pixel screen velocity (pixels) for the
     motion-blur pass — build one from the picking buffer with
-    velocity_image()."""
+    velocity_image().
+    `proj`: optional 4x4 projection matrix (render/camera.py). When given,
+    the AO pass is the full normals-aware mip-sampled HBAO
+    (render/hbao.py); without it the depth-only `ssao` approximation runs."""
     rgb = jnp.asarray(rgba[..., :3])
     a = jnp.asarray(rgba[..., 3])
     depth = jnp.asarray(view_depth)
     if settings.enable_ssao:
-        ao = ssao(depth, settings.ssao_strength)
+        if proj is not None:
+            from viamd_tpu.render.hbao import hbao
+
+            ao = hbao(
+                depth, proj,
+                intensity=settings.ssao_intensity * settings.ssao_strength,
+                radius=settings.ssao_radius,
+                bias=settings.ssao_bias,
+                ortho=ortho,
+            )
+        else:
+            ao = ssao(depth, settings.ssao_strength)
         rgb = rgb * ao[..., None]
     if settings.enable_motion_blur and velocity is not None:
         rgb = motion_blur(
             rgb, jnp.asarray(velocity), scale=settings.motion_blur_scale
         )
     if settings.enable_dof:
-        rgb = depth_of_field(rgb, depth, settings.focus_depth)
+        rgb = bokeh_dof(
+            rgb, depth,
+            focus_depth=float(settings.focus_depth),
+            focus_scale=float(settings.focus_scale),
+            max_blur=float(settings.dof_max_blur),
+        )
     tm = TONEMAPS[settings.tonemap]
     if settings.tonemap == "exposure_gamma":
         rgb = tm(rgb, settings.exposure, settings.gamma)
@@ -355,7 +394,7 @@ def execute(
     bg = jnp.asarray(settings.background)
     rgb = rgb * a[..., None] + bg * (1 - a[..., None])
     if settings.enable_fxaa:
-        rgb = fxaa(rgb)
+        rgb = fxaa311(rgb)
     if settings.enable_sharpen:
         rgb = sharpen(rgb)
     return np.asarray(jnp.clip(rgb, 0, 1))
