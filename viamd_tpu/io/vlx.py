@@ -172,33 +172,16 @@ def _find(h5, *names, paths=None):
     return None
 
 
-# -- minimal built-in basis library (label-only checkpoints) -----------------
+# -- built-in basis library (label-only checkpoints) -------------------------
 # Real VeloxChem checkpoints store only the basis-set LABEL; mdlib embeds
-# basis-set data to reconstruct shells (md_vlx). STO-3G contractions for
-# H/C/N/O (standard published values, Hehre-Stewart-Pople):
-_S_COEF = (0.15432897, 0.53532814, 0.44463454)
-_SP_S = (-0.09996723, 0.39951283, 0.70011547)
-_SP_P = (0.15591627, 0.60768372, 0.39195739)
-_STO3G = {
-    1: [(0, (3.42525091, 0.62391373, 0.16885540), _S_COEF)],
-    6: [
-        (0, (71.6168370, 13.0450960, 3.5305122), _S_COEF),
-        (0, (2.9412494, 0.6834831, 0.2222899), _SP_S),
-        (1, (2.9412494, 0.6834831, 0.2222899), _SP_P),
-    ],
-    7: [
-        (0, (99.1061690, 18.0523120, 4.8856602), _S_COEF),
-        (0, (3.7804559, 0.8784966, 0.2857144), _SP_S),
-        (1, (3.7804559, 0.8784966, 0.2857144), _SP_P),
-    ],
-    8: [
-        (0, (130.7093200, 23.8088610, 6.4436083), _S_COEF),
-        (0, (5.0331513, 1.1695961, 0.3803890), _SP_S),
-        (1, (5.0331513, 1.1695961, 0.3803890), _SP_P),
-    ],
-}
+# basis-set data to reconstruct shells (md_vlx,
+# /root/reference/src/components/veloxchem/veloxchem.cpp:1044-1108).
+# io/basis.py supplies STO-3G for H..Kr (regenerated from the Hehre-
+# Stewart-Pople definition — see its provenance notes) and split-valence
+# 6-31G; extend with register_basis_set().
+from viamd_tpu.io.basis import builtin_library as _builtin_library
 
-BASIS_LIBRARY = {"STO-3G": _STO3G}
+BASIS_LIBRARY = _builtin_library()
 
 
 def register_basis_set(label: str, shells_per_element: dict) -> None:
