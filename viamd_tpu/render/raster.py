@@ -28,6 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 TILE = 16  # pixels per screen tile
+# max auto-raised global huge-tier capacity (each power-of-two tier is a
+# separate cached compile; past this the tier drops the farthest with a
+# warning — callers can still set RasterSettings.huge_cap higher manually)
+_HUGE_CAP_CEIL = 1024
 FOOT = 3  # max 3×3 tile footprint per primitive
 
 
@@ -43,6 +47,14 @@ class RasterSettings:
     # vs tile count in render_molecules (nearest-first slot ordering makes
     # overflow drop only the most-occluded primitives of a crowded tile)
     home_capacity: int = 0
+    # global huge-tier list capacities (spheres with vertical radius
+    # ≥ 40 px / oversized bond capsules). render_molecules auto-raises
+    # these to the next power-of-two tier when the host-side count
+    # exceeds them (each tier is a separate cached compile), up to
+    # _HUGE_CAP_CEIL — so the old hard 64/32 caps only bind past the
+    # ceiling
+    huge_cap: int = 64
+    huge_capsule_cap: int = 32
     ambient: float = 0.25
     specular: float = 0.35
     shininess: float = 48.0
@@ -258,8 +270,8 @@ def _raster_impl(
             TX = BTL
             Tp = TX * tiles_y
             BCAP = 16
-            GCAP = 64  # global huge-sphere list capacity
-            GCCAP = 32  # global huge-capsule list capacity
+            GCAP = s.huge_cap  # global huge-sphere list capacity
+            GCCAP = s.huge_capsule_cap  # global huge-capsule capacity
             x0p = float(tx0 * TILE)
             x1p = float((tx0 + txn) * TILE)
             sxl = sx - x0p
@@ -774,26 +786,34 @@ def render_molecules(
         cols = np.asarray(colors, np.float32)
         pick_src = np.arange(pos.shape[0], dtype=np.int32)
 
-    # coverage check: oversized primitives (spheres with vertical radius
-    # ≥ 40 px; bond halves screen-longer than ~80 px or thicker than
-    # ~14 px) route to the GLOBAL huge tier, which has no footprint cap
-    # but fixed capacity (64 spheres / 32 capsules, nearest-first; huge
-    # capsules also stay home-binned, so their overflow degrades to the
-    # old partial coverage). Warn (rate-limited by vlog's dedup) only on
-    # overflow — the old 40 px clipping cap is gone.
+    # oversized primitives (spheres with vertical radius ≥ 40 px; bond
+    # halves screen-longer than ~80 px or thicker than ~14 px) route to
+    # the GLOBAL huge tier (no footprint cap). The host counts them here
+    # and auto-raises the tier capacity to the next power-of-two (each
+    # tier is a separate cached compile), so the old hard 64/32 caps only
+    # bind past _HUGE_CAP_CEIL — and then with a rate-limited warning.
     zs = -np.asarray(pv)[:, 2]
     front = zs > 1e-2  # atoms behind the eye never rasterize
     if rad.size and front.any():
         p11 = float(np.asarray(proj)[1, 1])
         rpx_v = rad[front] / zs[front] * p11 * (s.height * 0.5)
-        if int(np.sum(rpx_v >= 40.0)) > 64:
-            from viamd_tpu.core.vlog import warning
+        n_huge_sph = int(np.sum(rpx_v >= 40.0))
+        if n_huge_sph > s.huge_cap:
+            import dataclasses as _dc
 
-            # static message so vlog's dedup window suppresses repeats
-            warning(
-                "raster: >64 huge spheres on screen — the global tier "
-                "drops the farthest (docs/ROADMAP.md coverage notes)"
-            )
+            cap = s.huge_cap
+            while cap < n_huge_sph and cap < _HUGE_CAP_CEIL:
+                cap *= 2
+            s = _dc.replace(s, huge_cap=cap)
+            if n_huge_sph > cap:
+                from viamd_tpu.core.vlog import warning
+
+                # static message so vlog's dedup window suppresses repeats
+                warning(
+                    "raster: huge-sphere count exceeds the maximum "
+                    "global-tier capacity — the tier drops the farthest "
+                    "(raise RasterSettings.huge_cap to override)"
+                )
     if len(cyl12):
         c = np.asarray(cyl12)
         z0 = -c[:, 2]
@@ -808,15 +828,23 @@ def render_molecules(
             n_huge = int(
                 np.sum(frontc & ((slen_est > 80.0) | (crad_est > 14.0)))
             )
-            if n_huge > 32:
-                from viamd_tpu.core.vlog import warning
+            if n_huge > s.huge_capsule_cap:
+                import dataclasses as _dc
 
-                warning(
-                    "raster: >32 huge bond capsules on screen — the "
-                    "global tier keeps the nearest; the rest fall back "
-                    "to sampled home-bin coverage (possible mid-span "
-                    "gaps beyond ~96 px)"
-                )
+                cap = s.huge_capsule_cap
+                while cap < n_huge and cap < _HUGE_CAP_CEIL // 2:
+                    cap *= 2
+                s = _dc.replace(s, huge_capsule_cap=cap)
+                if n_huge > cap:
+                    from viamd_tpu.core.vlog import warning
+
+                    warning(
+                        "raster: huge-capsule count exceeds the maximum "
+                        "global-tier capacity — the farthest fall back "
+                        "to sampled home-bin coverage (possible mid-span "
+                        "gaps beyond ~96 px; raise "
+                        "RasterSettings.huge_capsule_cap to override)"
+                    )
 
     img, depth, pick_idx = _raster_impl(
         jnp.asarray(pv), jnp.asarray(rad), jnp.asarray(cols),
