@@ -656,3 +656,74 @@ class TestBasisLibrary:
             )  # no Fe in the built-in 6-31G
         with pytest.raises(ValueError):
             shells_from_label("STO-3G", np.zeros((1, 3)), np.array([54]))
+
+
+class TestRepresentationInfo:
+    """RepresentationInfo catalog (components/veloxchem.representation_info
+    — the reference's RepresentationInfo fill, viamd.h:511-524 +
+    veloxchem.cpp:860-1003: MO labels with homo/lumo, NTO lambdas,
+    ground-state + transition dipoles, atom properties)."""
+
+    def _qm_h5(self, path):
+        import h5py
+
+        rng = np.random.RandomState(11)
+        coords = np.array(
+            [[0.0, 0.0, 0.226], [0.0, 1.443, -0.904], [0.0, -1.443, -0.904]],
+            np.float64,
+        )
+        nao = 7
+        with h5py.File(path, "w") as f:
+            f["atom_coordinates"] = coords
+            f["nuclear_charges"] = np.array([8.0, 1.0, 1.0])
+            f["basis_set"] = np.bytes_("STO-3G")
+            f["ground_state_dipole"] = np.array([0.0, 0.0, 0.7])
+            ap = f.create_group("atom_properties")
+            ap["resp_charges"] = np.array([-0.7, 0.35, 0.35])
+            scf = f.create_group("scf")
+            scf["alpha_orbitals"] = rng.randn(nao, nao)
+            scf["alpha_energies"] = np.linspace(-20.0, 2.0, nao)
+            scf["alpha_occupations"] = np.array([2.0] * 5 + [0.0] * 2)
+            rsp = f.create_group("rsp")
+            rsp["eigenvalues"] = np.array([0.3, 0.35])
+            rsp["oscillator_strengths"] = np.array([0.01, 0.2])
+            rsp["eigenvectors"] = rng.randn(2, 5 * 2)
+
+    def test_representation_info(self, tmp_path):
+        pytest.importorskip("h5py")
+        from viamd_tpu.components.veloxchem import VeloxchemComponent
+        from viamd_tpu.io.vlx import load_vlx_h5
+
+        p = str(tmp_path / "water_info.h5")
+        self._qm_h5(p)
+        qm = load_vlx_h5(p)
+        np.testing.assert_allclose(qm.scf_dipole, [0.0, 0.0, 0.7])
+        assert "resp_charges" in qm.atom_properties
+
+        comp = VeloxchemComponent(session=None)
+        comp.load(qm)
+        info = comp.representation_info()
+        # MO catalog with homo/lumo labels
+        assert info.alpha is not None
+        assert info.alpha.homo_idx == 4 and info.alpha.lumo_idx == 5
+        assert info.alpha.labels[4].endswith("(homo)")
+        assert info.alpha.labels[5].endswith("(lumo)")
+        assert len(info.alpha.labels) == 7
+        # NTO lambda lists per excited state, cutoff applied
+        assert info.nto is not None and len(info.nto.labels) == 2
+        lam_labels, lam_vals = info.nto.lambdas[0]
+        assert len(lam_labels) == len(lam_vals)
+        assert all(v >= 1e-3 for v in lam_vals)
+        # ground-state dipole with center-of-charge origin (Å)
+        gs = [d for d in info.dipole_moments
+              if d.key == "ground_state_dipole"]
+        assert len(gs) == 1
+        np.testing.assert_allclose(gs[0].vec, [0.0, 0.0, 0.7])
+        assert np.isfinite(gs[0].origin).all()
+        # atom properties with ranges
+        assert len(info.atom_properties) == 1
+        ap = info.atom_properties[0]
+        assert ap.key == "resp_charges"
+        assert ap.value_min == -0.7 and ap.value_max == 0.35
+        # density properties include transition densities (rsp present)
+        assert "transition_density" in info.density_properties

@@ -1326,3 +1326,118 @@ class TestKabschDegenerate:
         np.testing.assert_allclose(
             np.asarray(p) @ R.T, np.asarray(q), atol=1e-5
         )
+
+
+class TestGroupedCellList:
+    """Large-n grouped packed sort (ops/neighbors._build_cell_list_grouped):
+    when (cell_bits + idx_bits + 1) > 31 the cell list batch-sorts G index
+    groups of int32-packable keys instead of the 2-operand argsort and
+    builds the slot table via a G-way ownership select (VERDICT r2 #9 —
+    the 1M-atom sort growth term, reference design point
+    /root/reference/src/main.cpp:1134-1138)."""
+
+    def _cl_pair(self, n=5003, G=8, seed=0):
+        import viamd_tpu.ops.neighbors as nb
+
+        rng = np.random.RandomState(seed)
+        box = np.array([20.0, 18.0, 25.0], np.float32)
+        x = (rng.rand(n, 3) * box).astype(np.float32)
+        dims, cap = nb.choose_grid_r(box, 5.0, n)
+        cl = nb.build_cell_list(jnp.asarray(x), jnp.asarray(box), dims, cap)
+        dims_arr = jnp.array(dims, jnp.int32)
+        frac = jnp.asarray(x) / jnp.asarray(box)
+        frac = frac - jnp.floor(frac)
+        c3 = jnp.clip((frac * dims_arr).astype(jnp.int32), 0, dims_arr - 1)
+        cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+        clg = nb._build_cell_list_grouped(
+            cid, n, int(np.prod(dims)), dims, cap, G
+        )
+        return cl, clg, int(np.prod(dims))
+
+    def test_grouped_equals_sorted(self):
+        for G in (2, 16, 64):
+            cl, clg, ncells = self._cl_pair(G=G)
+            np.testing.assert_array_equal(
+                np.asarray(cl.starts), np.asarray(clg.starts)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(cl.valid), np.asarray(clg.valid)
+            )
+            assert int(clg.n_dropped) == int(cl.n_dropped)
+            assert clg.order is None
+            t0, v = np.asarray(cl.table), np.asarray(cl.valid)
+            t1 = np.asarray(clg.table)
+            for c in range(ncells):
+                assert set(t0[c][v[c]]) == set(t1[c][v[c]]), (G, c)
+
+    def test_group_count_selection(self, monkeypatch):
+        from viamd_tpu.ops.neighbors import _grouped_sort_groups
+
+        # off by default (measured net-negative on the v5e — see
+        # docs/PERF.md round-3 ledger)
+        assert _grouped_sort_groups(1_000_002, 14, 20) is None
+        monkeypatch.setenv("VIAMD_TPU_GROUPED_SORT", "1")
+        # fits in one packed sort → no grouping
+        assert _grouped_sort_groups(100_000, 10, 17) is None
+        # 1M atoms, 14 cell bits → 16 groups
+        assert _grouped_sort_groups(1_000_002, 14, 20) == 16
+        # too many groups needed → argsort fallback
+        assert _grouped_sort_groups(100_000_000, 21, 27) is None
+
+    def test_rdf_sdf_through_grouped_path(self, monkeypatch):
+        # force grouping at small n and check the full kernels agree with
+        # the single-sort path bit-for-bit (histograms/splats are
+        # order-independent sums)
+        import viamd_tpu.ops.neighbors as nb
+        from viamd_tpu.ops import sdf as sdf_ops
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(3)
+        L = 24.0
+        box = np.array([L, L, L])
+        n = 4001
+        x = (rng.rand(n, 3) * L).astype(np.float32)
+        wa = (rng.rand(n) < 0.5).astype(np.float32)
+        wb = (rng.rand(n) < 0.5).astype(np.float32)
+        idx_a = np.nonzero(wa)[0].astype(np.int32)
+        idx_b = np.nonzero(wb)[0].astype(np.int32)
+        nbins, rmax = 16, 5.0
+        dims, cap_a = choose_grid(box, rmax, idx_a.size)
+        _, cap_b = choose_grid(box, rmax, idx_b.size)
+        rdf_args = (
+            jnp.asarray(x), jnp.asarray(idx_a), jnp.asarray(idx_b),
+            jnp.asarray(box, jnp.float32), nbins, rmax, dims, cap_a, cap_b,
+        )
+        structs = [
+            np.arange(i * 5, i * 5 + 5, dtype=np.int32) for i in range(4)
+        ]
+        sidx, sw, refc = sdf_ops.make_structure_inputs(
+            structs, np.ones(n, np.float32), x
+        )
+        tw = (rng.rand(n) < 0.5).astype(np.float32)
+        extent, gdims = 5.0, 16
+        cl_dims, cl_cap = choose_grid(box, 1.7320508 * extent, n)
+        stencil = sdf_ops.make_sdf_stencil(extent, box / np.array(cl_dims))
+        span = int(stencil.max() - stencil.min()) + 1
+        if span > min(cl_dims):
+            pytest.skip("box too small for pruned stencil")
+        sdf_args = (
+            jnp.asarray(x), jnp.asarray(tw), jnp.asarray(sidx),
+            jnp.asarray(sw), jnp.asarray(refc), extent, gdims,
+            jnp.asarray(box, jnp.float32), cl_dims, cl_cap, stencil,
+        )
+        ref_hist = np.asarray(rdf.pair_dist_histogram_cl(*rdf_args))
+        ref_sdf = np.asarray(sdf_ops.sdf_accumulate_cl(*sdf_args))
+        monkeypatch.setattr(
+            nb, "_grouped_sort_groups",
+            lambda n_, cb, ib, max_groups=64: 8,
+        )
+        # build_cell_list is jitted: drop cached traces so the grouped
+        # branch really re-traces (otherwise this test is vacuous)
+        import jax
+
+        jax.clear_caches()
+        got_hist = np.asarray(rdf.pair_dist_histogram_cl(*rdf_args))
+        got_sdf = np.asarray(sdf_ops.sdf_accumulate_cl(*sdf_args))
+        np.testing.assert_allclose(got_hist, ref_hist, rtol=1e-6)
+        np.testing.assert_allclose(got_sdf, ref_sdf, atol=1e-4, rtol=1e-4)

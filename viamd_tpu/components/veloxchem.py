@@ -10,6 +10,7 @@ primitive matrices) and render through the volume ray-marcher.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -140,6 +141,11 @@ class VeloxchemComponent:
             raise ValueError("rsp data has no transition density matrices")
         T = np.asarray(exc.transition_dms[state], np.float64)
         Co, Cv = self._split_occ_virt()
+        if T.ndim == 1 and T.size == Co.shape[1] * Cv.shape[1]:
+            # raw CI/response eigenvector straight from the checkpoint
+            # (rsp/eigenvectors is (S, nocc*nvirt)) — reshape to the
+            # occ×virt amplitude matrix
+            T = T.reshape(Co.shape[1], Cv.shape[1])
         if T.shape != (Co.shape[1], Cv.shape[1]):
             raise ValueError(
                 f"transition matrix {T.shape} vs occ/virt "
@@ -263,6 +269,156 @@ class VeloxchemComponent:
             exc.energies_ev, exc.rotatory_strengths, x_ev, broadening_ev,
             shape,
         )
+
+    def representation_info(self) -> "RepresentationInfo":
+        """Catalog of the QM representations available for the loaded
+        dataset — the reference's RepresentationInfo fill
+        (/root/reference/src/viamd.h:511-524, populated in
+        veloxchem.cpp:860-1003): MO list with homo/lumo labels, per-state
+        NTO lambda lists (cutoff 1e-3, max 16), ground-state +
+        electric/magnetic transition dipole moments (origin = center of
+        charge, veloxchem.cpp:1368-1380), and per-atom property labels."""
+        qm = self.qm
+        if qm is None:
+            raise ValueError("no QM data loaded")
+        alpha = None
+        if qm.mo_energies is not None or qm.mo_occupations is not None:
+            nmo = qm.n_orbitals
+            homo = qm.n_occupied - 1
+            lumo = min(homo + 1, nmo - 1)
+            labels = []
+            for i in range(nmo):
+                tag = (" (homo)" if i == homo
+                       else " (lumo)" if i == lumo else "")
+                labels.append(f"{i + 1}{tag}")
+            alpha = MolecularOrbitalInfo(
+                homo_idx=homo,
+                lumo_idx=lumo,
+                labels=labels,
+                occupations=(
+                    np.asarray(qm.mo_occupations, np.float64)
+                    if qm.mo_occupations is not None else None
+                ),
+                energies=(
+                    np.asarray(qm.mo_energies, np.float64)
+                    if qm.mo_energies is not None else None
+                ),
+            )
+        nto = None
+        if qm.excited is not None and qm.excited.transition_dms is not None:
+            states, lambdas = [], []
+            for s in range(qm.excited.n_states):
+                lam, _, _ = self.ntos(s)
+                lam = lam[:16]
+                lam = lam[lam >= 1e-3]  # LAMBDA_CUTOFF
+                states.append(f"{s + 1}")
+                lambdas.append(
+                    ([f"λ[{j + 1}] ({v:.3f})" for j, v in enumerate(lam)],
+                     lam)
+                )
+            nto = NTOInfo(labels=states, lambdas=lambdas)
+        dipoles = []
+        z = np.asarray(qm.atom_numbers, np.float64)
+        xyz = np.asarray(qm.atom_coords, np.float64)
+        n_e = float(z.sum())
+        if qm.scf_dipole is not None:
+            mu = np.asarray(qm.scf_dipole, np.float64)
+            nucl = (xyz * z[:, None]).sum(axis=0)
+            coc = (nucl - mu) / max(n_e, 1.0)  # veloxchem.cpp:1368-1380
+            dipoles.append(DipoleMoment(
+                key="ground_state_dipole",
+                label="Ground State Dipole Moment",
+                vec=mu, origin=coc * 0.529177210903,  # Bohr → Å
+            ))
+        if qm.excited is not None:
+            for name, arr in (
+                ("electric_transition_dipole", qm.excited.electric_tdms),
+                ("magnetic_transition_dipole", qm.excited.magnetic_tdms),
+            ):
+                if arr is not None:
+                    for s in range(len(arr)):
+                        dipoles.append(DipoleMoment(
+                            key=f"{name}_{s + 1}",
+                            label=f"{name.replace('_', ' ').title()} "
+                                  f"S{s + 1}",
+                            vec=np.asarray(arr[s], np.float64),
+                            origin=np.zeros(3),
+                        ))
+        atom_props = []
+        if qm.atom_properties:
+            for label, vals in qm.atom_properties.items():
+                v = np.asarray(vals, np.float64)
+                atom_props.append(AtomPropertyInfo(
+                    key=label, label=label,
+                    value_min=float(v.min()), value_max=float(v.max()),
+                    values=v,
+                ))
+        density_props = []
+        if qm.mo_coeffs is not None:
+            density_props.append("electron_density")
+            if nto is not None:
+                density_props += ["transition_density",
+                                  "attachment_density", "detachment_density"]
+        return RepresentationInfo(
+            alpha=alpha, beta=None, nto=nto, dipole_moments=dipoles,
+            atom_properties=atom_props, density_properties=density_props,
+        )
+
+
+
+@dataclass
+class MolecularOrbitalInfo:
+    """viamd.h:487-494 MolecularOrbital."""
+
+    homo_idx: int
+    lumo_idx: int
+    labels: list
+    occupations: np.ndarray | None = None
+    energies: np.ndarray | None = None
+
+
+@dataclass
+class NTOInfo:
+    """viamd.h:475-485 NaturalTransitionOrbital(+Lambda): per excited
+    state, the (labels, values) of its dominant NTO lambdas."""
+
+    labels: list = field(default_factory=list)
+    lambdas: list = field(default_factory=list)
+
+
+@dataclass
+class DipoleMoment:
+    """viamd.h:467-473 DipoleMoment (vec in a.u., origin in Å)."""
+
+    key: str
+    label: str
+    vec: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    origin: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    unit: str = "a.u."
+
+
+@dataclass
+class AtomPropertyInfo:
+    """viamd.h:496-503 AtomProperty (+ the values themselves, since the
+    rebuild has no separate Eval event round-trip)."""
+
+    key: str
+    label: str
+    value_min: float = 0.0
+    value_max: float = 0.0
+    values: np.ndarray | None = None
+
+
+@dataclass
+class RepresentationInfo:
+    """viamd.h:511-524 RepresentationInfo."""
+
+    alpha: MolecularOrbitalInfo | None = None
+    beta: MolecularOrbitalInfo | None = None
+    nto: NTOInfo | None = None
+    dipole_moments: list = field(default_factory=list)
+    atom_properties: list = field(default_factory=list)
+    density_properties: list = field(default_factory=list)
 
 
 def _broaden(centers_ev, strengths, x_ev, width_ev, shape):

@@ -73,6 +73,11 @@ class QMData:
     mo_energies: np.ndarray | None = None
     mo_occupations: np.ndarray | None = None
     excited: ExcitedStates | None = None
+    # SCF ground-state dipole moment (a.u.), when the checkpoint carries it
+    # (md_vlx_scf_ground_state_dipole_moment)
+    scf_dipole: np.ndarray | None = None
+    # optional per-atom property arrays from the checkpoint (label → (na,))
+    atom_properties: dict | None = None
     # expanded primitive arrays (built lazily)
     _prims: tuple | None = field(default=None, repr=False)
 
@@ -320,6 +325,18 @@ def load_vlx_h5(path: str) -> QMData:
                     np.asarray(mtdm, np.float64) if mtdm is not None else None
                 ),
             )
+        dip = _find(
+            f, "ground_state_dipole", "scf/ground_state_dipole",
+            "dipole_moment", "scf/dipole_moment", paths=keys,
+        )
+        aprops: dict | None = None
+        if "atom_properties" in f and hasattr(f["atom_properties"], "keys"):
+            na = np.asarray(coords).shape[0]
+            aprops = {}
+            for k in f["atom_properties"].keys():
+                v = np.asarray(f["atom_properties"][k])
+                if v.shape and v.shape[0] == na:
+                    aprops[str(k)] = v.astype(np.float64)
         return QMData(
             np.asarray(coords, np.float32),
             np.asarray(charges).astype(np.int32),
@@ -328,4 +345,9 @@ def load_vlx_h5(path: str) -> QMData:
             mo_energies=energies,
             mo_occupations=occ,
             excited=exc,
+            scf_dipole=(
+                np.asarray(dip, np.float64).reshape(3)
+                if dip is not None and np.asarray(dip).size == 3 else None
+            ),
+            atom_properties=aprops,
         )

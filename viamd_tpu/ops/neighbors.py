@@ -120,8 +120,10 @@ def build_cell_list(
     c3 = jnp.clip((frac * dims_arr).astype(jnp.int32), 0, dims_arr - 1)
     cid = (c3[:, 0] * dy + c3[:, 1]) * dz + c3[:, 2]
     ncells = dx * dy * dz
+    cell_bits = int(np.ceil(np.log2(max(ncells + 1, 2))))
     idx_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    if idx_bits + int(np.ceil(np.log2(max(ncells, 2)))) + 1 <= 31:
+    groups = _grouped_sort_groups(n, cell_bits, idx_bits)
+    if idx_bits + cell_bits + 1 <= 31:
         # pack (cell id, atom idx) into one int32: a single-operand sort is
         # ~2× an argsort's key+payload co-sort, and the atom index tiebreak
         # makes the order fully deterministic
@@ -129,6 +131,9 @@ def build_cell_list(
         packed = jnp.sort((cid << idx_bits) | iota)
         order = (packed & ((1 << idx_bits) - 1)).astype(jnp.int32)
         cid_sorted = (packed >> idx_bits).astype(jnp.int32)
+    elif groups is not None:
+        return _build_cell_list_grouped(
+            cid, n, ncells, dims, capacity, groups)
     else:
         order = jnp.argsort(cid).astype(jnp.int32)
         cid_sorted = cid[order]
@@ -144,6 +149,110 @@ def build_cell_list(
     dropped = jnp.sum(jnp.maximum(starts[1:] - starts[:-1] - capacity, 0))
     return CellList(
         order=order,
+        cell_of_atom=cid,
+        starts=starts,
+        table=table,
+        valid=valid,
+        n_dropped=dropped,
+        dims=dims,
+        capacity=capacity,
+    )
+
+
+def _grouped_sort_groups(n: int, cell_bits: int, idx_bits: int,
+                         max_groups: int = 64):
+    """Pick the group count for the grouped packed sort: smallest power of
+    two G with ceil(log2(n/G)) + cell_bits + 1 <= 31, or None if that
+    needs more than `max_groups` (the per-group-starts table and the
+    G-way ownership select stop paying past ~64 groups — huge single-chip
+    systems keep the argsort fallback; 100M-atom scale is the slab-sharded
+    multi-chip path).
+
+    OFF BY DEFAULT (opt in with VIAMD_TPU_GROUPED_SORT=1): measured on
+    the v5e (tools/exp_groupsort.py, docs/PERF.md round-3 ledger), the
+    batched (G, n/G) single-operand sort alone is 4.4-5.6x faster than
+    the argsort it replaces (1.7 vs 9.5 ms at 333k / 4.2 vs 17.4 at
+    667k), but the Gx per-group boundary searchsorted (+9/+23 ms) and
+    the 3-gather grouped table build (+13/+23 ms vs 1 gather) cost more
+    than the sort win at config-#4 selection sizes — the build is
+    gather-bound, not sort-bound, on this backend."""
+    import os
+
+    if os.environ.get("VIAMD_TPU_GROUPED_SORT", "0") != "1":
+        return None
+    g = 1
+    while g <= max_groups:
+        m = -(-n // g)
+        mbits = max(int(np.ceil(np.log2(max(m, 2)))), 1)
+        if mbits + cell_bits + 1 <= 31:
+            return g if g > 1 else None  # g==1 is the plain packed path
+        g *= 2
+    return None
+
+
+def _build_cell_list_grouped(
+    cid, n: int, ncells: int, dims: tuple, capacity: int, G: int
+) -> CellList:
+    """Large-n cell binning without the 2-operand argsort: split atoms into
+    G index-groups (a free reshape), pack (cid << mbits | local_idx) into
+    int32 per group, and batch-sort (G, m) — ~3x fewer effective sort
+    passes than argsort at 1M atoms (single operand x log²(n/G) vs
+    2 x log²(n)).  The (ncells, capacity) slot table is then built
+    directly from the grouped sorts via a G-way column-ownership
+    compare-CDF (group g owns columns [prefix[c,g], prefix[c,g+1]) of
+    cell c's row), so no globally-sorted order is ever materialized
+    (order=None; consumers address candidates through table/valid/starts
+    — ops/sdf.py, ops/pallas_rdf.py).  Deterministic (group-major within
+    each cell) but not index-stable; downstream histograms/splats are
+    order-independent."""
+    m = -(-n // G)
+    mbits = max(int(np.ceil(np.log2(max(m, 2)))), 1)
+    pad = G * m - n
+    # pad keys sort to the tail of the last group (cid = ncells > all)
+    key = (cid << mbits) | (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] % m
+    )
+    key = jnp.pad(key, (0, pad), constant_values=(ncells << mbits))
+    skey = jnp.sort(key.reshape(G, m), axis=1)
+    local = (skey & ((1 << mbits) - 1)).astype(jnp.int32)
+    # concatenated grouped order: global atom index per (g, r)
+    goff = jax.lax.broadcasted_iota(jnp.int32, (G, m), 0) * m
+    order_g = (local + goff).reshape(-1)  # (G*m,) — NOT globally sorted
+    # per-group cell boundaries: (G, ncells+1)
+    cells = jax.lax.broadcasted_iota(jnp.int32, (ncells + 1, 1), 0)[:, 0]
+    starts_g = jax.vmap(
+        lambda row: jnp.searchsorted(row, cells << mbits, side="left")
+    )(skey).astype(jnp.int32)
+    counts_g = starts_g[:, 1:] - starts_g[:, :-1]  # (G, ncells)
+    # prefix[c, g] = columns of cell c's table row owned by groups < g
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, ncells), jnp.int32), jnp.cumsum(counts_g, axis=0)],
+        axis=0,
+    ).T  # (ncells, G+1)
+    count = prefix[:, -1]  # (ncells,) total per cell
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(count).astype(jnp.int32)]
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ncells, capacity), 1)
+    # ownership: g_own(c, k) = #{g : prefix[c, g+1] <= k}
+    g_own = jnp.sum(
+        (prefix[:, 1:G + 1][:, None, :] <= slot[:, :, None]).astype(
+            jnp.int32),
+        axis=2,
+    )
+    g_own = jnp.minimum(g_own, G - 1)
+    # flat-index gathers (take_along_axis is ~30x slower on this backend)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (ncells, capacity), 0)
+    own_prefix = prefix.reshape(-1)[c_iota * (G + 1) + g_own]
+    # starts_g is (G, ncells+1): entry [g_own, c]
+    own_start = starts_g.reshape(-1)[g_own * (ncells + 1) + c_iota]
+    src = g_own * m + own_start + (slot - own_prefix)
+    valid = slot < count[:, None]
+    table = order_g[jnp.clip(src, 0, G * m - 1)]
+    dropped = jnp.sum(jnp.maximum(count - capacity, 0))
+    return CellList(
+        order=None,
         cell_of_atom=cid,
         starts=starts,
         table=table,

@@ -154,17 +154,29 @@ def sdf_accumulate_cl(
     cells = jnp.mod(c3[:, None, :] + offs[None, :, :], dims_arr)
     cell_ids = (cells[..., 0] * dyc + cells[..., 1]) * dzc + cells[..., 2]
     nt = xt.shape[0]
-    st = cl.starts[cell_ids]  # (S, S3)
-    cnt = cl.starts[cell_ids + 1] - st
-    slot = jnp.arange(cl_capacity, dtype=jnp.int32)
-    pos = st[..., None] + slot  # (S, S3, cap)
-    ok = (slot < cnt[..., None]).reshape(c.shape[0], -1)
-    # ONE candidate gather: coords+weight packed (nt, 4) and pre-sorted
-    # into cell order, indexed by segment position directly — the
-    # order[pos] → xt[cand] → w[cand] triple indirection was the dominant
-    # SDF cost (three ~C-sized gathers instead of this single one)
-    xs4 = jnp.concatenate([xt_b, twt[:, None]], axis=1)[cl.order]
-    cd = xs4[jnp.minimum(pos, nt - 1).reshape(c.shape[0], -1)]  # (S, C, 4)
+    xs4 = jnp.concatenate([xt_b, twt[:, None]], axis=1)
+    if cl.order is not None:
+        st = cl.starts[cell_ids]  # (S, S3)
+        cnt = cl.starts[cell_ids + 1] - st
+        slot = jnp.arange(cl_capacity, dtype=jnp.int32)
+        pos = st[..., None] + slot  # (S, S3, cap)
+        ok = (slot < cnt[..., None]).reshape(c.shape[0], -1)
+        # ONE candidate gather: coords+weight packed (nt, 4) and
+        # pre-sorted into cell order, indexed by segment position
+        # directly — the order[pos] → xt[cand] → w[cand] triple
+        # indirection was the dominant SDF cost (three ~C-sized gathers
+        # instead of this single one); the dense (ncells, cap) table is
+        # never touched so XLA dead-code-eliminates its build
+        cd = xs4[cl.order][
+            jnp.minimum(pos, nt - 1).reshape(c.shape[0], -1)
+        ]  # (S, C, 4)
+    else:
+        # grouped cell list (large n): no globally-sorted order exists —
+        # address candidates through the slot table instead (same row
+        # counts: (S, S3) table rows + (S, C) payload rows)
+        cand = cl.table[cell_ids]  # (S, S3, cap)
+        ok = cl.valid[cell_ids].reshape(c.shape[0], -1)
+        cd = xs4[cand.reshape(c.shape[0], -1)]  # (S, C, 4)
 
     if tri:
         # fractional single-round min-image, then cart via the basis
