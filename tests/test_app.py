@@ -1135,3 +1135,55 @@ class TestViewer:
                 assert img3 != img2
         finally:
             srv.close()
+
+    def test_script_eval_plot_panel(self, ala_session):
+        """The side-panel windows over HTTP: script editor (located
+        errors), evaluate, timeline/distribution plot PNGs, selection
+        queries (reference script editor + timeline main.cpp:4248 +
+        distribution main.cpp:4875 windows)."""
+        import json as _json
+        import urllib.request
+
+        from viamd_tpu.app.viewer import ViewerServer
+
+        s = ala_session
+        srv = ViewerServer(s, port=0)
+        srv.serve(blocking=False)
+
+        def post(path, **data):
+            req = urllib.request.Request(
+                base + "/api/" + path, data=_json.dumps(data).encode()
+            )
+            return _json.loads(urllib.request.urlopen(req).read())
+
+        try:
+            port = srv.httpd.server_address[1]
+            base = f"http://127.0.0.1:{port}"
+            # a bad script returns located errors, a good one clears them
+            out = post("script", text="d1 = distance(1, 99999);")
+            assert out["errors"]
+            out = post("script", text="d1 = distance(1, 4);")
+            assert out["errors"] == []
+            # evaluate → property list + frames done
+            out = post("eval")
+            assert "d1" in out.get("properties", []), out
+            assert out["n_frames"] == s.num_frames
+            # plots render as PNGs for both kinds
+            for kind in ("temporal", "histogram"):
+                png = urllib.request.urlopen(
+                    base + f"/api/plot?prop=d1&kind={kind}"
+                ).read()
+                assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            # selection query
+            out = post("select", query="name('CA')")
+            assert out["count"] >= 1
+            out = post("select", query="not a ( valid query")
+            assert out["count"] == 0 and out["error"]
+            # state carries the script text back to the editor
+            state = _json.loads(
+                urllib.request.urlopen(base + "/api/state").read()
+            )
+            assert state["script"].startswith("d1 = distance")
+            assert "d1" in state["properties"]
+        finally:
+            srv.close()

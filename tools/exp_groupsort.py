@@ -55,9 +55,17 @@ def main():
     box_np = np.asarray(sys_.cell.extent())
     box = jnp.asarray(box_np, jnp.float32)
     el = np.asarray(sys_.element)
-    for sel, name in ((el == 8, "O(333k)"), (el == 1, "H(667k)")):
+    cases = [
+        (el == 8, "O(333k) rdf-grid", 10.0, 1),
+        (el == 1, "H(667k) rdf-grid", 10.0, 1),
+        # the config-#4 SDF target grid: cell width >= sqrt(3)*extent/...
+        # (choose_grid: width >= cutoff/2 with cutoff = sqrt(3)*5*2)
+        (el == 1, "H(667k) sdf-grid", 1.7320508 * 5.0 * 2.0, 2),
+    ]
+    for sel, name, cutoff, radius in cases:
         idx = jnp.asarray(np.nonzero(sel)[0].astype(np.int32))
-        dims, cap = nb.choose_grid_r(box_np, 10.0, idx.size, radius=1)
+        dims, cap = nb.choose_grid_r(
+            box_np, cutoff, idx.size, radius=radius)
         n = idx.size
         ncells = int(np.prod(dims))
         cell_bits = int(np.ceil(np.log2(ncells + 1)))

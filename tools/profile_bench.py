@@ -82,10 +82,18 @@ def main():
     def rdf(xx):
         return pair_dist_histogram_pl(
             xx, idx_o, idx_o, box, 128, 10.0, dims1, cap1, cap1,
-            radius=1, symmetric=True,
+            radius=1, symmetric=True, bin_mode="mxu",
         )
 
-    timed("rdf (shipped r1 config)", lambda xx: loop(rdf, xx)(), x)
+    timed("rdf (shipped: radius-1, mxu)", lambda xx: loop(rdf, xx)(), x)
+
+    def rdf_block(xx):
+        return pair_dist_histogram_pl(
+            xx, idx_o, idx_o, box, 128, 10.0, dims1, cap1, cap1,
+            radius=1, symmetric=True, bin_mode="block",
+        )
+
+    timed("rdf (block bin loop, pre-r3)", lambda xx: loop(rdf_block, xx)(), x)
 
     def cl_only(xx):
         cl = build_cell_list(xx[idx_o], box, dims1, cap1)

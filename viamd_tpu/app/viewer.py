@@ -2,10 +2,15 @@
 
 Closes the interactive-loop gap with the reference application
 (/root/reference/src/main.cpp:362-1202: vsync'd main loop with trackball
-camera, picking, playback): a stdlib http.server serves one HTML page
-whose canvas shows Session.render frames; mouse drags orbit the trackball
-camera, wheel zooms (dolly), clicks pick + select, and a playback slider
-scrubs trajectory frames. No extra dependencies — PNG encoding via the
+camera, picking, playback — plus the script-editor, timeline and
+distribution windows, main.cpp:4248/4875 and the selection-query input):
+a stdlib http.server serves one HTML page whose canvas shows
+Session.render frames; mouse drags orbit the trackball camera, wheel
+zooms (dolly), clicks pick + select, and a playback slider scrubs
+trajectory frames. A side panel edits the analysis script (located
+compile errors inline), evaluates it, plots property time series /
+distributions (tiny numpy rasterizer — no plotting dependency), and runs
+selection-language queries. No extra dependencies — PNG encoding via the
 existing export path (PIL), transport is plain fetch() polling driven by
 input events (the render itself is the rate limiter, as in the reference
 where heavy work is async to the UI).
@@ -30,10 +35,20 @@ _PAGE = """<!doctype html>
 body{margin:0;background:#15171a;color:#ccc;font:13px sans-serif;
      display:flex;flex-direction:column;height:100vh}
 #bar{padding:6px 10px;display:flex;gap:10px;align-items:center}
-#cv{flex:1;min-height:0;cursor:grab;object-fit:contain;width:100%}
+#main{flex:1;min-height:0;display:flex}
+#cv{flex:1;min-height:0;min-width:0;cursor:grab;object-fit:contain}
+#side{width:340px;display:flex;flex-direction:column;gap:6px;
+      padding:6px;background:#1b1d21;overflow-y:auto}
+#script{height:140px;background:#101214;color:#cdc;border:1px solid #333;
+        font:12px monospace;resize:vertical}
+#err{color:#e66;font:11px monospace;white-space:pre-wrap}
+#selinfo{color:#8a8;font:11px monospace}
+#plot{width:100%;background:#101214;border:1px solid #333}
 input[type=range]{flex:1}
-select,button{background:#26292e;color:#ccc;border:1px solid #444}
+select,button,input[type=text]{background:#26292e;color:#ccc;
+  border:1px solid #444}
 #info{min-width:220px;text-align:right;color:#8a8}
+.row{display:flex;gap:6px;align-items:center}
 </style></head><body>
 <div id="bar">
  <b>viamd-tpu</b>
@@ -44,7 +59,33 @@ select,button{background:#26292e;color:#ccc;border:1px solid #444}
  <span id="fno">0</span>
  <span id="info"></span>
 </div>
+<div id="main">
 <img id="cv" draggable="false">
+<div id="side">
+ <b>Script</b>
+ <textarea id="script" spellcheck="false"></textarea>
+ <div class="row">
+  <button id="apply">Apply</button>
+  <button id="evalbtn">Evaluate</button>
+  <span id="evst"></span>
+ </div>
+ <div id="err"></div>
+ <b>Properties</b>
+ <div class="row">
+  <select id="prop"></select>
+  <select id="kind"><option>temporal</option><option>histogram</option>
+  </select>
+ </div>
+ <img id="plot">
+ <b>Selection query</b>
+ <div class="row">
+  <input type="text" id="selq" placeholder="protein and within(5, resname('ALA'))"
+   style="flex:1">
+  <button id="selgo">Select</button>
+ </div>
+ <div id="selinfo"></div>
+</div>
+</div>
 <script>
 const cv=document.getElementById('cv'),info=document.getElementById('info');
 const frame=document.getElementById('frame'),fno=document.getElementById('fno');
@@ -97,9 +138,51 @@ document.getElementById('play').addEventListener('click',async e=>{
     await refresh();
     await new Promise(r=>setTimeout(r,30));
   }});
+// --- side panel: script editor / eval / plots / selection queries ---
+const scriptTa=document.getElementById('script'),err=document.getElementById('err');
+const propSel=document.getElementById('prop'),kindSel=document.getElementById('kind');
+const plot=document.getElementById('plot'),evst=document.getElementById('evst');
+async function setProps(names){
+  propSel.innerHTML='';
+  for(const n of names){const o=document.createElement('option');
+    o.textContent=n;propSel.appendChild(o);}
+  if(names.length)showPlot();
+}
+async function showPlot(){
+  if(!propSel.value)return;
+  plot.src=`/api/plot?prop=${encodeURIComponent(propSel.value)}`+
+           `&kind=${kindSel.value}&t=${Date.now()}`;
+}
+document.getElementById('apply').addEventListener('click',async()=>{
+  const r=await fetch('/api/script',{method:'POST',
+    body:JSON.stringify({text:scriptTa.value})});
+  const d=await r.json();
+  err.textContent=(d.errors||[]).join('\\n'); refresh();
+});
+document.getElementById('evalbtn').addEventListener('click',async()=>{
+  evst.textContent='…';
+  const r=await fetch('/api/eval',{method:'POST',body:'{}'});
+  const d=await r.json();
+  evst.textContent=d.error?'error':`${d.n_frames||0} frames`;
+  err.textContent=d.error||err.textContent;
+  setProps(d.properties||[]);
+});
+propSel.addEventListener('change',showPlot);
+kindSel.addEventListener('change',showPlot);
+document.getElementById('selgo').addEventListener('click',async()=>{
+  const r=await fetch('/api/select',{method:'POST',
+    body:JSON.stringify({query:document.getElementById('selq').value})});
+  const d=await r.json();
+  document.getElementById('selinfo').textContent=
+    d.error?d.error:`${d.count} atoms selected`;
+  refresh();
+});
 (async()=>{const s=await(await fetch('/api/state')).json();
   frame.max=Math.max(0,s.num_frames-1);
-  info.textContent=s.title; refresh();})();
+  info.textContent=s.title;
+  scriptTa.value=s.script||'';
+  if(s.properties&&s.properties.length)setProps(s.properties);
+  refresh();})();
 </script></body></html>"""
 
 
@@ -157,6 +240,25 @@ class ViewerServer:
                     s.representations[0].type = str(data["type"])
                     s._update_representations()
                 return {}
+            if path == "script":
+                # the script-editor window: recompile + located errors
+                s.set_script(str(data.get("text", "")))
+                return {"errors": list(s.script_errors)}
+            if path == "eval":
+                # the evaluate action feeding timeline/distribution plots
+                try:
+                    res = s.evaluate()
+                except Exception as e:  # surface eval errors to the panel
+                    return {"error": str(e)}
+                props = sorted(res.temporal.keys()) if res else []
+                nf = int(getattr(res, "n_frames_done", 0) or 0)
+                return {"properties": props, "n_frames": nf}
+            if path == "select":
+                try:
+                    mask = s.select(str(data.get("query", "")))
+                except Exception as e:
+                    return {"error": str(e), "count": 0}
+                return {"count": int(mask.popcount())}
             if path == "pick":
                 w = max(64, min(int(data.get("w", 512)), 2048))
                 h = max(64, min(int(data.get("h", 384)), 1536))
@@ -181,6 +283,7 @@ class ViewerServer:
 
     def _state(self) -> dict:
         s = self.session
+        res = getattr(s, "eval_result", None)
         return {
             "num_frames": s.num_frames,
             "natoms": s.system.natoms if s.system else 0,
@@ -189,7 +292,54 @@ class ViewerServer:
                 if s.system
                 else "no system"
             ),
+            "script": getattr(s, "script_text", "") or "",
+            "properties": (
+                sorted(res.temporal.keys()) if res is not None else []
+            ),
         }
+
+    def _plot_png(self, prop: str, kind: str) -> bytes:
+        """Timeline / distribution plot of an evaluated property — the
+        reference's timeline (main.cpp:4248) and distribution
+        (main.cpp:4875) windows, rasterized by numpy (no plot library)."""
+        from PIL import Image
+
+        res = getattr(self.session, "eval_result", None)
+        if res is None:
+            raise ValueError("evaluate first")
+        W, H = 328, 140
+        img = np.full((H, W, 3), 16, np.uint8)
+        img[:, :, 2] = 20
+        fg = np.array([120, 200, 140], np.uint8)
+        if kind == "histogram":
+            h, _edges = res.histogram(prop)
+            y = np.asarray(h, np.float64).reshape(-1)
+            n = y.size
+            ym = y.max() if y.size and y.max() > 0 else 1.0
+            xs = (np.arange(n) * (W - 1) / max(n - 1, 1)).astype(int)
+            for i in range(n):
+                x0 = xs[i]
+                x1 = xs[i + 1] if i + 1 < n else W - 1
+                hh = int((H - 8) * y[i] / ym)
+                img[H - 4 - hh:H - 4, x0:max(x1, x0 + 1)] = fg
+        else:
+            y = np.asarray(res.temporal[prop], np.float64)
+            y = y.reshape(y.shape[0], -1).mean(axis=1)
+            n = y.size
+            lo, hi = float(np.nanmin(y)), float(np.nanmax(y))
+            span = (hi - lo) or 1.0
+            px = (np.arange(n) * (W - 9) / max(n - 1, 1)).astype(int) + 4
+            py = (H - 5 - (y - lo) / span * (H - 10)).astype(int)
+            for i in range(n - 1):
+                x0, x1 = px[i], px[i + 1]
+                y0, y1 = py[i], py[i + 1]
+                steps = max(abs(x1 - x0), abs(y1 - y0), 1)
+                xs = np.linspace(x0, x1, steps + 1).astype(int)
+                ys = np.linspace(y0, y1, steps + 1).astype(int)
+                img[np.clip(ys, 0, H - 1), np.clip(xs, 0, W - 1)] = fg
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "PNG")
+        return buf.getvalue()
 
     # -- server -------------------------------------------------------------
     def make_handler(self):
@@ -225,6 +375,16 @@ class ViewerServer:
                         200, json.dumps(viewer._state()).encode(),
                         "application/json",
                     )
+                elif u.path == "/api/plot":
+                    q = parse_qs(u.query)
+                    try:
+                        png = viewer._plot_png(
+                            q.get("prop", [""])[0],
+                            q.get("kind", ["temporal"])[0],
+                        )
+                        self._send(200, png, "image/png")
+                    except Exception as e:
+                        self._send(500, str(e).encode(), "text/plain")
                 else:
                     self._send(404, b"not found", "text/plain")
 
