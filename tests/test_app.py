@@ -145,6 +145,22 @@ class TestSession:
         hits = pick[pick >= 0]
         assert hits.size > 0
 
+    def test_render_postprocessed(self, ala_session):
+        """postprocess=True runs the full quality chain (HBAO via the
+        camera proj, tonemap, FXAA 3.11) — the reference's always-on
+        viewport pipeline (postprocessing_utils.cpp:1938)."""
+        s = ala_session
+        raw, depth, _ = s.render(64, 64)
+        out, depth2, pick2 = s.render(64, 64, postprocess=True)
+        assert out.shape == (64, 64, 4)
+        np.testing.assert_array_equal(out[..., 3], 1.0)  # composited
+        assert np.isfinite(out).all()
+        assert (out >= 0).all() and (out <= 1).all()
+        # the chain actually did something (tonemap + background compose)
+        assert not np.allclose(out[..., :3], raw[..., :3])
+        # gbuffer outputs unchanged
+        np.testing.assert_array_equal(depth2, depth)
+
     def test_load_demo_default_script(self):
         """The built-in demo runs the reference's DEFAULT SCRIPT verbatim
         (main.cpp:513-530) — selection slice, distance, angle-in-context,

@@ -98,7 +98,9 @@ def cmd_render(args):
     s._update_representations()
     if args.frame is not None:
         s.set_frame(args.frame)
-    img, depth, _pick = s.render(args.width, args.height)
+    img, depth, _pick = s.render(
+        args.width, args.height, postprocess=args.postprocess
+    )
     from viamd_tpu.app.export import save_image
 
     save_image(args.output, img)
@@ -250,6 +252,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame", type=float)
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
+    p.add_argument("--postprocess", action="store_true",
+                   help="full quality chain: HBAO, tonemap, FXAA 3.11")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("volume", help="render/export a volume property")

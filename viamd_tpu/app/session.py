@@ -479,11 +479,19 @@ class Session:
         overlay=None,
         jitter=(0.0, 0.0),
         show_selection: bool = True,
+        postprocess=None,
     ):
         """Render enabled representations → (rgba, depth, picking).
 
         The md_gl_draw path (main.cpp:6991) as one call; picking output is
-        the per-pixel atom id surface (viamd.h picking capability)."""
+        the per-pixel atom id surface (viamd.h picking capability).
+
+        `postprocess`: None/False = raw gbuffer output (default);
+        True = run the full postprocess chain (HBAO, tonemap, bokeh DOF
+        if enabled, FXAA 3.11 — the reference's always-on viewport
+        pipeline, postprocessing_utils.cpp:1938) with default settings;
+        or pass a `render.postprocess.PostprocessSettings`. The returned
+        rgba is then the display-ready composite (alpha 1)."""
         from viamd_tpu.render import color as color_mod
         from viamd_tpu.render import raster
 
@@ -645,6 +653,21 @@ class Session:
         ):
             img = self._draw_selection_outline(
                 img, pick, self.highlight, color=(1.0, 0.85, 0.3)
+            )
+        if postprocess and img is not None:
+            from viamd_tpu.render import postprocess as pp
+
+            settings = (
+                postprocess
+                if isinstance(postprocess, pp.PostprocessSettings)
+                else pp.PostprocessSettings()
+            )
+            rgb = pp.execute(
+                np.asarray(img, np.float32), np.asarray(depth), settings,
+                proj=np.asarray(cam.proj_matrix(width, height, jitter)),
+            )
+            img = np.concatenate(
+                [rgb, np.ones((*rgb.shape[:2], 1), np.float32)], axis=-1
             )
         self.events.broadcast(EventType.RENDER, self)
         return img, depth, pick
