@@ -580,6 +580,21 @@ class TestHighFidelityPasses:
         bg[:8, :] = np.inf
         assert np.asarray(hbao(bg, proj))[2, 2] == 1.0
 
+    def test_hbao_orthographic(self):
+        # the ortho branch of proj_info/unprojection (ssao.frag:43-49)
+        from viamd_tpu.render.camera import orthographic
+        from viamd_tpu.render.hbao import hbao
+
+        proj = orthographic(-10, 10, -10, 10, 0.1, 50.0)
+        H = W = 64
+        flat = np.full((H, W), 10.0, np.float32)
+        assert np.asarray(hbao(flat, proj, ortho=True)).min() > 0.99
+        step = flat.copy()
+        step[20:44, 20:44] = 6.0
+        ao = np.asarray(hbao(step, proj, ortho=True))
+        assert ao[18, 32] < 0.6  # occluded beside the closer box
+        assert ao[32, 32] > 0.95 and ao[2, 2] > 0.95
+
     def test_hbao_view_normals(self):
         from viamd_tpu.render.hbao import view_normals
 
