@@ -1053,6 +1053,56 @@ class TestPallasRDF:
         )
         np.testing.assert_allclose(h, dense, atol=1e-2)
 
+    def test_disjoint_selections_no_id_route(self):
+        """DISJOINT selections take the all-no-id kernel route (validity
+        via coordinate sentinels, zero id planes — need_ids resolves
+        False); forcing need_ids=True must give the identical histogram."""
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(21)
+        L, n = 30.0, 240
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        wa = np.zeros(n, np.float32)
+        wb = np.zeros(n, np.float32)
+        wa[: n // 2] = 1.0  # first half vs second half: no shared atoms
+        wb[n // 2 :] = 1.0
+        basis, inv = ortho_cell(L)
+        nbins, rmax = 128, 6.0
+        dense = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wb),
+                basis, inv, nbins, rmax, tile=64,
+            )
+        )
+        idx_a = np.nonzero(wa)[0].astype(np.int32)
+        idx_b = np.nonzero(wb)[0].astype(np.int32)
+        dims, cap_a = choose_grid(np.array([L] * 3), rmax, idx_a.size)
+        _, cap_b = choose_grid(np.array([L] * 3), rmax, idx_b.size)
+        kw = dict(
+            nbins=nbins, r_max=rmax, dims=dims, cap_a=cap_a + 8,
+            cap_b=cap_b + 8, interpret=True,
+        )
+        args = (
+            jnp.asarray(x), jnp.asarray(idx_a), jnp.asarray(idx_b),
+            jnp.asarray([L, L, L], jnp.float32),
+        )
+        h_auto = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(*args, **kw)
+        )
+        h_ids = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(*args, need_ids=True, **kw)
+        )
+        np.testing.assert_allclose(h_auto, dense, atol=1e-2)
+        np.testing.assert_array_equal(h_auto, h_ids)
+        # both bin modes agree on the no-id route too
+        h_mxu = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                *args, bin_mode="mxu", **kw
+            )
+        )
+        np.testing.assert_array_equal(h_auto, h_mxu)
+
 
 class TestGTO:
     def test_s_orbital_normalized(self):

@@ -55,13 +55,7 @@ def _inv3x3(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def _hist_kernel(
-    box_ref,  # SMEM (1, 3)
-    occ_ref,  # SMEM (nblocks,) int32 max A-cell occupancy per cell block
-    ax_ref, ay_ref, az_ref, aid_ref,  # (1, M·128, 1) A columns (id: int32)
-    bx_ref, by_ref, bz_ref, bid_ref,  # (1, M·G, Cc) B chunk planes
-    out_ref,  # (1, nbins - 16·g_lo, 1)
-    scratch_ref,  # VMEM (nbins - 16·g_lo, Cc) per-bin lane partials
-    *,
+    *refs,
     ka: int,
     nbins: int,
     r_max: float,
@@ -73,6 +67,7 @@ def _hist_kernel(
     a_lo: int = 0,
     triclinic: bool = False,
     bin_mode: str = "block",
+    use_ids: bool = True,
 ):
     """Pair tile orientation: A atoms in SUBLANES ((128,1) columns prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
@@ -80,11 +75,36 @@ def _hist_kernel(
     the earlier orientation ((Cc,128) with A in lanes) needed a (G,Cc)→(Cc,G)
     Mosaic relayout per plane per step (5 transposes × grid ≈ 2/3 of kernel
     time), and the output leaves as an (nbins,1) COLUMN so the final
-    sublane vector never crosses into lanes. Pair validity + self-pair
-    exclusion are derived from the id planes alone (invalid A = -1,
-    invalid B = -2), saving two of ten input planes. Each step processes M
+    sublane vector never crosses into lanes. Each step processes M
     cell-blocks (fixed per-step cost dominates at ~1000 steps).
+
+    refs = (box_ref, occ_ref, <A columns>, <B planes>, out_ref, scratch):
+      box_ref   SMEM (1, 3) extents / (1, 9) triclinic basis
+      occ_ref   SMEM (nblocks,) int32 max A-cell occupancy per cell block
+      A columns (1, M·128, 1): x, y, z [, id int32]  (id only if use_ids)
+      B planes  (1, M·G, Cc):  x, y, z [, id int32]
+
+    PRE-SHIFTED planes: the B coordinate planes arrive shifted by the
+    stencil offset's periodic wrap (neighborhood_planes wrap_shift), so
+    displacements are plain subtractions — no per-slot min-image round.
+    Validity rides in coordinate SENTINELS (invalid A ≪ 0, invalid B ≫ 0
+    → pair distance far beyond r_max, binned out of range), so non-self
+    offset classes need no id planes at all: a slot pairs atoms from two
+    DISTINCT cells, which can never be the same atom. `use_ids` classes
+    (the (0,0,0) self-cell offset when selections overlap) carry id
+    planes purely for self/duplicate-pair exclusion: symmetric mode keeps
+    each unordered pair once (bid > aid), overlap mode drops exact
+    self-pairs (bid != aid).
     """
+    box_ref, occ_ref = refs[0], refs[1]
+    if use_ids:
+        (ax_ref, ay_ref, az_ref, aid_ref,
+         bx_ref, by_ref, bz_ref, bid_ref,
+         out_ref, scratch_ref) = refs[2:]
+    else:
+        (ax_ref, ay_ref, az_ref,
+         bx_ref, by_ref, bz_ref,
+         out_ref, scratch_ref) = refs[2:]
     pid = pl.program_id(0)  # hoisted: program_id inside a pl.when branch
     occ = occ_ref[pid // nchunks]  # breaks interpret mode
 
@@ -101,28 +121,11 @@ def _hist_kernel(
         inv_bin = nbins / r_max
         if triclinic:
             # box_ref is the (1, 9) row-major basis; displacements arrive
-            # in FRACTIONAL space, min-image is a plain round (the same
-            # single-round semantics as ops.pbc.min_image), and the
-            # cartesian conversion is the expanded row-vector product
+            # in FRACTIONAL space pre-shifted (no wrap round needed), and
+            # the cartesian conversion is the expanded row-vector product
             B = [box_ref[0, k] for k in range(9)]
-        else:
-            Lx = box_ref[0, 0]
-            Ly = box_ref[0, 1]
-            Lz = box_ref[0, 2]
-
-        def mimg(d, L):
-            return d - L * jnp.round(d * (1.0 / L))
-
-        def mimg1(d):
-            return d - jnp.round(d)
-
-        if symmetric:
-            lane1 = jax.lax.broadcasted_iota(
-                jnp.int32, (1, bid_ref.shape[2]), 1
-            )
-            # scalar→vector: lanes [0, cap_b) of chunk 0 are self-cell slots
-            thresh = jnp.where(pid % nchunks == 0, cap_b, 0)
-            is_self1 = lane1 < thresh
+        # ortho: the extents are baked into the pre-shifted planes — the
+        # kernel never reads box_ref
 
         zero_bf = jnp.bfloat16(0)
         if bin_mode == "mxu":
@@ -137,30 +140,26 @@ def _hist_kernel(
                 )
 
             asl = slice(m * 128, (m + 1) * 128)
-            aid = aid_ref[0, asl]  # (128, 1) int32
-            bid = expand(bid_ref)  # (128, Cc) int32
             if triclinic:
-                f0 = mimg1(expand(bx_ref) - ax_ref[0, asl])
-                f1 = mimg1(expand(by_ref) - ay_ref[0, asl])
-                f2 = mimg1(expand(bz_ref) - az_ref[0, asl])
+                f0 = expand(bx_ref) - ax_ref[0, asl]
+                f1 = expand(by_ref) - ay_ref[0, asl]
+                f2 = expand(bz_ref) - az_ref[0, asl]
                 dx = f0 * B[0] + f1 * B[3] + f2 * B[6]
                 dy = f0 * B[1] + f1 * B[4] + f2 * B[7]
                 dz = f0 * B[2] + f1 * B[5] + f2 * B[8]
             else:
-                dx = mimg(expand(bx_ref) - ax_ref[0, asl], Lx)
-                dy = mimg(expand(by_ref) - ay_ref[0, asl], Ly)
-                dz = mimg(expand(bz_ref) - az_ref[0, asl], Lz)
+                dx = expand(bx_ref) - ax_ref[0, asl]
+                dy = expand(by_ref) - ay_ref[0, asl]
+                dz = expand(bz_ref) - az_ref[0, asl]
             dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (128, Cc)
-            if symmetric:
-                # half-stencil mode: the self-cell offset occupies the FIRST
-                # cap_b candidate slots (chunk 0); dedupe its unordered pairs
-                # by id order. Other offsets already see each unordered cell
-                # pair exactly once.
-                is_self = is_self1 | jnp.zeros(bid.shape, jnp.bool_)
-                pair_ok = (is_self & (bid > aid)) | (~is_self & (bid != aid))
-            else:
-                pair_ok = bid != aid
-            w = ((bid >= 0) & (aid >= 0) & pair_ok).astype(jnp.float32)
+            if use_ids:
+                aid = aid_ref[0, asl]  # (128, 1) int32
+                bid = expand(bid_ref)  # (128, Cc) int32
+                # a use_ids class is a pure (0,0,0) self-cell class:
+                # symmetric keeps each unordered pair once, overlap mode
+                # drops exact self-pairs (invalid slots are already out of
+                # range via the coordinate sentinels)
+                pair_ok = (bid > aid) if symmetric else (bid != aid)
             bin_id = jnp.where(
                 dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 16
             )
@@ -171,13 +170,16 @@ def _hist_kernel(
                 # bf16 one-hots over the flattened slot axis (24 compares
                 # per slot vs ~2.5 ops per slot·bin), contracted on the
                 # MXU: hist(NC,16) = C @ F^T. Validity folds in via
-                # sentinels: w==0 → fine 16 (no F row), out-of-range dist
-                # → coarse ≥ NC (no C row). f32 compare on w — bf16
-                # compares crash this backend's Mosaic compiler. Lane
+                # sentinels: pair_ok==0 → fine 16 (no F row), out-of-range
+                # dist → coarse ≥ NC (no C row). bf16 compares crash this
+                # backend's Mosaic compiler — compare in f32/int32. Lane
                 # chunks keep the one-hots inside the VMEM budget; the
                 # (rows, CHUNK_L)→(1, Sc) reshape is the only relayout.
                 blk_c = bin_id >> 4
-                sub_c = jnp.where(w > 0.0, bin_id & 15, 16)
+                if use_ids:
+                    sub_c = jnp.where(pair_ok, bin_id & 15, 16)
+                else:
+                    sub_c = bin_id & 15
                 rows = dist.shape[0]
                 Cc_ = dist.shape[1]
                 CHUNK_L = min(256, Cc_)
@@ -204,8 +206,12 @@ def _hist_kernel(
             # representable) and 2×-packed on the VPU; the compare stays
             # int32 (the target VPU has no bf16 compare). Cross-m
             # accumulation happens in the f32 scratch (4·128 could exceed
-            # bf16's exact range).
-            w_bf = w.astype(jnp.bfloat16)
+            # bf16's exact range). No-id classes count the bin-equality
+            # compare directly (cast, no select) — invalid slots carry
+            # sentinel coordinates, so their bin_id is out of range and
+            # never matches.
+            if use_ids:
+                w_bf = pair_ok.astype(jnp.bfloat16)
 
             # Dynamic bin-range bounds: the tile's valid-pair distance
             # min/max determine which 16-bin blocks can receive any count.
@@ -213,7 +219,9 @@ def _hist_kernel(
             # min ≈ 2.4 Å), and sparse selections empty most tiles
             # entirely — both skip at block granularity, exactly.
             sentinel_lo = jnp.float32(2.0 * r_max)
-            d_ok = w > 0
+            d_ok = (dist < r_max) if not use_ids else (
+                pair_ok & (dist < r_max)
+            )
             d_lo = jnp.min(jnp.where(d_ok, dist, sentinel_lo))
             d_hi = jnp.max(jnp.where(d_ok, dist, 0.0))
 
@@ -235,7 +243,9 @@ def _hist_kernel(
                 def _compute(gsl=gsl, g=g, m=m):
                     rows = [
                         jnp.sum(
-                            jnp.where(bin_id == g * 16 + j, w_bf, zero_bf),
+                            jnp.where(bin_id == g * 16 + j, w_bf, zero_bf)
+                            if use_ids
+                            else (bin_id == g * 16 + j).astype(jnp.bfloat16),
                             axis=0,
                             keepdims=True,
                             dtype=jnp.bfloat16,
@@ -292,14 +302,6 @@ def _offset_classes(
     return sorted(classes.items())
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
-        "widths", "ka", "interpret", "occ_sort", "slab_rows", "slab_shard",
-        "bin_mode",
-    ),
-)
 def pair_dist_histogram_pl(
     x: jnp.ndarray,
     idx_a: jnp.ndarray,
@@ -320,6 +322,64 @@ def pair_dist_histogram_pl(
     basis: jnp.ndarray | None = None,
     slab_shard: "tuple[str, int] | None" = None,
     bin_mode: str = "block",
+    need_ids: bool | None = None,
+) -> jnp.ndarray:
+    """See _pair_dist_histogram_impl — this wrapper only resolves
+    `need_ids` OUTSIDE the jit boundary (the overlap test must see
+    concrete index arrays; inside the jitted impl they are tracers).
+    None → ids are needed iff the selections can share an atom
+    (symmetric, actual index overlap, or indices too abstract to check).
+    """
+    if need_ids is None:
+        if symmetric:
+            need_ids = True
+        else:
+            try:
+                need_ids = bool(
+                    np.intersect1d(
+                        np.asarray(idx_a), np.asarray(idx_b)
+                    ).size
+                )
+            except Exception:  # traced (sharded/vmapped callers): be safe
+                need_ids = True
+    return _pair_dist_histogram_impl(
+        x, idx_a, idx_b, box, nbins, r_max, dims, cap_a, cap_b,
+        radius=radius, symmetric=symmetric, widths=widths, ka=ka,
+        interpret=interpret, occ_sort=occ_sort, slab_rows=slab_rows,
+        basis=basis, slab_shard=slab_shard, bin_mode=bin_mode,
+        need_ids=need_ids,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nbins", "r_max", "dims", "cap_a", "cap_b", "radius", "symmetric",
+        "widths", "ka", "interpret", "occ_sort", "slab_rows", "slab_shard",
+        "bin_mode", "need_ids",
+    ),
+)
+def _pair_dist_histogram_impl(
+    x: jnp.ndarray,
+    idx_a: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    box: jnp.ndarray,
+    nbins: int,
+    r_max: float,
+    dims: tuple,
+    cap_a: int,
+    cap_b: int,
+    radius: int = 2,
+    symmetric: bool = False,
+    widths: tuple | None = None,
+    ka: int | None = None,
+    interpret: bool = False,
+    occ_sort: bool = True,
+    slab_rows: int | None = None,
+    basis: jnp.ndarray | None = None,
+    slab_shard: "tuple[str, int] | None" = None,
+    bin_mode: str = "block",
+    need_ids: bool = True,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.rdf.pair_dist_histogram_cl.
 
@@ -384,6 +444,15 @@ def pair_dist_histogram_pl(
 
     pack_ids = x.shape[0] < (1 << 24)  # global atom ids exact as f32 values
 
+    # Validity rides in coordinate SENTINELS: invalid A slots sit far
+    # negative, invalid B slots far positive, so any pair touching one is
+    # binned out of range with zero in-kernel masking. Magnitudes give
+    # ≥1000·r_max of slack over any real coordinate (fractional coords are
+    # ≤1; cartesian boxes ≪ 1e5 Å), including after the ± one-box
+    # pre-shift the planes add.
+    A_SENT = -1.0e3 if tri else -1.0e6
+    B_SENT = 3.0e3 if tri else 3.0e6
+
     def tables(xs, idx, cl, cap, inval):
         # packed (x,y,z,id) gather: one table lookup for coords + ids. Ids
         # ride as exact f32 VALUES (not bitcasts — int32 bit patterns are
@@ -394,25 +463,38 @@ def pair_dist_histogram_pl(
             t4 = p4[cl.table[:, :cap]]
             gid = t4[..., 3].astype(jnp.int32)
             gid = jnp.where(cl.valid[:, :cap], gid, inval)
-            return t4[..., :3], gid
+            return t4[..., :3], gid, cl.valid[:, :cap]
         xyz = xs[cl.table[:, :cap]]
         gid = jnp.where(cl.valid[:, :cap], idx[cl.table[:, :cap]], inval)
-        return xyz, gid
+        return xyz, gid, cl.valid[:, :cap]
 
     if symmetric:
         # same selection on both sides: ONE sort + table + gather serve both
         capm = max(cap_a_pad, cap_b)
         cl_a = build_cell_list(xa, box_bins, dims, capm)
-        xyz_m, gid_m = tables(xa, idx_a, cl_a, capm, -1)
-        a_xyz, a_gid = xyz_m[:, :cap_a_pad], gid_m[:, :cap_a_pad]
-        b_xyz = xyz_m[:, :cap_b]
+        xyz_m, gid_m, val_m = tables(xa, idx_a, cl_a, capm, -1)
+        a_xyz = jnp.where(
+            val_m[:, :cap_a_pad, None], xyz_m[:, :cap_a_pad], A_SENT
+        )
+        a_gid = gid_m[:, :cap_a_pad]
+        b_xyz = jnp.where(val_m[:, :cap_b, None], xyz_m[:, :cap_b], B_SENT)
         b_gid = jnp.where(gid_m[:, :cap_b] < 0, -2, gid_m[:, :cap_b])
     else:
         xb = xw[idx_b]
         cl_a = build_cell_list(xa, box_bins, dims, cap_a_pad)
         cl_b = build_cell_list(xb, box_bins, dims, cap_b)
-        a_xyz, a_gid = tables(xa, idx_a, cl_a, cap_a_pad, -1)
-        b_xyz, b_gid = tables(xb, idx_b, cl_b, cap_b, -2)
+        xyz_a, a_gid, val_a = tables(xa, idx_a, cl_a, cap_a_pad, -1)
+        a_xyz = jnp.where(val_a[..., None], xyz_a, A_SENT)
+        xyz_b, b_gid, val_b = tables(xb, idx_b, cl_b, cap_b, -2)
+        b_xyz = jnp.where(val_b[..., None], xyz_b, B_SENT)
+
+    # `need_ids` (resolved by the public wrapper): id planes are needed
+    # ONLY where the same atom could land in both sides of a pair slot —
+    # the (0,0,0) self-cell offset when the two selections share atoms
+    # (always true in symmetric mode, which also dedupes unordered pairs
+    # there by id order). Every other offset pairs two DISTINCT cells, and
+    # one atom lives in exactly one cell, so those classes drop the id
+    # planes and all per-slot validity math.
 
     if symmetric:
         assert min(dims) >= 2 * radius + 1, "half stencil needs distinct rolls"
@@ -474,6 +556,11 @@ def pair_dist_histogram_pl(
                 counts_full.reshape(dx_, yz), x0_dyn, w, 0
             )
             a_gid_s = jnp.where(row_ok[:, None, None], a_gid_s, -1)
+            # no-id classes read validity from coordinates — mask the
+            # overlapping neighbor rows there too, not just in the ids
+            a_xyz_s = jnp.where(
+                row_ok[:, None, None, None], a_xyz_s, A_SENT
+            )
             counts_s = jnp.where(row_ok[:, None], counts_s, 0)
             a_xyz_s = a_xyz_s.reshape(ncells_s, sl_s, 3)
             a_gid_s = a_gid_s.reshape(ncells_s, sl_s)
@@ -531,9 +618,9 @@ def pair_dist_histogram_pl(
 
         a_cols = [
             [
-                prep_a(a_xyz_s[:, sl, 0]),
-                prep_a(a_xyz_s[:, sl, 1]),
-                prep_a(a_xyz_s[:, sl, 2]),
+                prep_a(a_xyz_s[:, sl, 0], fill=A_SENT),
+                prep_a(a_xyz_s[:, sl, 1], fill=A_SENT),
+                prep_a(a_xyz_s[:, sl, 2], fill=A_SENT),
                 prep_a(a_gid_s[:, sl], fill=-1),
             ]
             for sl in (slice(p * ka, (p + 1) * ka) for p in range(n_pass))
@@ -550,13 +637,23 @@ def pair_dist_histogram_pl(
                 o for _, offs in _offset_classes(offsets, widths, r_max,
                                                  nbins) for o in offs
             ]
-            if symmetric and (0, 0, 0) in pruned:
-                pruned.remove((0, 0, 0))
-                pruned.insert(0, (0, 0, 0))
             classes = [(0, pruned)]
         else:
             classes = _offset_classes(offsets, widths, r_max, nbins)
-        for g_lo, offs_k in classes:
+        # split the (0,0,0) self-cell offset into its own id-carrying class
+        # when ids are needed at all; every other class runs the leaner
+        # no-id kernel (validity via coordinate sentinels)
+        split: list = []
+        for g_lo_k, offs_k in classes:
+            offs_k = list(offs_k)
+            if need_ids and (0, 0, 0) in offs_k:
+                rest = [o for o in offs_k if o != (0, 0, 0)]
+                split.append((g_lo_k, [(0, 0, 0)], True))
+                if rest:
+                    split.append((g_lo_k, rest, False))
+            else:
+                split.append((g_lo_k, offs_k, False))
+        for g_lo, offs_k, k_ids in split:
             S = len(offs_k)
             C = S * cap_b
             # candidate chunking: per-step tiles (128, Cc) with Cc a lane
@@ -580,18 +677,27 @@ def pair_dist_histogram_pl(
                     .reshape(nblocks // M * nchunks, M * G, Cc)
                 )
 
-            def planes(arr, fill=0, offs_k=offs_k, prep_b=prep_b, perm=perm):
+            def planes(
+                arr, fill=0, offs_k=offs_k, prep_b=prep_b, perm=perm,
+                wrap_shift=None,
+            ):
                 pl_ = neighborhood_planes(
-                    arr, dims, radius, offs_k, x0=x0, w=w
+                    arr, dims, radius, offs_k, x0=x0, w=w,
+                    wrap_shift=wrap_shift,
                 )
                 if perm is not None:
                     pl_ = pl_[perm]
                 return prep_b(pl_, fill=fill)
 
-            bxp = planes(b_xyz_d[..., 0])
-            byp = planes(b_xyz_d[..., 1])
-            bzp = planes(b_xyz_d[..., 2])
-            bidp = planes(b_gid_d, fill=-2)
+            # coordinate planes pre-shift by the periodic wrap of their
+            # stencil offset (fractional coords wrap by 1) — the kernel
+            # subtracts coordinates directly, no min-image round
+            mags = (1.0, 1.0, 1.0) if tri else (box[0], box[1], box[2])
+            bxp = planes(b_xyz_d[..., 0], fill=B_SENT, wrap_shift=(0, mags[0]))
+            byp = planes(b_xyz_d[..., 1], fill=B_SENT, wrap_shift=(1, mags[1]))
+            bzp = planes(b_xyz_d[..., 2], fill=B_SENT, wrap_shift=(2, mags[2]))
+            if k_ids:
+                bidp = planes(b_gid_d, fill=-2)
 
             a_spec = pl.BlockSpec(
                 (1, M * LANES, 1),
@@ -601,12 +707,6 @@ def pair_dist_histogram_pl(
             b_spec = pl.BlockSpec(
                 (1, M * G, Cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
-            # symmetric self-cell dedupe applies only to the class holding
-            # the (0,0,0) offset (always at the head of its candidate
-            # axis); other classes exclude self-pairs by id inequality
-            # alone.
-            sym_k = symmetric and (0, 0, 0) in offs_k
-
             nsteps = nblocks // M * nchunks
             if bin_mode == "mxu":
                 out_blk = (1, nbins // 16, 16)
@@ -616,13 +716,14 @@ def pair_dist_histogram_pl(
             else:
                 out_blk = (1, nb_eff, 1)
                 scratch = pltpu.VMEM((nb_eff, Cc), jnp.float32)
+            n_ab = 4 if k_ids else 3
             for p in range(n_pass):
                 partial_hists = pl.pallas_call(
                     functools.partial(
                         _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
-                        nchunks=nchunks, cap_b=cap_b, symmetric=sym_k, M=M,
-                        g_lo=g_lo, a_lo=p * ka, triclinic=tri,
-                        bin_mode=bin_mode,
+                        nchunks=nchunks, cap_b=cap_b, symmetric=symmetric,
+                        M=M, g_lo=g_lo, a_lo=p * ka, triclinic=tri,
+                        bin_mode=bin_mode, use_ids=k_ids,
                     ),
                     out_shape=jax.ShapeDtypeStruct(
                         (nsteps,) + out_blk[1:], jnp.float32
@@ -631,9 +732,9 @@ def pair_dist_histogram_pl(
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.SMEM),
                         pl.BlockSpec(memory_space=pltpu.SMEM),
-                        a_spec, a_spec, a_spec, a_spec,
-                        b_spec, b_spec, b_spec, b_spec,
-                    ],
+                    ]
+                    + [a_spec] * n_ab
+                    + [b_spec] * n_ab,
                     out_specs=pl.BlockSpec(
                         out_blk,
                         lambda i: (i, 0, 0),
@@ -646,8 +747,8 @@ def pair_dist_histogram_pl(
                         basis.reshape(1, 9) if tri else box.reshape(1, 3)
                     ).astype(jnp.float32),
                     occ_blk,
-                    *a_cols[p],
-                    bxp, byp, bzp, bidp,
+                    *(a_cols[p] if k_ids else a_cols[p][:3]),
+                    *((bxp, byp, bzp, bidp) if k_ids else (bxp, byp, bzp)),
                 )
                 if bin_mode == "mxu":
                     total = total + jnp.sum(partial_hists, axis=0).reshape(

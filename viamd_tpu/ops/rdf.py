@@ -159,6 +159,7 @@ def snap_capacity(
 def neighborhood_planes(
     arr: jnp.ndarray, dims: tuple, radius: int = 2, offsets: list = None,
     x0: int = 0, w: "int | None" = None,
+    wrap_shift: "tuple[int, float] | None" = None,
 ) -> jnp.ndarray:
     """(ncells, K) per-cell data → (w·dy·dz, S·K) stencil neighborhoods.
 
@@ -171,6 +172,15 @@ def neighborhood_planes(
     grid) — XLA fuses slice-of-roll (a roll lowers to a concat of two
     slices), so only the window materializes; this is the memory bound
     behind the 100M-atom slab streaming in ops/pallas_rdf.
+
+    `wrap_shift=(grid_axis, magnitude)`: PRE-SHIFT mode for coordinate
+    planes — wherever the roll along `grid_axis` wrapped around the
+    periodic boundary, add ±magnitude (the box extent along that axis,
+    or 1.0 for fractional coords) so the plane carries the candidate's
+    UNWRAPPED position relative to the owning cell. Pair kernels can then
+    subtract coordinates directly with no per-slot min-image round (the
+    shift is a per-cell-row broadcast add, charged once per plane row
+    instead of per pair slot).
     """
     dx, dy, dz = dims
     if w is None:
@@ -189,6 +199,31 @@ def neighborhood_planes(
             # NB dynamic_slice clamps x0 to dx-w — callers mask A rows
             else rolled[x0 : x0 + w]
         )
+        if wrap_shift is not None:
+            gax, mag = wrap_shift
+            off_g = (ox, oy, oz)[gax]
+            if off_g != 0:
+                n_g = dims[gax]
+                if gax == 0:
+                    idx_g = (
+                        x0 + jnp.arange(w)
+                        if dynamic
+                        else jnp.arange(x0, x0 + w)
+                    )
+                    shape = (w, 1, 1, 1)
+                elif gax == 1:
+                    idx_g = jnp.arange(dy)
+                    shape = (1, dy, 1, 1)
+                else:
+                    idx_g = jnp.arange(dz)
+                    shape = (1, 1, dz, 1)
+                j = idx_g + off_g
+                # mag may be a traced scalar (box extents under jit)
+                s = (
+                    (j >= n_g).astype(jnp.float32)
+                    - (j < 0).astype(jnp.float32)
+                ) * mag
+                win = win + s.reshape(shape)
         parts.append(win.reshape(w * dy * dz, K))
     return jnp.concatenate(parts, axis=1)
 
