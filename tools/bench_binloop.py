@@ -86,27 +86,40 @@ def kernel(d_ref, w_ref, out_ref, scratch, *, variant):
                 for j in range(16)
             ]
             scratch[g * 16 : (g + 1) * 16, :] = jnp.concatenate(rows, 0)
-    elif variant == "mxu":
+    elif variant in ("mxu", "mxu16", "mxui8", "mxu_now", "mxui8_now"):
         blk = bin_id >> 4  # 8 values
         # fold w in via a fine-index sentinel (16 never matches 0..15);
         # NOTE: bf16 compares crash Mosaic on this backend — compare in f32
-        sub = jnp.where(w.astype(jnp.float32) > 0.0, bin_id & 15, 16)
+        if variant in ("mxu_now", "mxui8_now"):
+            # ceiling for the no-id kernel classes: validity rides in
+            # coordinate sentinels, so no w select at all
+            sub = bin_id & 15
+        else:
+            sub = jnp.where(w.astype(jnp.float32) > 0.0, bin_id & 15, 16)
+        cmp_t = jnp.int16 if variant == "mxu16" else jnp.int32
+        oh_t = jnp.int8 if variant in ("mxui8", "mxui8_now") else jnp.bfloat16
         # chunk the slot axis so the (8, Sc) + (16, Sc) bf16 one-hots stay
         # within the per-step VMEM budget (full-S was ~12 MB → OOM)
         CHUNK_L = int(os.environ.get("BINLOOP_CHUNK_L", "256"))
         hist = jnp.zeros((8, 16), jnp.float32)
         for c0 in range(0, Cc, CHUNK_L):
             Sc = 128 * CHUNK_L
-            blkf = jnp.reshape(blk[:, c0 : c0 + CHUNK_L], (1, Sc))
-            subf = jnp.reshape(sub[:, c0 : c0 + CHUNK_L], (1, Sc))
-            c_iota = jax.lax.broadcasted_iota(jnp.int32, (8, Sc), 0)
-            f_iota = jax.lax.broadcasted_iota(jnp.int32, (16, Sc), 0)
-            C = (blkf == c_iota).astype(jnp.bfloat16)  # (8, Sc)
-            F = (subf == f_iota).astype(jnp.bfloat16)  # (16, Sc)
+            blkf = jnp.reshape(
+                blk[:, c0 : c0 + CHUNK_L].astype(cmp_t), (1, Sc)
+            )
+            subf = jnp.reshape(
+                sub[:, c0 : c0 + CHUNK_L].astype(cmp_t), (1, Sc)
+            )
+            c_iota = jax.lax.broadcasted_iota(cmp_t, (8, Sc), 0)
+            f_iota = jax.lax.broadcasted_iota(cmp_t, (16, Sc), 0)
+            C = (blkf == c_iota).astype(oh_t)  # (8, Sc)
+            F = (subf == f_iota).astype(oh_t)  # (16, Sc)
             hist = hist + jax.lax.dot_general(
                 C, F, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (8, 16)
+                preferred_element_type=(
+                    jnp.int32 if oh_t == jnp.int8 else jnp.float32
+                ),
+            ).astype(jnp.float32)  # (8, 16)
         # out block is (1, 8, 16): no (128,1) reshape/1-lane write (both
         # crash or pessimize Mosaic)
         out_ref[0] = hist
@@ -151,8 +164,9 @@ def run(variant):
     d_j = jnp.asarray(d)
     w_j = jnp.asarray(w).astype(jnp.bfloat16)
 
-    oshape = (T, 8, 16) if variant == "mxu" else (T, NBINS, 1)
-    oblock = (1, 8, 16) if variant == "mxu" else (1, NBINS, 1)
+    is_mxu = variant.startswith("mxu")
+    oshape = (T, 8, 16) if is_mxu else (T, NBINS, 1)
+    oblock = (1, 8, 16) if is_mxu else (1, NBINS, 1)
 
     @jax.jit
     def go(dd, ww):
