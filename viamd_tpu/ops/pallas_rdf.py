@@ -88,13 +88,21 @@ def _hist_kernel(
     stencil offset's periodic wrap (neighborhood_planes wrap_shift), so
     displacements are plain subtractions — no per-slot min-image round.
     Validity rides in coordinate SENTINELS (invalid A ≪ 0, invalid B ≫ 0
-    → pair distance far beyond r_max, binned out of range), so non-self
-    offset classes need no id planes at all: a slot pairs atoms from two
-    DISTINCT cells, which can never be the same atom. `use_ids` classes
-    (the (0,0,0) self-cell offset when selections overlap) carry id
-    planes purely for self/duplicate-pair exclusion: symmetric mode keeps
-    each unordered pair once (bid > aid), overlap mode drops exact
-    self-pairs (bid != aid).
+    → pair distance far beyond r_max, binned out of range), so classes
+    whose offsets exclude (0,0,0) need no id planes at all: a slot pairs
+    atoms from two DISTINCT cells, which can never be the same atom.
+    `use_ids` classes (containing the (0,0,0) self-cell offset, when the
+    selections can share atoms) carry id planes purely for self/duplicate-
+    pair exclusion ON THE SELF-CELL LANES (chunk 0's first cap_b lanes):
+    symmetric mode keeps each unordered pair once there (bid > aid),
+    overlap mode drops exact self-pairs (bid != aid); non-self lanes in
+    the same class need no id test (distinct cells). NOTE: splitting the
+    (0,0,0) offset into its own id-carrying pallas_call so the rest runs
+    id-free measured net-negative end-to-end (the second grid launch per
+    pass costs more than two dropped planes save); classes stay merged.
+    Same-day A/B vs the always-id kernel: 214.8 vs 203.0 headline f/s
+    (cross-day headline spread is ±15% tunnel/chip noise — see
+    docs/PERF.md).
     """
     box_ref, occ_ref = refs[0], refs[1]
     if use_ids:
@@ -128,6 +136,15 @@ def _hist_kernel(
         # kernel never reads box_ref
 
         zero_bf = jnp.bfloat16(0)
+        if use_ids:
+            # self-cell lanes = chunk 0's first cap_b candidate slots (the
+            # (0,0,0) offset leads its class); every other lane pairs two
+            # DISTINCT cells where the same atom cannot appear twice
+            lane1 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, bx_ref.shape[2]), 1
+            )
+            thresh = jnp.where(pid % nchunks == 0, cap_b, 0)
+            not_self1 = lane1 >= thresh  # (1, Cc) row, broadcasts over rows
         if bin_mode == "mxu":
             NC = nbins // 16
             hist_acc = jnp.zeros((NC, 16), jnp.float32)
@@ -155,11 +172,10 @@ def _hist_kernel(
             if use_ids:
                 aid = aid_ref[0, asl]  # (128, 1) int32
                 bid = expand(bid_ref)  # (128, Cc) int32
-                # a use_ids class is a pure (0,0,0) self-cell class:
-                # symmetric keeps each unordered pair once, overlap mode
-                # drops exact self-pairs (invalid slots are already out of
-                # range via the coordinate sentinels)
-                pair_ok = (bid > aid) if symmetric else (bid != aid)
+                # id test only matters on the self-cell lanes; invalid
+                # slots are already out of range via coordinate sentinels
+                dedupe = (bid > aid) if symmetric else (bid != aid)
+                pair_ok = not_self1 | dedupe
             bin_id = jnp.where(
                 dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 16
             )
@@ -640,20 +656,22 @@ def _pair_dist_histogram_impl(
             classes = [(0, pruned)]
         else:
             classes = _offset_classes(offsets, widths, r_max, nbins)
-        # split the (0,0,0) self-cell offset into its own id-carrying class
-        # when ids are needed at all; every other class runs the leaner
-        # no-id kernel (validity via coordinate sentinels)
-        split: list = []
-        for g_lo_k, offs_k in classes:
+        # the self-cell offset must LEAD its class: the kernel's id dedupe
+        # gates on chunk 0's first cap_b lanes (non-symmetric full stencils
+        # generate (0,0,0) mid-list)
+        classes = [
+            (g_, ([(0, 0, 0)] + [o for o in offs_ if o != (0, 0, 0)])
+             if (0, 0, 0) in offs_ else list(offs_))
+            for g_, offs_ in classes
+        ]
+        # id planes ride only in the class containing the (0,0,0) self-cell
+        # offset (and only when the selections can share atoms); all other
+        # classes run the leaner no-id kernel (validity via coordinate
+        # sentinels). Splitting (0,0,0) into its OWN class measured
+        # net-negative (see _hist_kernel docstring) — classes stay merged.
+        for g_lo, offs_k in classes:
             offs_k = list(offs_k)
-            if need_ids and (0, 0, 0) in offs_k:
-                rest = [o for o in offs_k if o != (0, 0, 0)]
-                split.append((g_lo_k, [(0, 0, 0)], True))
-                if rest:
-                    split.append((g_lo_k, rest, False))
-            else:
-                split.append((g_lo_k, offs_k, False))
-        for g_lo, offs_k, k_ids in split:
+            k_ids = need_ids and (0, 0, 0) in offs_k
             S = len(offs_k)
             C = S * cap_b
             # candidate chunking: per-step tiles (128, Cc) with Cc a lane
