@@ -106,6 +106,35 @@ class TestSession:
         assert res.n_frames_done == 10
         assert "d1" in res.temporal
 
+    def test_recompile_on_system_change(self, ala_session, tmp_path):
+        # the compiled IR embeds gather indices for the CURRENT system;
+        # loading a new system with the same script text must recompile
+        # (ir_fingerprint semantics, main.cpp:932-936 + viamd.cpp:565),
+        # not silently evaluate stale indices
+        s = ala_session
+        s.set_script("n = count(element('C'));")
+        r0 = s.evaluate(chunk=4)
+        assert float(np.asarray(r0.temporal["n"])[0]) == 18.0  # 6 res × 3 C
+        fp0 = s._compiled_fp
+        p2 = tmp_path / "small.pdb"
+        p2.write_text(make_ala_pdb(2, n_models=3))
+        s.load(str(p2))
+        r1 = s.evaluate(chunk=2)  # same text, new system → fresh IR
+        assert s._compiled_fp != fp0
+        assert float(np.asarray(r1.temporal["n"])[0]) == 6.0
+        assert r1.fingerprint != r0.fingerprint  # eval generations differ
+
+    def test_recompile_on_selection_change(self, ala_session):
+        s = ala_session
+        s.store_selection("grp", s.select("element('C')"))
+        s.set_script("n = count(grp);")
+        r0 = s.evaluate(chunk=4)
+        n0 = float(np.asarray(r0.temporal["n"])[0])
+        s.store_selection("grp", s.select("element('N')"))
+        r1 = s.evaluate(chunk=4)  # mutated injected identifier → recompile
+        n1 = float(np.asarray(r1.temporal["n"])[0])
+        assert n0 == 18.0 and n1 == 6.0
+
     def test_stage_to_device(self, ala_session):
         from viamd_tpu.io.trajectory import DeviceTrajectory
 

@@ -68,6 +68,16 @@ class Session:
         self.script_errors: list[str] = []
         self.eval_result: Optional[EvalResult] = None
         self.filtered_result: Optional[EvalResult] = None
+        # IR fingerprint (md_script_ir_fingerprint, main.cpp:932-936):
+        # the compiled IR is stale whenever the script text, the SYSTEM,
+        # or any injected stored selection changed since compile — not
+        # just the text. _system_rev bumps on every SYSTEM_INIT broadcast
+        # (load, element remap) to catch in-place system mutation.
+        self._compiled_fp: Optional[tuple] = None
+        self._system_rev: int = 0
+        self.events.subscribe(
+            EventType.SYSTEM_INIT, self._bump_system_rev
+        )
         # playback
         self.frame: float = 0.0
         self.fps: float = 10.0  # animation playback rate (viamd.h animation)
@@ -112,6 +122,12 @@ class Session:
         res = load_file(path, system=self.system, **kw)
         if res.system is not None:
             self.system = res.system
+            # a new system invalidates the previous trajectory (the
+            # reference frees it in load_data_from_file, viamd.cpp:667);
+            # a same-file trajectory re-attaches below
+            if res.trajectory is None and self.trajectory is not None:
+                self.trajectory = None
+                self.files["trajectory"] = None
             self.files["system"] = os.path.abspath(path)
             if self.system.natoms:
                 lo, hi = self.system.aabb()
@@ -383,6 +399,16 @@ class Session:
                 rep.error = str(e)
 
     # -- script --------------------------------------------------------------
+    def _bump_system_rev(self, _event=None):
+        self._system_rev += 1
+
+    def _script_fingerprint(self) -> tuple:
+        """Everything the compiled IR depends on (ir_fingerprint analog)."""
+        sel = tuple(
+            sorted((k, hash(v)) for k, v in self.stored_selections.items())
+        )
+        return (self.script_text, id(self.system), self._system_rev, sel)
+
     def set_script(self, text: str, compile: bool = True):
         self.script_text = text
         if compile:
@@ -401,10 +427,12 @@ class Session:
                 identifiers=self.stored_selections,
             )
             self._compiled_text = self.script_text
+            self._compiled_fp = self._script_fingerprint()
             self.events.broadcast(EventType.SCRIPT_COMPILED, self)
             return True
         except ScriptError as e:
             self.compiled = None
+            self._compiled_fp = None
             self.script_errors = [str(e)]
             return False
 
@@ -419,11 +447,13 @@ class Session:
     ) -> EvalResult:
         """Run the compiled script over the trajectory (the Eval Full /
         filtered-eval pair, main.cpp:981-1027)."""
-        # recompile on text change — the reference's debounced recompile
-        # (main.cpp:68); direct script_text assignment must not evaluate
-        # a stale IR
+        # recompile on ANY fingerprint change — text edits, but also a
+        # newly loaded system or mutated stored selections (the reference
+        # sets script.compile_ir on SystemInit, viamd.cpp:565): evaluating
+        # an IR compiled against a previous system would use stale gather
+        # indices silently
         if self.compiled is None or (
-            getattr(self, "_compiled_text", None) != self.script_text
+            self._compiled_fp != self._script_fingerprint()
         ):
             if not self.compile_script():
                 raise ScriptError(self.script_errors[0])

@@ -20,6 +20,7 @@ md_script_eval_frame_range partitioned over a thread pool,
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Any, Callable, Iterable, Optional
 
 import jax
@@ -32,6 +33,8 @@ from viamd_tpu.ops import pbc as pbc_ops
 from viamd_tpu.ops import rdf as rdf_ops
 from viamd_tpu.script.compiler import CompiledScript
 from viamd_tpu.script.values import PropertyMeta
+
+_eval_generation = itertools.count(1)
 
 
 @jax.jit
@@ -68,6 +71,10 @@ class EvalResult:
     _dist_np: Optional[dict] = None
     _vol_np: Optional[dict] = None
     _dist_weights: dict = dataclasses.field(default_factory=dict)
+    # eval generation fingerprint (md_script_eval fingerprints,
+    # main.cpp:1490-1517): consumers re-bin/re-plot only when it changes;
+    # every completed/merged run gets a fresh value
+    fingerprint: int = 0
 
     def block_until_ready(self):
         """Wait for all device work without any host readback.
@@ -598,6 +605,7 @@ class Evaluator:
             ),
             _dist_dev=dist_dev,
             _vol_dev=vol_dev,
+            fingerprint=next(_eval_generation),
         )
         if resume_from is not None:
             result = merge_results(resume_from, result)
@@ -644,6 +652,7 @@ def merge_results(a: EvalResult, b: EvalResult) -> EvalResult:
         properties=b.properties or a.properties,
         n_frames_done=a.n_frames_done + b.n_frames_done,
         interrupted=b.interrupted,
+        fingerprint=next(_eval_generation),
     )
     merged._temporal_np = temporal
     merged._dist_np = dist
@@ -712,6 +721,7 @@ def load_checkpoint(path: str) -> EvalResult:
         frame_mask=mask,
         properties=props,
         n_frames_done=int(z["n_done"][0]),
+        fingerprint=next(_eval_generation),
     )
     res._temporal_np = {
         k[3:]: z[k] for k in z.files if k.startswith("t::")

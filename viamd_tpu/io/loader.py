@@ -121,14 +121,18 @@ def load_file(
     else:
         raise ValueError(f"Unsupported file extension: .{ext} ({path})")
 
+    # a file carrying its OWN system (e.g. a multi-model PDB) validates
+    # against that system, not the caller's previous one — `system=` only
+    # constrains standalone trajectory attachments
+    check_sys = res.system if res.system is not None else system
     if (
         res.trajectory is not None
-        and system is not None
-        and res.trajectory.num_atoms != system.natoms
+        and check_sys is not None
+        and res.trajectory.num_atoms != check_sys.natoms
     ):
         raise ValueError(
             f"Trajectory atom count {res.trajectory.num_atoms} does not match "
-            f"system atom count {system.natoms}"
+            f"system atom count {check_sys.natoms}"
         )
     return res
 
