@@ -839,6 +839,71 @@ class TestPallasRDF:
             )
             np.testing.assert_allclose(hslab, dense, atol=1e-2)
 
+    def test_out_of_box_atoms_match_dense(self):
+        """Atoms outside [0, L) — negative, beyond L, exactly at L — must
+        bin identically to the dense min-image reference: the kernel wraps
+        coordinates into the primary box before building tables so stored
+        coords agree with their frac-floored cell index (r3 advisor bug:
+        unwrapped atoms produced box-magnitude displacements that silently
+        dropped near-boundary pairs)."""
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid
+
+        rng = np.random.RandomState(3)
+        L, n = 25.0, 300
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        # perturb: a block shifted -L, a block shifted +L, one exactly at L
+        x[:40, 0] -= L
+        x[40:80, 1] += L
+        x[80, :] = L
+        x[81, 2] = -0.25  # slightly negative
+        wa = np.ones(n, np.float32)
+        basis, inv = ortho_cell(L)
+        nbins, rmax = 128, 5.0
+        dense = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wa),
+                basis, inv, nbins, rmax, tile=64,
+            )
+        )
+        idx = jnp.asarray(np.arange(n, dtype=np.int32))
+        boxj = jnp.asarray([L, L, L], jnp.float32)
+        dims2, cap2 = choose_grid(np.array([L] * 3), rmax, n)
+        h = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                dims2, cap2, cap2, radius=2, symmetric=True,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(h, dense, atol=1e-2)
+        # triclinic path: fractional coords outside [0,1) wrap the same way
+        tbasis = np.array(
+            [[L, 0, 0], [L * 0.3, L, 0], [L * 0.1, L * 0.2, L]],
+            np.float32,
+        )
+        tinv = np.linalg.inv(tbasis).astype(np.float32)
+        xt = x @ tbasis / L  # spread into the sheared cell, keep out-of-box
+        dense_t = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(xt), jnp.asarray(wa), jnp.asarray(wa),
+                jnp.asarray(tbasis), jnp.asarray(tinv), nbins, rmax,
+                tile=64,
+            )
+        )
+        from viamd_tpu.ops.neighbors import choose_grid_triclinic
+
+        dims_t, cap_t = choose_grid_triclinic(tbasis, rmax, n, radius=1)
+        assert min(dims_t) >= 3
+        ht = np.asarray(
+            pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(xt), idx, idx, boxj, nbins, rmax,
+                dims_t, cap_t, cap_t, radius=1, symmetric=True,
+                interpret=True, basis=jnp.asarray(tbasis),
+            )
+        )
+        np.testing.assert_allclose(ht, dense_t, atol=1e-2)
+
     def test_triclinic_matches_dense(self):
         """Fractional-space cell binning + in-kernel fractional
         min-image: triclinic boxes (the rhombic-dodecahedron /

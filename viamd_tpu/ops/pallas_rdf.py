@@ -356,7 +356,10 @@ def pair_dist_histogram_pl(
                         np.asarray(idx_a), np.asarray(idx_b)
                     ).size
                 )
-            except Exception:  # traced (sharded/vmapped callers): be safe
+            except (
+                jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError,
+            ):  # traced (sharded/vmapped callers): be safe
                 need_ids = True
     return _pair_dist_histogram_impl(
         x, idx_a, idx_b, box, nbins, r_max, dims, cap_a, cap_b,
@@ -450,9 +453,16 @@ def _pair_dist_histogram_impl(
         from viamd_tpu.ops.pbc import cellmul
 
         xw = cellmul(x, _inv3x3(basis))  # fractional coords
+        # wrap into [0,1): build_cell_list frac-floors the CELL index, so
+        # stored coordinates must agree with their wrapped cell or
+        # out-of-box atoms bin with a box-magnitude displacement error
+        xw = xw - jnp.floor(xw)
         box_bins = jnp.ones(3, jnp.float32)
     else:
-        xw = x
+        # wrap into [0,box) for the same cell-index/coordinate consistency
+        # (handles atoms exactly at L, slightly negative, or unwrapped
+        # whole-molecule trajectories)
+        xw = x - box * jnp.floor(x / box)
         box_bins = box
     xa = xw[idx_a]
     dx_, dy_, dz_ = dims

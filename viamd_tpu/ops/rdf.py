@@ -205,8 +205,11 @@ def neighborhood_planes(
             if off_g != 0:
                 n_g = dims[gax]
                 if gax == 0:
+                    # clamp like dynamic_slice does internally, so the
+                    # wrap shifts stay aligned with the rows actually
+                    # sliced even for an unclamped traced x0
                     idx_g = (
-                        x0 + jnp.arange(w)
+                        jnp.minimum(x0, dx - w) + jnp.arange(w)
                         if dynamic
                         else jnp.arange(x0, x0 + w)
                     )
