@@ -1041,6 +1041,61 @@ class TestMovieRendering:
             assert np.isfinite(rgba).all()
             assert (rgba[..., 3] > 0).sum() > 50
 
+    def test_render_frames_taa_orbit_beats_accumulation(self, ala_session):
+        """Camera-orbit sequence: the velocity-reprojected TAA resolve
+        (render_frames(taa=True)) stays close to the clean render at the
+        final camera, while plain exponential accumulation of the same
+        orbit ghosts badly (the r3 VERDICT gap)."""
+        from viamd_tpu.render import camera as cam_mod
+        from viamd_tpu.render import postprocess as pp
+
+        s = ala_session
+        W = H = 96
+        base = cam_mod.compute_optimal_view(*s.system.aabb())
+        center = np.asarray(base.center, np.float64)
+        r = base.distance()
+
+        def orbit_cam(k, n=8, span=0.5):
+            th = span * k / n
+            eye = center + r * np.array(
+                [np.sin(th), 0.25, np.cos(th)]
+            ) / np.linalg.norm([np.sin(th), 0.25, np.cos(th)])
+            return cam_mod.Camera(
+                eye=eye.astype(np.float32), center=base.center, up=base.up,
+                znear=base.znear, zfar=base.zfar,
+            )
+
+        n = 8
+        # reprojected TAA over the orbit (camera mutated between yields)
+        gen = s.render_frames([0.0] * n, W, H, taa=True)
+        acc = pp.TAAState()
+        jit_seq = cam_mod.taa_jitter_sequence(8)
+        for k in range(n):
+            s.camera = orbit_cam(k)
+            _, rgba = next(gen)
+            # plain accumulation of equivalently jittered orbit renders
+            raw, _, _ = s.render(W, H, jitter=tuple(jit_seq[k % 8]))
+            pp.taa_accumulate(acc, np.asarray(raw)[..., :3], alpha=0.1)
+        out_taa = rgba[..., :3]
+        out_acc = np.asarray(acc.history)
+        s.camera = orbit_cam(n - 1)
+        truth, _, _ = s.render(W, H)
+        truth = np.asarray(truth)[..., :3]
+        err_taa = float(np.abs(out_taa - truth).mean())
+        err_acc = float(np.abs(out_acc - truth).mean())
+        assert err_acc > 0.01, "orbit should make accumulation ghost"
+        assert err_taa < 0.55 * err_acc, (err_taa, err_acc)
+        # static camera: the resolve converges (no self-ghosting)
+        s.camera = orbit_cam(0)
+        gen2 = s.render_frames([0.0] * 6, W, H, taa=True)
+        for _, rgba2 in gen2:
+            pass
+        truth0, _, _ = s.render(W, H)
+        err_static = float(
+            np.abs(rgba2[..., :3] - np.asarray(truth0)[..., :3]).mean()
+        )
+        assert err_static < 0.02, err_static
+
     def test_movie_cli(self, ala_session, tmp_path):
         import subprocess
         import sys as _sys

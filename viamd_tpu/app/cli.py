@@ -165,7 +165,7 @@ def cmd_movie(args):
     n = 0
     for f, rgba in s.render_frames(
         fr, args.width, args.height, motion_blur=args.motion_blur,
-        postprocess=args.postprocess,
+        taa=args.taa, postprocess=args.postprocess,
         progress=(
             None if args.quiet
             else lambda p: print(f"\r{p*100:.0f}%", end="", file=sys.stderr)
@@ -280,6 +280,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
     p.add_argument("--motion-blur", action="store_true")
+    p.add_argument("--taa", action="store_true",
+                   help="velocity-reprojected temporal AA across frames "
+                        "(temporal.frag resolve; stable under camera motion)")
     p.add_argument("--postprocess", action="store_true",
                    help="full quality chain: HBAO, tonemap, FXAA 3.11")
     p.add_argument("-q", "--quiet", action="store_true")

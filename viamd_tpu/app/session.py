@@ -749,6 +749,7 @@ class Session:
         width: int = 512,
         height: int = 512,
         motion_blur: bool = False,
+        taa: bool = False,
         dt: float = 1.0,
         progress=None,
         **kw,
@@ -757,27 +758,81 @@ class Session:
         positions (the reference's interactive playback + screenshot
         path as a batch job). `frames` may be fractional (interpolated).
         `motion_blur` smears along per-atom screen velocities
-        (velocity/* buffers + temporal.frag's motion-blur half)."""
+        (velocity/* buffers + temporal.frag's motion-blur half).
+        `taa` runs the full velocity-reprojected temporal resolve
+        (temporal.frag:374-535 via render/taa.py): each frame renders
+        under the cycling Halton jitter, per-pixel velocities combine
+        atom motion AND camera motion (the camera may be mutated between
+        yielded frames — an orbit stays temporally stable instead of
+        ghosting), and with `motion_blur` the velocity-trust blend of
+        the reference replaces the plain smear."""
         import jax.numpy as jnp
 
         from viamd_tpu.render import postprocess as pp
 
         frames = list(frames)
+        if taa:
+            from viamd_tpu.render.taa import TAAReprojector
+
+            reproj = TAAReprojector()
+            jit_seq = cam_mod.taa_jitter_sequence(8)
+            prev_view = None  # (view_matrix, proj_matrix, coords)
         for k, f in enumerate(frames):
             self.set_frame(float(f))
-            rgba, depth, pick = self.render(width, height, **kw)
-            if motion_blur:
-                cur, prev = self._screen_positions(width, height, dt)
-                vel = pp.velocity_image(np.asarray(pick), cur, prev)
-                rgb = pp.motion_blur(
-                    jnp.asarray(np.asarray(rgba)[..., :3]), jnp.asarray(vel)
+            if taa:
+                jitter = tuple(jit_seq[k % len(jit_seq)])
+                rgba, depth, pick = self.render(
+                    width, height, jitter=jitter, **kw
+                )
+                cam = self.camera or cam_mod.compute_optimal_view(
+                    *self.system.aabb()
+                )
+                vm = np.asarray(cam.view_matrix(), np.float32)
+                pr = np.asarray(cam.proj_matrix(width, height), np.float32)
+                x = self.current_coords()
+                cur_xy = self._project_screen(x, vm, pr, width, height)
+                if prev_view is None:
+                    vel = np.zeros((height, width, 2), np.float32)
+                else:
+                    pvm, ppr, px = prev_view
+                    prev_xy = self._project_screen(
+                        px, pvm, ppr, width, height
+                    )
+                    vel = pp.velocity_image(np.asarray(pick), cur_xy, prev_xy)
+                prev_view = (vm, pr, x)
+                rgb = reproj.step(
+                    np.asarray(rgba)[..., :3], vel, np.asarray(depth),
+                    jitter_px=jitter, motion_blur=motion_blur,
                 )
                 rgba = np.concatenate(
                     [np.asarray(rgb), np.asarray(rgba)[..., 3:]], axis=-1
                 )
+            else:
+                rgba, depth, pick = self.render(width, height, **kw)
+                if motion_blur:
+                    cur, prev = self._screen_positions(width, height, dt)
+                    vel = pp.velocity_image(np.asarray(pick), cur, prev)
+                    rgb = pp.motion_blur(
+                        jnp.asarray(np.asarray(rgba)[..., :3]),
+                        jnp.asarray(vel),
+                    )
+                    rgba = np.concatenate(
+                        [np.asarray(rgb), np.asarray(rgba)[..., 3:]], axis=-1
+                    )
             if progress:
                 progress((k + 1) / len(frames))
             yield float(f), np.asarray(rgba)
+
+    @staticmethod
+    def _project_screen(x, vm, pr, width, height):
+        """Per-atom screen positions under an explicit view/projection —
+        the velocity gbuffer source including CAMERA motion (the
+        blit_velocity pass reprojects with prev-frame matrices)."""
+        pv = x @ vm[:3, :3].T + vm[:3, 3]
+        cw = np.maximum(-pv[:, 2], 1e-6)
+        sx = (pr[0, 0] * pv[:, 0] / cw * 0.5 + 0.5) * width
+        sy = (pr[1, 1] * pv[:, 1] / cw * 0.5 + 0.5) * height
+        return np.stack([sx, sy], 1).astype(np.float32)
 
     def _screen_positions(self, width: int, height: int, dt: float = 1.0):
         """(current, previous) per-atom screen positions — the velocity
