@@ -590,6 +590,72 @@ class TestComponents:
         finally:
             s.shutdown()
 
+    def test_density_volume_inscene_clip_and_composite(self, water, tmp_path):
+        """In-scene volume compositing (scene-depth-clamped march,
+        density_volume.cpp:761 + entryexit.frag:61-68) and clip planes
+        (volumerender_utils.h:44,72) at the component/session surface."""
+        from viamd_tpu.app import Session
+        from viamd_tpu.io.pdb import write_pdb
+
+        sys_, traj = water
+        p = tmp_path / "w.pdb"
+        p.write_text(write_pdb(sys_))
+        s = Session(num_workers=2)
+        s.load(str(p))
+        s.set_trajectory(traj)
+        s.set_script("v = sdf(residue(1:4), element('H'), 4.0);")
+        s.evaluate(chunk=5)
+        try:
+            dv = s.components["density_volume"]
+            # clip planes: half-box clip removes volume mass
+            full, _ = dv.render(width=48, height=48)
+            dv.clip_min = (0.55, 0.0, 0.0)
+            clipped, _ = dv.render(width=48, height=48)
+            dv.clip_min = (0.0, 0.0, 0.0)
+            assert clipped[..., 3].sum() < 0.85 * full[..., 3].sum()
+            assert clipped[..., 3].sum() > 0
+            # scene-depth clamp: the reference structures truncate the
+            # march → less volume alpha than the unclamped render
+            _, ref_depth = dv.render_references("v", width=48, height=48)
+            assert (ref_depth < np.inf).any()
+            clamped, _ = dv.render(
+                width=48, height=48, scene_depth=ref_depth
+            )
+            assert clamped[..., 3].sum() < full[..., 3].sum() - 1e-3
+            # full composite: structures visible through/behind the volume
+            comp_img = dv.render_composite("v", width=48, height=48)
+            assert comp_img.shape == (48, 48, 4)
+            assert np.isfinite(comp_img).all()
+            assert (comp_img[..., 3] > 0.5).sum() > 10
+            # session-level in-scene pass over the molecule render
+            dv.alpha_scale = 40.0  # the tiny demo SDF needs boosting
+            plain, pdepth, _ = s.render(48, 48)
+            both, _, _ = s.render(48, 48, volume="v")
+            assert both.shape == (48, 48, 4)
+            assert np.isfinite(both).all()
+            diff = np.abs(
+                np.asarray(both)[..., :3] - np.asarray(plain)[..., :3]
+            ).mean()
+            assert diff > 1e-4  # the volume actually composited
+            # the molecular depth buffer truncates the march: compositing
+            # against an empty scene adds strictly more volume
+            free = s._render_volume_inscene(
+                "v", np.asarray(plain),
+                np.full((48, 48), np.inf, np.float32), 48, 48, (0.0, 0.0),
+            )
+            diff_free = np.abs(
+                free[..., :3] - np.asarray(plain)[..., :3]
+            ).mean()
+            assert diff_free > 2.0 * diff, (diff_free, diff)
+            dv.alpha_scale = 1.0
+            # unknown property name raises
+            import pytest as _pytest
+
+            with _pytest.raises(KeyError):
+                s.render(48, 48, volume="nope")
+        finally:
+            s.shutdown()
+
 
 class TestExports:
     def test_temporal_csv_xvg(self, ala_session):

@@ -1073,3 +1073,181 @@ class TestTAA:
         # fast mover smeared on screen but not in the history buffer
         assert screen[5, 5, 0] < buf[5, 5, 0] - 0.05
         assert screen[5, 12, 0] > 0.01  # energy dragged along +x
+
+
+class TestVolumeClipAndDepth:
+    """Clip-planes sub-box (volumerender_utils.h:44,72) and scene-depth-
+    clamped marching (entryexit.frag:28,61-68) in both volume renderers."""
+
+    def _scene(self, D=40):
+        from viamd_tpu.render import camera as cam
+        from viamd_tpu.render.colormap import transfer_function
+
+        x = np.linspace(-1, 1, D)
+        X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+        g = np.exp(-4 * ((X - 0.2) ** 2 + Y**2 + Z**2)) + 0.7 * np.exp(
+            -6 * (X**2 + (Y + 0.4) ** 2 + (Z - 0.3) ** 2)
+        )
+        tf = np.asarray(transfer_function("viridis", alpha_scale=0.6))
+        tf[0, 3] = 0.0  # empty space fully transparent (clip equality)
+        model = V.model_matrix_from_extent(10.0)
+        view = cam.look_at(
+            np.array([3.0, 5.0, 38.0]), np.zeros(3), np.array([0, 1, 0.0])
+        )
+        proj = cam.perspective(np.radians(40), 1.0, 0.1, 200.0)
+        return g.astype(np.float32), jnp.asarray(tf), model, view, proj
+
+    def test_clip_noop_is_identity(self):
+        g, tf, model, view, proj = self._scene()
+        s0 = V.VolumeRenderSettings(width=64, height=64, jitter=False)
+        s1 = V.VolumeRenderSettings(
+            width=64, height=64, jitter=False,
+            clip_min=(0.0, 0.0, 0.0), clip_max=(1.0, 1.0, 1.0),
+        )
+        a, _ = V.render_volume(g, tf, model, view, proj, s0)
+        b, _ = V.render_volume(g, tf, model, view, proj, s1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_clip_matches_zeroed_grid_raymarcher(self):
+        """Clipped render ≈ render of the grid zeroed outside the sub-box
+        (voxel-resolution agreement; the clip boundary is continuous, the
+        zeroed grid interpolates over one voxel)."""
+        g, tf, model, view, proj = self._scene()
+        D = g.shape[0]
+        cmin, cmax = (0.45, 0.0, 0.1), (1.0, 0.9, 1.0)
+        s = V.VolumeRenderSettings(
+            width=64, height=64, jitter=False,
+            clip_min=cmin, clip_max=cmax,
+        )
+        clipped, _ = V.render_volume(g, tf, model, view, proj, s)
+        gz = g.copy()
+        idx = np.arange(D) + 0.5
+        m = np.ones((D, D, D), bool)
+        for ax in range(3):
+            t = idx / D
+            keep = (t >= cmin[ax]) & (t <= cmax[ax])
+            m &= np.moveaxis(
+                np.broadcast_to(keep, (D, D, D) if ax == 2 else (D, D, D)),
+                -1, ax,
+            ) if ax == 2 else np.moveaxis(
+                np.broadcast_to(keep[:, None], (D, D)), 0, 0
+            )[..., None] * np.ones((D, D, D), bool) if False else m
+        # simpler: build the mask directly
+        tx = (np.arange(D) + 0.5) / D
+        m = (
+            ((tx >= cmin[0]) & (tx <= cmax[0]))[:, None, None]
+            & ((tx >= cmin[1]) & (tx <= cmax[1]))[None, :, None]
+            & ((tx >= cmin[2]) & (tx <= cmax[2]))[None, None, :]
+        )
+        gz = np.where(m, g, 0.0).astype(np.float32)
+        s_plain = V.VolumeRenderSettings(width=64, height=64, jitter=False)
+        zeroed, _ = V.render_volume(gz, tf, model, view, proj, s_plain)
+        clipped, zeroed = np.asarray(clipped), np.asarray(zeroed)
+        corr = np.corrcoef(
+            clipped[..., 3].ravel(), zeroed[..., 3].ravel()
+        )[0, 1]
+        assert corr > 0.99, corr
+        assert np.abs(clipped - zeroed).mean() < 0.02
+        # and the clip genuinely removes mass vs the unclipped render
+        full, _ = V.render_volume(g, tf, model, view, proj, s_plain)
+        assert clipped[..., 3].sum() < 0.8 * np.asarray(full)[..., 3].sum()
+
+    def test_clip_shearwarp_matches_raymarcher(self):
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf, model, view, proj = self._scene()
+        s = V.VolumeRenderSettings(
+            width=96, height=96, jitter=False,
+            clip_min=(0.45, 0.0, 0.1), clip_max=(1.0, 0.9, 1.0),
+        )
+        rm, _ = V.render_volume(g, tf, model, view, proj, s)
+        sw, _ = render_volume_shearwarp(g, tf, model, view, proj, s)
+        rm, sw = np.asarray(rm), np.asarray(sw)
+        corr = np.corrcoef(rm[..., 3].ravel(), sw[..., 3].ravel())[0, 1]
+        assert corr > 0.98, corr
+        assert np.abs(rm - sw).mean() < 0.02
+
+    def test_scene_depth_clamps_raymarcher(self):
+        g, tf, model, view, proj = self._scene()
+        W = H = 64
+        s = V.VolumeRenderSettings(width=W, height=H, jitter=False)
+        base, _ = V.render_volume(g, tf, model, view, proj, s)
+        base = np.asarray(base)
+        # inf scene depth → identical
+        inf_d = np.full((H, W), np.inf, np.float32)
+        same, _ = V.render_volume(
+            g, tf, model, view, proj, s, scene_depth=inf_d
+        )
+        np.testing.assert_allclose(np.asarray(same), base, atol=1e-6)
+        # a surface in FRONT of the volume blanks it
+        front = np.full((H, W), 1.0, np.float32)
+        blank, _ = V.render_volume(
+            g, tf, model, view, proj, s, scene_depth=front
+        )
+        assert np.asarray(blank)[..., 3].max() < 1e-6
+        # a mid-volume surface on the left half truncates that half only
+        half = np.full((H, W), np.inf, np.float32)
+        half[:, : W // 2] = 32.0  # front third of the volume (entry ~28)
+        cut, _ = V.render_volume(
+            g, tf, model, view, proj, s, scene_depth=half
+        )
+        cut = np.asarray(cut)
+        np.testing.assert_allclose(
+            cut[:, W // 2 :], base[:, W // 2 :], atol=1e-6
+        )
+        assert cut[:, : W // 2, 3].sum() < 0.7 * base[:, : W // 2, 3].sum()
+        assert cut[:, : W // 2, 3].sum() > 0.02 * base[:, : W // 2, 3].sum()
+
+    def test_scene_depth_clamps_shearwarp(self):
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf, model, view, proj = self._scene()
+        W = H = 96
+        s = V.VolumeRenderSettings(width=W, height=H, jitter=False)
+        base, _ = render_volume_shearwarp(g, tf, model, view, proj, s)
+        base = np.asarray(base)
+        half = np.full((H, W), np.inf, np.float32)
+        half[:, : W // 2] = 32.0
+        cut, _ = render_volume_shearwarp(
+            g, tf, model, view, proj, s, scene_depth=half
+        )
+        cut = np.asarray(cut)
+        # right half unchanged (small warp bleed allowed), left truncated
+        assert np.abs(cut[:, W // 2 + 4 :] - base[:, W // 2 + 4 :]).mean() < 5e-3
+        assert cut[:, : W // 2, 3].sum() < 0.7 * base[:, : W // 2, 3].sum()
+        # cross-check against the clamped ray-marcher
+        rm, _ = V.render_volume(
+            g, tf, model, view, proj, s, scene_depth=half
+        )
+        corr = np.corrcoef(
+            cut[..., 3].ravel(), np.asarray(rm)[..., 3].ravel()
+        )[0, 1]
+        assert corr > 0.98, corr
+
+    def test_shearwarp_color_volume(self):
+        """Shear-warp honors color_volume (the r3 silent-fallback gap:
+        ≥256² routed to shear-warp which ignored it)."""
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf_, model, view, proj = self._scene(D=24)
+        D = 24
+        cvol = np.zeros((D, D, D, 3), np.float32)
+        cvol[..., 1] = 1.0  # colvol says GREEN
+        tf = np.zeros((64, 4), np.float32)
+        tf[:, 0] = 1.0  # TF says RED
+        tf[:, 3] = np.linspace(0, 0.9, 64)
+        s = V.VolumeRenderSettings(width=96, height=96, jitter=False)
+        sw, _ = render_volume_shearwarp(
+            g, tf, model, view, proj, s, color_volume=cvol
+        )
+        sw = np.asarray(sw)
+        m = sw[..., 3] > 0.3
+        assert m.sum() > 50
+        assert sw[m][:, 1].mean() > 2 * sw[m][:, 0].mean()
+        rm, _ = V.render_volume(
+            g, tf, model, view, proj, s, color_volume=cvol
+        )
+        corr = np.corrcoef(
+            sw[..., 3].ravel(), np.asarray(rm)[..., 3].ravel()
+        )[0, 1]
+        assert corr > 0.98, corr

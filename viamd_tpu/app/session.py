@@ -510,6 +510,7 @@ class Session:
         jitter=(0.0, 0.0),
         show_selection: bool = True,
         postprocess=None,
+        volume=None,
     ):
         """Render enabled representations → (rgba, depth, picking).
 
@@ -521,7 +522,16 @@ class Session:
         if enabled, FXAA 3.11 — the reference's always-on viewport
         pipeline, postprocessing_utils.cpp:1938) with default settings;
         or pass a `render.postprocess.PostprocessSettings`. The returned
-        rgba is then the display-ready composite (alpha 1)."""
+        rgba is then the display-ready composite (alpha 1).
+
+        `volume`: name of a volume property from the last evaluation (or
+        True for the first one) — it is ray-marched IN-SCENE over the
+        molecule like the reference's RenderTransparent volume pass
+        (density_volume.cpp:761, veloxchem volumes): the grid is placed
+        in world space through the inverse reference frame of its first
+        matched structure, the march is clamped against the molecular
+        depth buffer (an atom inside the volume truncates it), and the
+        result composites over the opaque image."""
         from viamd_tpu.render import color as color_mod
         from viamd_tpu.render import raster
 
@@ -684,6 +694,10 @@ class Session:
             img = self._draw_selection_outline(
                 img, pick, self.highlight, color=(1.0, 0.85, 0.3)
             )
+        if volume and img is not None:
+            img = self._render_volume_inscene(
+                volume, img, depth, width, height, jitter
+            )
         if postprocess and img is not None:
             from viamd_tpu.render import postprocess as pp
 
@@ -720,6 +734,77 @@ class Session:
         out[edge, :3] = np.asarray(color, np.float32)
         out[edge, 3] = 1.0
         return out
+
+    def _render_volume_inscene(
+        self, volume, img, depth, width, height, jitter
+    ):
+        """Ray-march a volume property into the scene (RenderTransparent
+        analog): place the grid in world space via the inverse reference
+        frame of its first matched structure, clamp the march against the
+        molecular depth buffer, composite over the opaque image."""
+        from viamd_tpu.render import colormap as cmap_mod
+        from viamd_tpu.render import volume as vol_mod
+
+        comp = self.components["density_volume"]
+        names = comp.volume_properties()
+        if not names:
+            raise ValueError(
+                "no volume properties in the last evaluation"
+            )
+        prop = names[0] if volume is True else str(volume)
+        if prop not in names:
+            raise KeyError(f"volume property {prop!r} not in {names}")
+        res = comp._last_result or self.eval_result
+        meta = res.property(prop)
+        extent = meta.spec.extent
+        grid = res.normalized_volume(prop)
+        vmax = float(grid.max()) or 1.0
+        tex2ref = vol_mod.model_matrix_from_extent(extent)
+        try:
+            M = comp.reference_frames(prop)  # (S, 4, 4) world → reference
+            model = np.linalg.inv(M[0]) @ tex2ref
+        except (KeyError, ValueError):
+            # no vis.sdf payload: center the box on the system
+            lo, hi = self.system.aabb()
+            model = tex2ref.copy()
+            model[:3, 3] += (np.asarray(lo) + np.asarray(hi)) * 0.5
+        cam = self.camera or cam_mod.compute_optimal_view(
+            *self.system.aabb()
+        )
+        tf = cmap_mod.transfer_function(
+            comp.colormap, 256, alpha_scale=comp.alpha_scale
+        )
+        settings = vol_mod.VolumeRenderSettings(
+            width=width, height=height,
+            value_range=(0.0, vmax),
+            enable_iso=bool(comp.iso_values),
+            iso_values=tuple(v * vmax for v in comp.iso_values),
+            iso_colors=comp.iso_colors,
+            clip_min=tuple(comp.clip_min),
+            clip_max=tuple(comp.clip_max),
+        )
+        view = np.asarray(cam.view_matrix(), np.float32)
+        proj = np.asarray(
+            cam.proj_matrix(width, height, jitter), np.float32
+        )
+        if width * height >= 256 * 256:
+            from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+            vimg, _ = render_volume_shearwarp(
+                grid, tf, model, view, proj, settings,
+                scene_depth=np.asarray(depth),
+            )
+        else:
+            vimg, _ = vol_mod.render_volume(
+                grid, tf, model, view, proj, settings,
+                scene_depth=np.asarray(depth),
+            )
+        vimg = np.asarray(vimg)
+        va = vimg[..., 3:4]
+        base = np.asarray(img, np.float32)
+        rgb = vimg[..., :3] + base[..., :3] * (1.0 - va)
+        a = va + base[..., 3:4] * (1.0 - va)
+        return np.concatenate([rgb, a], axis=-1).astype(np.float32)
 
     def render_accumulated(
         self, width: int = 512, height: int = 512, samples: int = 8, **kw

@@ -34,6 +34,10 @@ class DensityVolumeComponent:
         self.blur_sigma = 0.0  # voxels; gaussian smoothing before rendering
         self.iso_values: tuple = ()
         self.iso_colors: tuple = ()
+        # fractional clip sub-box (the reference's Clip planes GUI,
+        # density_volume.cpp:405-420,826)
+        self.clip_min: tuple = (0.0, 0.0, 0.0)
+        self.clip_max: tuple = (1.0, 1.0, 1.0)
         session.events.subscribe(EventType.EVAL_COMPLETE, self._on_eval)
         self._last_result = None
 
@@ -187,13 +191,19 @@ class DensityVolumeComponent:
         camera: Optional[cam_mod.Camera] = None,
         normalized: bool = True,
         color_volume=None,
+        scene_depth=None,
     ):
         """Render a volume property → ((H,W,4) RGBA, (H,W) depth).
 
         `color_volume`: optional (D,D,D,3) RGB grid (ops.density.
         splat_color_volume) — DVR color comes from it instead of the TF
-        (the colvol raycaster variants; routes through the ray-marcher).
-        """
+        (the colvol raycaster variants; supported by BOTH the ray-marcher
+        and the shear-warp path).
+        `scene_depth`: optional (H,W) linear view depth of opaque geometry
+        rendered with the same camera — the march stops at the surface
+        (the entryexit scene-depth clamp); use render_composite() for the
+        full in-scene pass.
+        Honors `clip_min`/`clip_max` (the Clip-planes GUI)."""
         res = self._last_result or self.session.eval_result
         if res is None:
             raise ValueError("no evaluation result — run session.evaluate()")
@@ -230,22 +240,63 @@ class DensityVolumeComponent:
             enable_iso=bool(self.iso_values),
             iso_values=tuple(v * vmax for v in self.iso_values),
             iso_colors=self.iso_colors,
+            clip_min=tuple(self.clip_min),
+            clip_max=tuple(self.clip_max),
         )
         # large screens route through the shear-warp renderer (dense MXU
         # slice compositing — 1080p×128³ in ~15 ms on one v5e; the general
         # ray-marcher is gather-bound and only sensible for small frames);
         # it falls back to the ray-marcher itself for degenerate cameras
-        if color_volume is None and width * height >= 256 * 256:
+        if width * height >= 256 * 256:
             from viamd_tpu.render.shearwarp import render_volume_shearwarp
 
             img, depth = render_volume_shearwarp(
                 grid, tf, model, camera.view_matrix(),
                 camera.proj_matrix(width, height), settings,
+                color_volume=color_volume, scene_depth=scene_depth,
             )
         else:
             img, depth = vol_mod.render_volume(
                 grid, tf, model, camera.view_matrix(),
                 camera.proj_matrix(width, height), settings,
-                color_volume=color_volume,
+                color_volume=color_volume, scene_depth=scene_depth,
             )
         return np.asarray(img), np.asarray(depth)
+
+    def render_composite(
+        self,
+        prop_name: Optional[str] = None,
+        frame: Optional[int] = None,
+        width: int = 512,
+        height: int = 512,
+        camera: Optional[cam_mod.Camera] = None,
+        max_structures: int = 100,
+        **render_kw,
+    ):
+        """In-scene volume pass: reference structures + the volume in ONE
+        image (the reference's density-volume window render,
+        density_volume.cpp:761 → volumerender_utils.cpp:451). The volume
+        march is clamped against the structures' depth buffer, so an atom
+        INSIDE the volume truncates the translucent march (correct
+        compositing, not a binary depth compare). Returns (H,W,4) RGBA."""
+        rec = self.sdf_vis(prop_name)
+        extent = rec["extent"]
+        if camera is None:
+            camera = cam_mod.compute_optimal_view(
+                [-extent] * 3, [extent] * 3
+            )
+        ref_img, ref_depth = self.render_references(
+            prop_name, frame, width, height, camera, max_structures
+        )
+        vol_img, _ = self.render(
+            prop_name, width, height, camera,
+            scene_depth=ref_depth, **render_kw,
+        )
+        # volume rgb is premultiplied by its alpha: OVER-composite onto
+        # the opaque structures
+        va = vol_img[..., 3:4]
+        rgb = vol_img[..., :3] + ref_img[..., :3] * ref_img[..., 3:4] * (
+            1.0 - va
+        )
+        a = va + ref_img[..., 3:4] * (1.0 - va)
+        return np.concatenate([rgb, a], axis=-1).astype(np.float32)

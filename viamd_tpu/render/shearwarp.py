@@ -63,7 +63,7 @@ def _tent_rows(u: jnp.ndarray, n_src: int) -> jnp.ndarray:
 def _shearwarp_impl(
     grid, tf, model, view, proj, seed,
     settings: "VolumeRenderSettings", axis: int, flip: bool, di: int,
-    eye_m, order_y: bool = True,
+    eye_m, order_y: bool = True, cvol=None, scene_depth=None,
 ):
     s = settings
     W, H = s.width, s.height
@@ -106,6 +106,38 @@ def _shearwarp_impl(
     Tb = _tent_rows(src_b, Db)  # (Ds, di, Db)
     R = jnp.einsum("sia,sab->sib", Ta, vol.astype(jnp.float32))
     R = jnp.einsum("sib,sjb->sij", R, Tb)  # (Ds, di, di)
+
+    # color volume resampled onto the same slice lattice (the colvol
+    # raycaster variants, volumerender_utils.cpp:145-180): two more tent
+    # contractions per channel — stays MXU-dense
+    if s.use_color_volume:
+        cv = jnp.transpose(cvol, (axis, ax1, ax2, 3))
+        if flip:
+            cv = cv[::-1]
+        Rc = jnp.einsum("sia,sabc->sibc", Ta, cv.astype(jnp.float32))
+        Rc = jnp.einsum("sibc,sjb->sijc", Rc, Tb)  # (Ds, di, di, 3)
+    else:
+        Rc = jnp.zeros((Ds, 1, 1, 3), jnp.float32)
+
+    # clip-planes sub-box (volumerender_utils.h:44,72) as sample masks:
+    # clip bounds permute with the cyclic transpose; samples outside the
+    # fractional sub-box contribute nothing (DVR alpha and iso crossings)
+    clip_lo = [float(v) for v in s.clip_min]
+    clip_hi = [float(v) for v in s.clip_max]
+    has_clip = any(
+        lo > 0.0 or hi < 1.0 for lo, hi in zip(clip_lo, clip_hi)
+    )
+    if has_clip:
+        m_z = (z_s >= clip_lo[axis]) & (z_s <= clip_hi[axis])  # (Ds,)
+        a_tex = (src_a + 0.5) / Da  # (Ds, di) texture coords along ax1
+        b_tex = (src_b + 0.5) / Db
+        m_a = (a_tex >= clip_lo[ax1]) & (a_tex <= clip_hi[ax1])
+        m_b = (b_tex >= clip_lo[ax2]) & (b_tex <= clip_hi[ax2])
+        in_clip = (
+            m_z[:, None, None] & m_a[:, :, None] & m_b[:, None, :]
+        )  # (Ds, di, di)
+    else:
+        in_clip = jnp.ones((Ds, 1, 1), bool)
 
     vmin, vmax = s.value_range
     vspan = max(vmax - vmin, 1e-30)
@@ -167,62 +199,9 @@ def _shearwarp_impl(
     Rprev = jnp.concatenate([R[:1], R[:-1]], axis=0)
     Rnext = jnp.concatenate([R[1:], R[-1:]], axis=0)
 
-    def composite(carry, xs):
-        rgb, alpha, depth = carry
-        Rs, Rp, Rn, zs, Cs = xs
-        trans = 1.0 - alpha
-        live = alpha < EARLY_TERMINATION_ALPHA
-
-        if iso_vals:
-            ga = (jnp.roll(Rs, -1, 0) - jnp.roll(Rs, 1, 0)) * (0.5 * Da)
-            gb = (jnp.roll(Rs, -1, 1) - jnp.roll(Rs, 1, 1)) * (0.5 * Db)
-            gz = (Rn - Rp) * (0.5 * Ds)
-            gn = jnp.maximum(jnp.sqrt(ga * ga + gb * gb + gz * gz), 1e-12)
-            nrm = jnp.stack([gz / gn, ga / gn, gb / gn], axis=-1)
-            half = vd + light[None, None, :]
-            half = half / jnp.maximum(
-                jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12
-            )
-            ndl = jnp.abs(jnp.sum(nrm * light[None, None, :], axis=-1))
-            ndh = jnp.abs(jnp.sum(nrm * half, axis=-1))
-            spec = s.specular * ndh ** s.shininess
-            lum = s.ambient + (1 - s.ambient) * ndl
-        for vi, col in zip(iso_vals, iso_cols):
-            crossed = live & ((Rp - vi) * (Rs - vi) < 0)
-            base = jnp.asarray(col[:3], jnp.float32)
-            shaded = base[None, None, :] * lum[..., None] + spec[..., None]
-            contrib = jnp.where(crossed, trans * jnp.float32(col[3]), 0.0)
-            rgb = rgb + shaded * contrib[..., None]
-            alpha = alpha + contrib
-            depth = jnp.where(crossed & (depth >= 1e30), zs, depth)
-            trans = 1.0 - alpha
-
-        if s.enable_dvr:
-            a_corr = 1.0 - jnp.power(
-                jnp.maximum(1.0 - Cs[..., 3], 1e-7),
-                tex_dt * REF_SAMPLING_RATE,
-            )
-            a_eff = jnp.where(live, trans * a_corr, 0.0)
-            rgb = rgb + Cs[..., :3] * a_eff[..., None]
-            alpha = alpha + a_eff
-            depth = jnp.where((alpha > 0.5) & (depth >= 1e30), zs, depth)
-        return (rgb, alpha, depth), None
-
-    rgb0 = jnp.zeros((di, di, 3))
-    a0 = jnp.zeros((di, di))
-    d0 = jnp.full((di, di), 1e30)
-    (rgb, alpha, depth), _ = jax.lax.scan(
-        composite, (rgb0, a0, d0), (R, Rprev, Rnext, z_s, TFC)
-    )
-
-    # ---- final warp: intermediate (a,b) lattice → screen ------------------
-    # The map screen pixel → base-plane lattice coords is EXACTLY a
-    # homography (pencil of rays through a fixed plane). Fit it from 4
-    # pixels evaluated with the exact ray/plane formulas, then resample in
-    # TWO gather-free 1-D passes (Catmull–Smith): each pass is a batched
-    # tent-matrix contraction on the MXU. The direct bilinear gather from
-    # the (di²,8) table measured 93 ms at 1080p/di=256 — table exceeds
-    # fast-gather size; the two-pass warp is dense algebra.
+    # ---- screen↔lattice homography (fitted from 4 exact corner rays) ----
+    # needed both for the final warp AND (inverted) to pull scene depth
+    # back onto the intermediate lattice for the depth-clamped march
     inv_vp = jnp.linalg.inv(proj @ view)
     inv_model = jnp.linalg.inv(model)
 
@@ -267,6 +246,126 @@ def _shearwarp_impl(
     )
     h00, h01, h02, h10, h11, h12, h20, h21 = (hvec[i] for i in range(8))
 
+    if scene_depth is not None:
+        # scene-depth-clamped compositing (entryexit.frag:28,61-68): each
+        # intermediate lattice point IS a ray; its view depth is affine in
+        # the texture z coordinate, zd(z) = A + B·z. Pull the opaque scene
+        # depth back through the inverse homography (lattice → screen, one
+        # bilinear gather over the screen depth buffer) and mask slices
+        # behind the surface.
+        from jax.scipy.ndimage import map_coordinates
+
+        def p_tex_at(z):  # (di, di, 3) texture-space point on each ray
+            f = (z - ez) / jnp.where(
+                jnp.abs(z0 - ez) < 1e-12, 1e-12, z0 - ez
+            )
+            a = ea + (UA - ea) * f
+            b = eb + (UB - eb) * f
+            out = [None, None, None]
+            out[axis] = jnp.full((di, di), z)
+            out[ax1] = a
+            out[ax2] = b
+            return jnp.stack(out, axis=-1)
+
+        def vdepth(p):  # texture point → view depth (affine, no divide)
+            vm = view @ model
+            return -(
+                vm[2, 0] * p[..., 0] + vm[2, 1] * p[..., 1]
+                + vm[2, 2] * p[..., 2] + vm[2, 3]
+            )
+
+        zdA = vdepth(p_tex_at(0.0))
+        zdB = vdepth(p_tex_at(1.0)) - zdA
+        # inverse homography: lattice (fa, fb) → screen (x, y)
+        Hm = jnp.stack([
+            jnp.stack([h00, h01, h02]),
+            jnp.stack([h10, h11, h12]),
+            jnp.stack([h20, h21, jnp.float32(1.0)]),
+        ])
+        Hi = jnp.linalg.inv(Hm)
+        fa_l, fb_l = jnp.meshgrid(
+            jnp.arange(di, dtype=jnp.float32),
+            jnp.arange(di, dtype=jnp.float32),
+            indexing="ij",
+        )
+        ws = Hi[2, 0] * fa_l + Hi[2, 1] * fb_l + Hi[2, 2]
+        ws = jnp.where(jnp.abs(ws) < 1e-12, 1e-12, ws)
+        xs_l = (Hi[0, 0] * fa_l + Hi[0, 1] * fb_l + Hi[0, 2]) / ws
+        ys_l = (Hi[1, 0] * fa_l + Hi[1, 1] * fb_l + Hi[1, 2]) / ws
+        sd = jnp.asarray(scene_depth, jnp.float32)
+        sd_f = jnp.where(jnp.isfinite(sd), sd, 3.0e38)
+        zd_scene = map_coordinates(
+            sd_f,
+            [jnp.clip(ys_l, 0.0, H - 1.0), jnp.clip(xs_l, 0.0, W - 1.0)],
+            order=1,
+        )
+        onscreen = (
+            (xs_l > -0.5) & (xs_l < W - 0.5)
+            & (ys_l > -0.5) & (ys_l < H - 0.5)
+        )
+        zd_scene = jnp.where(onscreen, zd_scene, 3.0e38)
+        # (Ds, di, di) front-of-scene mask per slice
+        zd_slices = zdA[None] + zdB[None] * z_s[:, None, None]
+        in_front = zd_slices <= zd_scene[None]
+        in_clip = in_clip & in_front
+
+    def composite(carry, xs):
+        rgb, alpha, depth = carry
+        Rs, Rp, Rn, zs, Cs, Ccol, mask = xs
+        trans = 1.0 - alpha
+        live = (alpha < EARLY_TERMINATION_ALPHA) & mask
+
+        if iso_vals:
+            ga = (jnp.roll(Rs, -1, 0) - jnp.roll(Rs, 1, 0)) * (0.5 * Da)
+            gb = (jnp.roll(Rs, -1, 1) - jnp.roll(Rs, 1, 1)) * (0.5 * Db)
+            gz = (Rn - Rp) * (0.5 * Ds)
+            gn = jnp.maximum(jnp.sqrt(ga * ga + gb * gb + gz * gz), 1e-12)
+            nrm = jnp.stack([gz / gn, ga / gn, gb / gn], axis=-1)
+            half = vd + light[None, None, :]
+            half = half / jnp.maximum(
+                jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-12
+            )
+            ndl = jnp.abs(jnp.sum(nrm * light[None, None, :], axis=-1))
+            ndh = jnp.abs(jnp.sum(nrm * half, axis=-1))
+            spec = s.specular * ndh ** s.shininess
+            lum = s.ambient + (1 - s.ambient) * ndl
+        for vi, col in zip(iso_vals, iso_cols):
+            crossed = live & ((Rp - vi) * (Rs - vi) < 0)
+            base = jnp.asarray(col[:3], jnp.float32)
+            shaded = base[None, None, :] * lum[..., None] + spec[..., None]
+            contrib = jnp.where(crossed, trans * jnp.float32(col[3]), 0.0)
+            rgb = rgb + shaded * contrib[..., None]
+            alpha = alpha + contrib
+            depth = jnp.where(crossed & (depth >= 1e30), zs, depth)
+            trans = 1.0 - alpha
+
+        if s.enable_dvr:
+            a_corr = 1.0 - jnp.power(
+                jnp.maximum(1.0 - Cs[..., 3], 1e-7),
+                tex_dt * REF_SAMPLING_RATE,
+            )
+            a_eff = jnp.where(live, trans * a_corr, 0.0)
+            base_rgb = Ccol if s.use_color_volume else Cs[..., :3]
+            rgb = rgb + base_rgb * a_eff[..., None]
+            alpha = alpha + a_eff
+            depth = jnp.where((alpha > 0.5) & (depth >= 1e30), zs, depth)
+        return (rgb, alpha, depth), None
+
+    rgb0 = jnp.zeros((di, di, 3))
+    a0 = jnp.zeros((di, di))
+    d0 = jnp.full((di, di), 1e30)
+    (rgb, alpha, depth), _ = jax.lax.scan(
+        composite, (rgb0, a0, d0), (R, Rprev, Rnext, z_s, TFC, Rc, in_clip)
+    )
+
+    # ---- final warp: intermediate (a,b) lattice → screen ------------------
+    # The map screen pixel → base-plane lattice coords is EXACTLY a
+    # homography (pencil of rays through a fixed plane), fitted above from
+    # 4 exact corner rays. Resample in TWO gather-free 1-D passes
+    # (Catmull–Smith): each pass is a batched tent-matrix contraction on
+    # the MXU. The direct bilinear gather from the (di²,8) table measured
+    # 93 ms at 1080p/di=256 — table exceeds fast-gather size; the two-pass
+    # warp is dense algebra.
     depth_f = jnp.where(depth >= 1e30, jnp.float32(3.4e38), depth)
     packed = jnp.concatenate(
         [rgb, alpha[..., None], depth_f[..., None],
@@ -376,6 +475,7 @@ def _shearwarp_impl(
 def render_volume_shearwarp(
     grid, tf, model, view, proj, settings: VolumeRenderSettings,
     seed: int = 0, intermediate: int = 0, tf_max_knots: int = 64,
+    color_volume=None, scene_depth=None,
 ):
     """Shear-warp render; same signature/outputs as render_volume.
 
@@ -389,6 +489,13 @@ def render_volume_shearwarp(
     banded matmul — 256 knots cost ~5.5 ms/frame at 1080p vs ~1.3 at 64,
     and colormap-derived TFs are visually identical at 64. Pass 0 to keep
     the table exact.
+
+    `color_volume`: optional (D,D,D,3) RGB grid — DVR color comes from it
+    instead of the TF (resampled slice-wise through the same MXU tent
+    contractions; the colvol program variants).
+    `scene_depth`: optional (H,W) linear view depth of the opaque scene —
+    slices behind the surface are masked out (the entryexit scene-depth
+    clamp), so the volume composites correctly against in-volume geometry.
     """
     tf = np.asarray(tf, np.float32)
     if tf_max_knots and tf.shape[0] > tf_max_knots:
@@ -406,7 +513,10 @@ def render_volume_shearwarp(
     axis = int(np.argmax(np.abs(fwd_m)))
     flip = bool(fwd_m[axis] < 0)
     if -0.05 <= eye_m[axis] <= 1.05:  # eye inside the slab: degenerate
-        return render_volume(grid, tf, model, view, proj, settings, seed)
+        return render_volume(
+            grid, tf, model, view, proj, settings, seed,
+            color_volume=color_volume, scene_depth=scene_depth,
+        )
 
     D = max(np.asarray(grid).shape if hasattr(grid, "shape") else (64,))
     di = int(intermediate) if intermediate else 2 * int(D)
@@ -464,6 +574,9 @@ def render_volume_shearwarp(
         background=tuple(s.background),
         jitter=s.jitter, light_dir=tuple(s.light_dir),
         ambient=s.ambient, specular=s.specular, shininess=s.shininess,
+        use_color_volume=color_volume is not None,
+        clip_min=tuple(float(v) for v in s.clip_min),
+        clip_max=tuple(float(v) for v in s.clip_max),
     )
     return _shearwarp_impl(
         jnp.asarray(grid, jnp.float32), jnp.asarray(tf, jnp.float32),
@@ -471,4 +584,8 @@ def render_volume_shearwarp(
         jnp.asarray(proj, jnp.float32), seed,
         _Frozen(frozen), axis, flip, di,
         jnp.asarray(eye_m, jnp.float32), order_y,
+        None if color_volume is None
+        else jnp.asarray(color_volume, jnp.float32),
+        None if scene_depth is None
+        else jnp.asarray(scene_depth, jnp.float32),
     )

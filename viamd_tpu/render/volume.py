@@ -53,6 +53,12 @@ class VolumeRenderSettings:
     # DVR takes its color from a (D,D,D,3) color volume instead of the TF
     # (the raycaster.frag colvol program variants; alpha stays TF-driven)
     use_color_volume: bool = False
+    # fractional clip sub-box [clip_min, clip_max] in texture space — the
+    # reference's clip planes (volumerender_utils.h:44,72: RenderDesc
+    # clip_volume {min,max}, density_volume.cpp:405-420 GUI); rays march
+    # only inside the sub-box
+    clip_min: tuple = (0.0, 0.0, 0.0)
+    clip_max: tuple = (1.0, 1.0, 1.0)
 
 
 def _sample_trilinear(grid: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -122,13 +128,14 @@ def _apply44(m: jnp.ndarray, p: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def ray_box(
-    orig: jnp.ndarray, direc: jnp.ndarray
+    orig: jnp.ndarray, direc: jnp.ndarray, lo=0.0, hi=1.0
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Entry/exit params of rays vs the unit cube [0,1]³ (the entry/exit
-    rasterization pass of volumerender_utils become closed form)."""
+    """Entry/exit params of rays vs the box [lo, hi]³ (the entry/exit
+    rasterization pass of volumerender_utils become closed form; lo/hi
+    may be per-axis (3,) — the clip-planes sub-box)."""
     inv = 1.0 / jnp.where(jnp.abs(direc) < 1e-12, 1e-12, direc)
-    t1 = (0.0 - orig) * inv
-    t2 = (1.0 - orig) * inv
+    t1 = (jnp.asarray(lo) - orig) * inv
+    t2 = (jnp.asarray(hi) - orig) * inv
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
     tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
     tmin = jnp.maximum(tmin, 0.0)
@@ -138,7 +145,7 @@ def ray_box(
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _render_impl(
     grid, tf, model, view, proj, seed, settings: "VolumeRenderSettings",
-    y0=0.0, y1=1.0, cvol=None,
+    y0=0.0, y1=1.0, cvol=None, scene_depth=None,
 ):
     if cvol is None:
         cvol = jnp.zeros((1, 1, 1, 3), jnp.float32)
@@ -175,7 +182,31 @@ def _render_impl(
     o = to_model(p_near)
     e = to_model(p_far)
     d = e - o
-    t0, t1 = ray_box(o, d)
+    # clip-planes sub-box (volumerender_utils.h:44,72): rays march only
+    # inside [clip_min, clip_max] of texture space
+    t0, t1 = ray_box(
+        o, d,
+        jnp.asarray(settings.clip_min, jnp.float32),
+        jnp.asarray(settings.clip_max, jnp.float32),
+    )
+    if scene_depth is not None:
+        # scene-depth-clamped exit (entryexit.frag:28,61-68): stop the
+        # march where the ray passes the opaque scene surface. View depth
+        # is affine in the shared ray parameter t (p_w(t) = p_near_w +
+        # t·(p_far_w − p_near_w), and model is affine), so solve
+        # zd(t) = zd_scene for t and clamp t1.
+        def vdepth(p):  # world point → view depth (−z_view), no divide
+            return -(
+                view[2, 0] * p[:, 0] + view[2, 1] * p[:, 1]
+                + view[2, 2] * p[:, 2] + view[2, 3]
+            )
+
+        zd0 = vdepth(p_near)
+        zdb = vdepth(p_far) - zd0
+        zdb = jnp.where(jnp.abs(zdb) < 1e-12, 1e-12, zdb)
+        zs = jnp.asarray(scene_depth, jnp.float32).reshape(-1)
+        t_scene = (zs - zd0) / zdb
+        t1 = jnp.minimum(t1, jnp.where(jnp.isfinite(zs), t_scene, t1))
     hit = t1 > t0
 
     D = max(grid.shape)
@@ -302,11 +333,16 @@ def render_volume(
     settings: VolumeRenderSettings,
     seed: int = 0,
     color_volume=None,
+    scene_depth=None,
 ):
     """Render a density grid → ((H,W,4) float32 RGBA, (H,W) depth).
 
     model: 4×4 matrix mapping the unit cube [0,1]³ (texture space) to world
     (the reference's model matrix from ±extent, density_volume.cpp:193-197).
+    `scene_depth`: optional (H,W) linear view depth of the opaque scene
+    rendered with the SAME view/proj — the march stops at the surface
+    (entryexit.frag scene-depth clamp), so translucent volumes composite
+    correctly against geometry inside them.
     """
     # hashable settings for jit: freeze tuples
     s = settings
@@ -321,12 +357,19 @@ def render_volume(
         jitter=s.jitter, light_dir=tuple(s.light_dir),
         ambient=s.ambient, specular=s.specular, shininess=s.shininess,
         use_color_volume=color_volume is not None,
+        clip_min=tuple(float(v) for v in s.clip_min),
+        clip_max=tuple(float(v) for v in s.clip_max),
     )
     gridj = jnp.asarray(grid, jnp.float32)
     tfj = jnp.asarray(tf, jnp.float32)
     modelj = jnp.asarray(model, jnp.float32)
     viewj = jnp.asarray(view, jnp.float32)
     projj = jnp.asarray(proj, jnp.float32)
+    sdj = (
+        jnp.asarray(scene_depth, jnp.float32)
+        if scene_depth is not None
+        else None
+    )
     # band the screen into ≤MAX_PIXELS_PER_PASS row strips: the fused
     # ray-march program crashes the TPU worker above ~0.3 Mpixel (gather
     # buffer blowup); banding keeps arbitrary resolutions working
@@ -338,7 +381,7 @@ def render_volume(
     )
     if s.width * s.height <= MAXP:
         return _render_impl(gridj, tfj, modelj, viewj, projj, seed,
-                            _Frozen(frozen), 0.0, 1.0, cvolj)
+                            _Frozen(frozen), 0.0, 1.0, cvolj, sdj)
     rows_per = max(1, MAXP // s.width)
     imgs, deps = [], []
     y = 0
@@ -348,6 +391,7 @@ def render_volume(
         img, dep = _render_impl(
             gridj, tfj, modelj, viewj, projj, seed, _Frozen(band),
             y / s.height, (y + h) / s.height, cvolj,
+            None if sdj is None else sdj[y : y + h],
         )
         imgs.append(img)
         deps.append(dep)
@@ -364,7 +408,8 @@ class _Frozen:
             s.width, s.height, s.samples_per_voxel, s.enable_dvr,
             s.enable_iso, s.iso_values, s.iso_colors, s.value_range,
             s.background, s.jitter, s.light_dir, s.ambient, s.specular,
-            s.shininess, s.use_color_volume,
+            s.shininess, s.use_color_volume, tuple(s.clip_min),
+            tuple(s.clip_max),
         )
 
     def __getattr__(self, k):
