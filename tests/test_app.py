@@ -835,6 +835,54 @@ class TestVeloxchem:
         assert np.isfinite(img).all()
         assert img[..., 3].max() > 0  # isosurfaces visible
 
+    def test_topology_and_render(self, ala_session):
+        """Density-topology graph: critical points classified + bond
+        graph, rendered in-scene as colored CP spheres + black edges
+        (veloxchem.cpp:624-700)."""
+        from viamd_tpu.io.vlx import QMData, Shell
+
+        d = 2.6  # Bohr — two well-separated density maxima
+        shells = [
+            Shell(np.array([0.0, 0, 0], np.float32), 0,
+                  np.array([1.0], np.float32), np.array([1.0], np.float32)),
+            Shell(np.array([d, 0, 0], np.float32), 0,
+                  np.array([1.0], np.float32), np.array([1.0], np.float32)),
+        ]
+        C = np.array([[0.7, 0.7], [0.7, -0.7]], np.float32)
+        qm = QMData.from_arrays(
+            [[0, 0, 0], [d, 0, 0]], [1, 1], shells, C,
+            mo_occupations=np.array([2.0, 0.0], np.float32),
+        )
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(qm)
+        pts, edges = vlx.topology(
+            dims=48, min_value=1e-3, threshold_frac=0.1
+        )
+        maxima = [(i, p) for i, p in enumerate(pts) if p.kind == "max"]
+        assert len(maxima) == 2, [p.kind for p in pts]
+        # each maximum sits at an atom
+        atom_x = sorted(float(p.position[0]) for _, p in maxima)
+        assert abs(atom_x[0] - 0.0) < 0.5 and abs(atom_x[1] - d) < 0.5
+        # the bond graph connects the two maxima
+        midx = {i for i, _ in maxima}
+        assert any(a in midx and b in midx for a, b in edges), edges
+        img, depth, pick = vlx.render_topology(
+            width=96, height=96, points=pts, edges=edges,
+            sphere_radius=0.6,
+        )
+        assert img.shape == (96, 96, 4) and np.isfinite(img).all()
+        covered = img[..., 3] > 0
+        assert covered.sum() > 20  # spheres + edge drawn
+        # picking resolves critical-point indices
+        hit_ids = set(pick[pick >= 0].tolist())
+        assert midx & hit_ids, (midx, hit_ids)
+        # the maximum-type color (reddish, veloxchem.cpp type_colors)
+        reds = img[covered][:, 0] > img[covered][:, 2]
+        assert reds.any()
+        # black edge pixels exist (dark, covered)
+        dark = covered & (img[..., :3].sum(-1) < 0.2)
+        assert dark.sum() > 0
+
     def _h2_excited(self):
         """H2-like data + one excited state: pure HOMO→LUMO transition."""
         from viamd_tpu.io.vlx import ExcitedStates

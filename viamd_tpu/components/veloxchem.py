@@ -116,6 +116,92 @@ class VeloxchemComponent:
         )
         return np.asarray(img), np.asarray(depth)
 
+    # ---- density topology (md_topo: critical points + graph, rendered
+    # in-scene by the reference on RenderTransparent,
+    # veloxchem.cpp:624-700) ----
+
+    # type colors of veloxchem.cpp:656-668 (u32 ABGR → rgb): maximum,
+    # split saddle (2 neg Hessian eigenvalues = our 'bond'), minimum,
+    # join saddle (1 neg = our 'ring')
+    TOPO_COLORS = {
+        "max": (0.851, 0.357, 0.357),
+        "bond": (0.361, 0.682, 0.373),
+        "min": (0.298, 0.604, 0.831),
+        "ring": (0.290, 0.631, 0.725),
+    }
+
+    def topology(
+        self,
+        dims: int = 48,
+        n_occupied: Optional[int] = None,
+        min_value: float = 1e-3,
+        threshold_frac: float = 0.5,
+    ):
+        """Critical points + bond graph of the electron density
+        (md_topo_* over the GTO grid, veloxchem.cpp:572-623). Returns
+        (points, edges): CriticalPoint list (positions in Bohr, the QM
+        frame) and index pairs into it."""
+        from viamd_tpu.ops.topo import bond_graph, critical_points
+
+        grid, origin, vox = self.density_grid(dims, n_occupied)
+        pts = critical_points(grid, origin, vox, min_value=min_value)
+        edges = bond_graph(
+            pts, grid, origin, vox, threshold_frac=threshold_frac
+        )
+        return pts, edges
+
+    def add_topology_overlay(
+        self, queue, points, edges, sphere_radius: float = 0.3
+    ):
+        """Queue the topology graph into an OverlayQueue: critical-point
+        spheres colored by type + black edge lines (the immediate-mode
+        pass of veloxchem.cpp:630-698). Pick ids = point indices."""
+        for a, b in edges:
+            queue.add_line(
+                points[a].position, points[b].position,
+                color=(0.0, 0.0, 0.0, 1.0),
+            )
+        for i, p in enumerate(points):
+            col = self.TOPO_COLORS.get(p.kind, (0.48, 0.48, 0.48))
+            queue.add_sphere(
+                p.position, sphere_radius, tuple(col) + (1.0,), pick_id=i
+            )
+        return queue
+
+    def render_topology(
+        self,
+        dims: int = 48,
+        width: int = 512,
+        height: int = 512,
+        camera=None,
+        points=None,
+        edges=None,
+        sphere_radius: float = 0.3,
+        **topo_kw,
+    ):
+        """Render the density-topology graph → (rgba, depth, pick).
+        Shares the QM (Bohr) frame and default camera of render_orbital,
+        so outputs depth-composite with orbital/density volume renders.
+        Pass precomputed (points, edges) to skip the density pass."""
+        from viamd_tpu.render import camera as cam_mod
+        from viamd_tpu.render.overlay import OverlayQueue
+
+        if points is None or edges is None:
+            points, edges = self.topology(dims, **topo_kw)
+        origin, vox = self._grid_geometry(dims)
+        if camera is None:
+            camera = cam_mod.compute_optimal_view(
+                origin, origin + np.asarray(vox) * dims
+            )
+        q = OverlayQueue()
+        self.add_topology_overlay(q, points, edges, sphere_radius)
+        img, depth, pick = q.render(
+            camera.view_matrix(), camera.proj_matrix(width, height),
+            width, height,
+            capacity=max(128, 8 * max(len(points), 1)),
+        )
+        return np.asarray(img), np.asarray(depth), np.asarray(pick)
+
     # ---- excited states (rsp data: response spectra + transition
     # analysis + NTO windows, veloxchem.cpp) ----
 

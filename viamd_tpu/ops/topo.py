@@ -44,9 +44,13 @@ def critical_points(
         return []
     core = g[1:-1, 1:-1, 1:-1]
 
-    # neighborhood max/min (26-neighborhood via shifted views)
-    neigh_max = np.full_like(core, -np.inf)
-    neigh_min = np.full_like(core, np.inf)
+    # 26-neighborhood extremum test with a lexicographic tie-break:
+    # plateaus (exactly-equal neighbors — common on symmetric grids with
+    # even dims) emit exactly ONE representative voxel: strict compare
+    # against lexicographically-preceding neighbors, non-strict against
+    # following ones.
+    is_max = np.abs(core) > min_value
+    is_min = np.abs(core) > min_value
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
@@ -57,11 +61,13 @@ def critical_points(
                     1 + dy : ny - 1 + dy,
                     1 + dz : nz - 1 + dz,
                 ]
-                neigh_max = np.maximum(neigh_max, v)
-                neigh_min = np.minimum(neigh_min, v)
-
-    is_max = (core > neigh_max) & (np.abs(core) > min_value)
-    is_min = (core < neigh_min) & (np.abs(core) > min_value)
+                precedes = (dx, dy, dz) < (0, 0, 0)
+                if precedes:
+                    is_max &= core > v
+                    is_min &= core < v
+                else:
+                    is_max &= core >= v
+                    is_min &= core <= v
 
     out: list[CriticalPoint] = []
 
