@@ -20,7 +20,9 @@ Timing discipline for the tunneled backend (see CLAUDE.md):
 
 Prints one JSON line PER BASELINE.md config (1/2/4/5 as
 `baseline_config_*` metrics, each guarded so a failure emits value 0
-instead of killing the run), then the headline metric LAST:
+instead of killing the run), the two render north-star lines
+(`render_*_ms_per_frame`, unit ms/frame, vs_baseline = 16/ms per north
+star #2), then the headline metric LAST:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/5000}
 Set VIAMD_TPU_BENCH_HEADLINE_ONLY=1 to skip the extra configs.
 """
@@ -82,6 +84,158 @@ def _run_config1_cpu_subprocess() -> None:
     _emit("baseline_config1_1ala500_distance_rdf_cpu", 0.0, error=err)
 
 
+def _emit_ms(metric: str, ms: float, **extra) -> None:
+    """North star #2 is `< 16 ms/frame`; vs_baseline = 16/ms so ≥1 beats it."""
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(ms, 3),
+                "unit": "ms/frame",
+                "vs_baseline": round(16.0 / ms, 3) if ms > 0 else 0.0,
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _run_render_north_star() -> None:
+    """BASELINE.md north star #2: 1080p volume render < 16 ms/frame, plus
+    the 1080p/100k-atom molecule raster — device time via one jitted
+    fori_loop of K frames with a null-loop RTT subtraction (CLAUDE.md:
+    separate dispatches measure tunnel RTT, block_until_ready doesn't
+    fence; only the scalar readback does)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    K = 32
+
+    def loop_ms(many, *args) -> float:
+        r = many(*args)
+        float(r)  # force compile + drain the queue
+        t0 = time.time()
+        float(many(*args))
+        return (time.time() - t0) / K * 1000.0
+
+    # null loop: the per-dispatch RTT + readback floor to subtract
+    @jax.jit
+    def null(g):
+        return jax.lax.fori_loop(0, K, lambda i, c: c + g[0] * 0, 0.0)
+
+    null_ms = loop_ms(null, jnp.zeros((8,), jnp.float32))
+
+    # --- 1080p shear-warp volume render (DVR + 2 isos, 128^3 grid, the
+    # shipped density_volume path at >=256x256) ---
+    try:
+        from viamd_tpu.render import shearwarp as sw
+        from viamd_tpu.render.camera import look_at, perspective
+        from viamd_tpu.render.colormap import transfer_function
+        from viamd_tpu.render.volume import VolumeRenderSettings, _Frozen
+
+        D = 128
+        zz, yy, xx = np.meshgrid(
+            *([np.linspace(-1, 1, D)] * 3), indexing="ij"
+        )
+        grid = jnp.asarray(
+            np.exp(-3 * (xx**2 + yy**2 + zz**2))
+            + 0.5 * np.exp(-8 * ((xx - 0.4) ** 2 + yy**2 + zz**2)),
+            jnp.float32,
+        )
+        tf = jnp.asarray(transfer_function("viridis", 256, alpha_scale=0.6))
+        model = np.eye(4, dtype=np.float32)
+        view = np.asarray(
+            look_at(np.array([2.2, 1.4, 2.6]), np.zeros(3),
+                    np.array([0, 1, 0.0])), np.float32)
+        proj = np.asarray(
+            perspective(np.radians(45.0), 1920 / 1080, 0.1, 50.0),
+            np.float32)
+        st = VolumeRenderSettings(
+            width=1920, height=1080, enable_dvr=True, enable_iso=True,
+            iso_values=(0.25, 0.6),
+            iso_colors=((0.9, 0.4, 0.2, 0.6), (0.2, 0.5, 0.9, 0.8)),
+            value_range=(0.0, 1.5), jitter=True,
+        )
+        frozen = _Frozen(st)
+        inv_view = np.linalg.inv(view)
+        inv_model = np.linalg.inv(model)
+        eye_m = (
+            inv_model[:3, :3] @ inv_view[:3, 3] + inv_model[:3, 3]
+        ).astype(np.float32)
+        fwd_m = inv_model[:3, :3] @ (-inv_view[:3, 2])
+        axis = int(np.argmax(np.abs(fwd_m)))
+        flip = bool(fwd_m[axis] < 0)
+
+        @jax.jit
+        def vol_many(g, t):
+            def body(i, carry):
+                img, _ = sw._shearwarp_impl(
+                    g, t, jnp.asarray(model), jnp.asarray(view),
+                    jnp.asarray(proj), i, frozen, axis, flip, 2 * D,
+                    jnp.asarray(eye_m), True,
+                )
+                return carry + img[0, 0, 0] + img[540, 960, 0] * 1e-6
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        ms = max(loop_ms(vol_many, grid, tf) - null_ms, 0.0)
+        _emit_ms("render_volume_1080p_dvr_iso_ms_per_frame", ms,
+                 note="shear-warp 128^3 DVR+2iso, device time")
+    except Exception as e:
+        _emit_ms("render_volume_1080p_dvr_iso_ms_per_frame", 0.0,
+                 error=repr(e)[:300])
+
+    # --- 1080p molecule raster, 100k-atom spacefill (Pallas halo-row
+    # kernel on TPU via engine="auto") ---
+    try:
+        from viamd_tpu.datagen import water_box_device
+        from viamd_tpu.render.camera import look_at, perspective
+        from viamd_tpu.render.raster import RasterSettings, _raster_impl
+
+        sys_, traj = water_box_device(33_334, n_frames=1, seed=3)
+        traj.stage_fence()
+        x, _ = traj.device_frame(0)
+        rad = jnp.asarray(sys_.radius)
+        col = jnp.tile(
+            jnp.asarray([0.8, 0.2, 0.2, 1.0], jnp.float32),
+            (x.shape[0], 1))
+        box = np.asarray(sys_.cell.extent())
+        view = jnp.asarray(
+            look_at(box * 0.5 + np.array([0, 0, box[2] * 1.6]),
+                    box * 0.5, np.array([0, 1, 0.0])), jnp.float32)
+        proj = jnp.asarray(
+            perspective(np.radians(45.0), 1920 / 1080, 1.0, 500.0),
+            jnp.float32)
+        rst = RasterSettings(width=1920, height=1080, rep="spacefill")
+        bonds = jnp.zeros((0, 12), jnp.float32)
+
+        @jax.jit
+        def ras_many(xx, rr, cc, vv, pp):
+            def body(i, carry):
+                xp = xx + carry * 1e-30
+                # expanded (n,3)x(3,3): tiny-K matmuls are pathological
+                cen = jnp.stack(
+                    [
+                        xp[:, 0] * vv[j, 0] + xp[:, 1] * vv[j, 1]
+                        + xp[:, 2] * vv[j, 2] + vv[j, 3]
+                        for j in range(3)
+                    ],
+                    axis=1,
+                )
+                img, depth, pick = _raster_impl(cen, rr, cc, bonds, pp, rst)
+                return carry + img[0, 0, 0] + img[540, 960, 0] * 1e-6
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        ms = max(loop_ms(ras_many, x, rad, col, view, proj) - null_ms, 0.0)
+        _emit_ms("render_raster_1080p_100k_atoms_ms_per_frame", ms,
+                 note="spacefill impostor raster, device time")
+    except Exception as e:
+        _emit_ms("render_raster_1080p_100k_atoms_ms_per_frame", 0.0,
+                 error=repr(e)[:300])
+
+
 def _run_extra_tpu_configs() -> None:
     """BASELINE configs #2/#4/#5 in-process on the same device, human
     chatter redirected to stderr; each guarded individually."""
@@ -122,6 +276,7 @@ def main() -> None:
     if os.environ.get("VIAMD_TPU_BENCH_HEADLINE_ONLY", "") != "1":
         _run_config1_cpu_subprocess()
         _run_extra_tpu_configs()
+        _run_render_north_star()
 
     from viamd_tpu.datagen import water_box_device
     from viamd_tpu.eval import Evaluator
