@@ -1401,3 +1401,80 @@ class TestViewer:
             assert "d1" in state["properties"]
         finally:
             srv.close()
+
+    def test_representation_manager_and_volume_panel(self, ala_session):
+        """Drive the representations window (N reps with per-rep filter /
+        color mapping / type, main.cpp:3617) and the density-volume panel
+        (in-scene composite of a volume property, density_volume.cpp:761)
+        over HTTP."""
+        import json as _json
+        import urllib.request
+
+        from viamd_tpu.app.viewer import ViewerServer
+
+        s = ala_session
+        srv = ViewerServer(s, port=0)
+        srv.serve(blocking=False)
+
+        def post(path, **data):
+            req = urllib.request.Request(
+                base + "/api/" + path, data=_json.dumps(data).encode()
+            )
+            return _json.loads(urllib.request.urlopen(req).read())
+
+        def render(w=96, h=72):
+            png = urllib.request.urlopen(
+                base + f"/render?w={w}&h={h}"
+            ).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            return png
+
+        try:
+            port = srv.httpd.server_address[1]
+            base = f"http://127.0.0.1:{port}"
+            # two representations: backbone licorice + CA spacefill chain-
+            # colored; per-rep updates are visible in the rendered frame
+            out = post("rep_add")
+            assert len(out["reps"]) == 2
+            out = post(
+                "rep_update", index=0, filter="backbone", type="licorice"
+            )
+            assert out["reps"][0]["filter"] == "backbone"
+            assert out["reps"][0]["count"] > 0
+            out = post(
+                "rep_update", index=1, filter="name('CA')",
+                type="spacefill", color_mapping="chain",
+            )
+            assert out["reps"][1]["count"] >= 1
+            img2 = render()
+            # a broken filter reports its error but keeps serving
+            out = post("rep_update", index=1, filter="not a ( filter")
+            assert out["reps"][1]["error"]
+            # disable rep 1 → the image changes back
+            out = post("rep_update", index=1, filter="name('CA')")
+            assert not out["reps"][1]["error"]
+            out = post("rep_update", index=1, enabled=False)
+            assert out["reps"][1]["enabled"] is False
+            img_disabled = render()
+            assert img_disabled != img2
+            out = post("rep_del", index=1)
+            assert len(out["reps"]) == 1
+            # volume panel: evaluate a volume property, select it, render
+            post("script", text="v = sdf(residue(1:4), element('O'), 4.0);")
+            out = post("eval")
+            assert out.get("volume_props") == ["v"]
+            out = post("volume", prop="v")
+            assert out["volume"] == "v"
+            img_vol = render()
+            assert img_vol != img_disabled
+            state = _json.loads(
+                urllib.request.urlopen(base + "/api/state").read()
+            )
+            assert state["volume"] == "v" and state["volume_props"] == ["v"]
+            out = post("volume", prop="nope")
+            assert out["error"] and out["volume"] is None
+            out = post("volume", prop=None)
+            assert out["volume"] is None
+            render()
+        finally:
+            srv.close()

@@ -10,7 +10,11 @@ zooms (dolly), clicks pick + select, and a playback slider scrubs
 trajectory frames. A side panel edits the analysis script (located
 compile errors inline), evaluates it, plots property time series /
 distributions (tiny numpy rasterizer — no plotting dependency), and runs
-selection-language queries. No extra dependencies — PNG encoding via the
+selection-language queries. It also manages N representations with
+per-rep filter / type / color mapping / enable (the representations
+window, main.cpp:3617) and composites a volume property of the last
+evaluation in-scene (the density-volume window, density_volume.cpp:761)
+via Session.render(volume=...). No extra dependencies — PNG encoding via the
 existing export path (PIL), transport is plain fetch() polling driven by
 input events (the render itself is the rate limiter, as in the reference
 where heavy work is async to the UI).
@@ -84,6 +88,14 @@ select,button,input[type=text]{background:#26292e;color:#ccc;
   <button id="selgo">Select</button>
  </div>
  <div id="selinfo"></div>
+ <div class="row"><b style="flex:1">Representations</b>
+  <button id="repadd">+ Add</button></div>
+ <div id="reps"></div>
+ <b>Volume</b>
+ <div class="row">
+  <select id="vol" style="flex:1"><option value="">(none)</option></select>
+  <span id="volst"></span>
+ </div>
 </div>
 </div>
 <script>
@@ -166,9 +178,63 @@ document.getElementById('evalbtn').addEventListener('click',async()=>{
   evst.textContent=d.error?'error':`${d.n_frames||0} frames`;
   err.textContent=d.error||err.textContent;
   setProps(d.properties||[]);
+  setVols(d.volume_props||[],volSel.value);
 });
 propSel.addEventListener('change',showPlot);
 kindSel.addEventListener('change',showPlot);
+// --- representation manager (N reps: filter / type / color / enable) ---
+const repsDiv=document.getElementById('reps');
+const REP_TYPES=['spacefill','licorice','ballstick','tube','ribbons','cartoon'];
+const REP_COLORS=['cpk','atom_index','residue_index','residue_name','chain',
+                  'secondary_structure','uniform'];
+function mkSel(opts,cur){const s=document.createElement('select');
+  for(const o of opts){const e=document.createElement('option');
+    e.textContent=o;if(o===cur)e.selected=true;s.appendChild(e);}return s;}
+async function repPost(u,d){const r=await fetch(u,{method:'POST',
+  body:JSON.stringify(d)});const j=await r.json();
+  if(j.reps)drawReps(j.reps);refresh();}
+function drawReps(reps){
+  repsDiv.innerHTML='';
+  reps.forEach((rep,i)=>{
+    const row=document.createElement('div');row.className='row';
+    row.style.marginBottom='2px';
+    const en=document.createElement('input');en.type='checkbox';
+    en.checked=rep.enabled;en.title='enabled';
+    en.addEventListener('change',()=>repPost('/api/rep_update',
+      {index:i,enabled:en.checked}));
+    const filt=document.createElement('input');filt.type='text';
+    filt.value=rep.filter;filt.style.width='80px';filt.style.flex='1';
+    filt.title=rep.error||`${rep.count} atoms`;
+    if(rep.error)filt.style.borderColor='#e66';
+    filt.addEventListener('change',()=>repPost('/api/rep_update',
+      {index:i,filter:filt.value}));
+    const ty=mkSel(REP_TYPES,rep.type);
+    ty.addEventListener('change',()=>repPost('/api/rep_update',
+      {index:i,type:ty.value}));
+    const co=mkSel(REP_COLORS,rep.color_mapping);
+    co.addEventListener('change',()=>repPost('/api/rep_update',
+      {index:i,color_mapping:co.value}));
+    const del=document.createElement('button');del.textContent='×';
+    del.addEventListener('click',()=>repPost('/api/rep_del',{index:i}));
+    for(const e of [en,filt,ty,co,del])row.appendChild(e);
+    repsDiv.appendChild(row);
+  });
+}
+document.getElementById('repadd').addEventListener('click',
+  ()=>repPost('/api/rep_add',{}));
+// --- volume panel: composite a volume property in-scene ---
+const volSel=document.getElementById('vol'),volst=document.getElementById('volst');
+function setVols(props,cur){
+  volSel.innerHTML='<option value="">(none)</option>';
+  for(const p of props){const o=document.createElement('option');
+    o.textContent=p;o.value=p;if(p===cur)o.selected=true;
+    volSel.appendChild(o);}
+}
+volSel.addEventListener('change',async()=>{
+  const r=await fetch('/api/volume',{method:'POST',
+    body:JSON.stringify({prop:volSel.value||null})});
+  const d=await r.json();
+  volst.textContent=d.error||'';refresh();});
 document.getElementById('selgo').addEventListener('click',async()=>{
   const r=await fetch('/api/select',{method:'POST',
     body:JSON.stringify({query:document.getElementById('selq').value})});
@@ -182,6 +248,8 @@ document.getElementById('selgo').addEventListener('click',async()=>{
   info.textContent=s.title;
   scriptTa.value=s.script||'';
   if(s.properties&&s.properties.length)setProps(s.properties);
+  drawReps(s.reps||[]);
+  setVols(s.volume_props||[],s.volume);
   refresh();})();
 </script></body></html>"""
 
@@ -197,13 +265,20 @@ class ViewerServer:
         # reentrant: one render at a time, matching the reference's single
         # GL context
         self.httpd: HTTPServer | None = None
+        self.volume_prop: str | None = None  # in-scene volume overlay
 
     # -- request handling ---------------------------------------------------
     def _render_png(self, w: int, h: int) -> bytes:
         from PIL import Image
 
+        vol = self.volume_prop
+        if vol is not None:
+            # drop a stale selection (script re-evaluated without it)
+            comp = self.session.components["density_volume"]
+            if vol not in comp.volume_properties():
+                self.volume_prop = vol = None
         with self._lock:
-            rgba, _depth, _pick = self.session.render(w, h)
+            rgba, _depth, _pick = self.session.render(w, h, volume=vol)
         arr = (np.clip(np.asarray(rgba), 0.0, 1.0) * 255).astype(np.uint8)
         img = Image.fromarray(arr, "RGBA")
         buf = io.BytesIO()
@@ -240,6 +315,49 @@ class ViewerServer:
                     s.representations[0].type = str(data["type"])
                     s._update_representations()
                 return {}
+            # -- representation manager (the reference's representations
+            # window, main.cpp:3617: N reps, each with filter / color
+            # mapping / type / enable) --
+            if path == "rep_add":
+                s.add_representation(
+                    name=str(data.get("name", f"rep{len(s.representations)}"))
+                )
+                return {"reps": self._reps()}
+            if path == "rep_del":
+                i = int(data.get("index", -1))
+                if 0 <= i < len(s.representations):
+                    s.representations.pop(i)
+                    from viamd_tpu.app.events import EventType
+
+                    s.events.broadcast(EventType.REPRESENTATION_CHANGED, s)
+                return {"reps": self._reps()}
+            if path == "rep_update":
+                i = int(data.get("index", -1))
+                if 0 <= i < len(s.representations):
+                    rep = s.representations[i]
+                    for k in ("name", "filter", "type", "color_mapping"):
+                        if k in data:
+                            setattr(rep, k, str(data[k]))
+                    if "enabled" in data:
+                        rep.enabled = bool(data["enabled"])
+                    if "radius_scale" in data:
+                        rep.radius_scale = float(data["radius_scale"])
+                    if "alpha" in data:
+                        rep.alpha = float(data["alpha"])
+                    s._update_representations()
+                return {"reps": self._reps()}
+            if path == "volume":
+                # the density-volume panel: pick a volume property of the
+                # last eval to composite in-scene (density_volume.cpp:761)
+                prop = data.get("prop") or None
+                props = self.session.components[
+                    "density_volume"
+                ].volume_properties()
+                if prop is not None and prop not in props:
+                    return {"error": f"unknown volume property {prop!r}",
+                            "volume_props": props, "volume": None}
+                self.volume_prop = prop
+                return {"volume_props": props, "volume": prop}
             if path == "script":
                 # the script-editor window: recompile + located errors
                 s.set_script(str(data.get("text", "")))
@@ -252,7 +370,13 @@ class ViewerServer:
                     return {"error": str(e)}
                 props = sorted(res.temporal.keys()) if res else []
                 nf = int(getattr(res, "n_frames_done", 0) or 0)
-                return {"properties": props, "n_frames": nf}
+                return {
+                    "properties": props,
+                    "n_frames": nf,
+                    "volume_props": self.session.components[
+                        "density_volume"
+                    ].volume_properties(),
+                }
             if path == "select":
                 try:
                     mask = s.select(str(data.get("query", "")))
@@ -281,6 +405,20 @@ class ViewerServer:
                 return {"atom": int(idx), "label": label}
         return {}
 
+    def _reps(self) -> list[dict]:
+        return [
+            {
+                "name": r.name,
+                "filter": r.filter,
+                "type": r.type,
+                "color_mapping": r.color_mapping,
+                "enabled": r.enabled,
+                "count": int(r.mask.popcount()) if r.mask is not None else 0,
+                "error": r.error,
+            }
+            for r in self.session.representations
+        ]
+
     def _state(self) -> dict:
         s = self.session
         res = getattr(s, "eval_result", None)
@@ -296,6 +434,11 @@ class ViewerServer:
             "properties": (
                 sorted(res.temporal.keys()) if res is not None else []
             ),
+            "reps": self._reps(),
+            "volume_props": s.components[
+                "density_volume"
+            ].volume_properties(),
+            "volume": self.volume_prop,
         }
 
     def _plot_png(self, prop: str, kind: str) -> bytes:
