@@ -205,6 +205,26 @@ def shells_from_label(
             f"basis set {label!r} not in library "
             f"({sorted(BASIS_LIBRARY)}); use register_basis_set()"
         )
+    if str(label).upper() == "STO-3G":
+        # surface the approximate rows loudly instead of only in the
+        # io/basis.py docstring: Z>18 exponents come from Slater's rules,
+        # a few row-3 zetas are interpolations between validated anchors
+        from viamd_tpu.core import vlog
+        from viamd_tpu.io.basis import STO3G_PROVENANCE
+
+        approx = sorted(
+            {
+                int(z)
+                for z in numbers
+                if STO3G_PROVENANCE.get(int(z), "canonical") != "canonical"
+            }
+        )
+        for z in approx:
+            vlog.warning(
+                f"STO-3G Z={z} uses {STO3G_PROVENANCE[int(z)]} exponents "
+                "(approximate) — supply exact data via register_basis_set "
+                "for quantitative work"
+            )
     shells = []
     for xyz, z in zip(coords, numbers):
         try:
