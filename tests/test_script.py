@@ -504,6 +504,39 @@ class TestFusedResume:
         )
 
 
+class TestFusedSlicePath:
+    def test_contiguous_chunks_use_slice_variant(self, ala_traj_system):
+        """Full in-order chunks route to the dynamic_slice window (no
+        (B,n)-row gather); tails and scattered index sets fall back to the
+        gather variant — and both agree with the host batch path."""
+        from viamd_tpu.eval.engine import Evaluator
+        from viamd_tpu.io.trajectory import DeviceTrajectory
+        from viamd_tpu.script import compile_script
+
+        sys, traj = ala_traj_system
+        dtraj = DeviceTrajectory(traj)
+        cs = compile_script(
+            "d1 = distance(1,6); r = rdf(element('C'), element('O'), 8.0);",
+            sys,
+        )
+        ref = Evaluator(cs, traj, chunk=4, batch_mode="unroll").run()
+        # 10 frames, chunk 4 → two full contiguous chunks + a tail of 2
+        ev = Evaluator(cs, dtraj, chunk=4, batch_mode="unroll")
+        res = ev.run()
+        assert set(ev._fused_variants) == {"slice", "gather"}
+        np.testing.assert_allclose(
+            res.temporal["d1"], ref.temporal["d1"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.distributions["r"]),
+            np.asarray(ref.distributions["r"]), rtol=1e-4,
+        )
+        # scattered frames never touch the slice variant
+        ev2 = Evaluator(cs, dtraj, chunk=3, batch_mode="unroll")
+        ev2.run(frame_range=[0, 2, 4])
+        assert set(ev2._fused_variants) == {"gather"}
+
+
 class TestVisualization:
     def test_vis_payload(self, ala_traj_system):
         from viamd_tpu.script import compile_script

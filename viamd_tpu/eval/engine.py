@@ -301,7 +301,11 @@ class Evaluator:
             # pure RTT overhead (~1.5 ms/frame at chunk 64).
             if mesh is None and hasattr(traj, "_stack"):
                 self._batch_fn = None
-                self._fused_fn, self._acc_zeros = self._build_fused_fn()
+                (
+                    self._fused_fn,
+                    self._fused_slice_fn,
+                    self._acc_zeros,
+                ) = self._build_fused_fn()
             else:
                 self._batch_fn = self._build_batch_fn()
                 self._fused_fn = None
@@ -441,30 +445,64 @@ class Evaluator:
             }
         )
 
-        def fused(stack, cells, idx, nb, acc):
-            coords = stack[idx]  # (B, n, 3) row gather
-            bases = cells[idx]
+        def tail(coords, bases, nb, acc):
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0] < nb
             ).astype(jnp.float32)
             t_out, a_sum = local_batch(coords, bases, valid)
             return t_out, {k: acc[k] + a_sum[k] for k in a_sum}
 
-        converted, consts = jax.closure_convert(
-            fused,
-            jax.ShapeDtypeStruct((F, n, 3), jnp.float32),
-            jax.ShapeDtypeStruct((F, 3, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
-            jax.ShapeDtypeStruct((), jnp.int32),
-            acc_aval,
+        def fused(stack, cells, idx, nb, acc):
+            coords = stack[idx]  # (B, n, 3) row gather
+            bases = cells[idx]
+            return tail(coords, bases, nb, acc)
+
+        def fused_slice(stack, cells, start, nb, acc):
+            # contiguous full chunks: a dynamic_slice window instead of the
+            # row gather — gathers charge per ROW (~4.3e8 rows/s), so
+            # stack[idx] over B*n rows costs ~0.23 ms/frame at 100k atoms
+            # while the slice is a contiguous copy XLA can elide/stream
+            coords = jax.lax.dynamic_slice_in_dim(stack, start, B, axis=0)
+            bases = jax.lax.dynamic_slice_in_dim(cells, start, B, axis=0)
+            return tail(coords, bases, nb, acc)
+
+        def build(fn, idx_aval):
+            converted, consts = jax.closure_convert(
+                fn,
+                jax.ShapeDtypeStruct((F, n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((F, 3, 3), jnp.float32),
+                idx_aval,
+                jax.ShapeDtypeStruct((), jnp.int32),
+                acc_aval,
+            )
+            consts_dev = [jax.device_put(jnp.asarray(c)) for c in consts]
+            jitted = jax.jit(converted)
+
+            def call(stack, cells, idx, nb, acc):
+                return jitted(stack, cells, idx, nb, acc, *consts_dev)
+
+            return call
+
+        # closure_convert traces the whole (unrolled) chunk program — build
+        # each variant only when a chunk actually needs it
+        cache: dict = {}
+        self._fused_variants = cache  # which variants ran (introspection)
+
+        def lazy(key, fn, idx_aval):
+            def call(*args):
+                if key not in cache:
+                    cache[key] = build(fn, idx_aval)
+                return cache[key](*args)
+
+            return call
+
+        call_gather = lazy(
+            "gather", fused, jax.ShapeDtypeStruct((B,), jnp.int32)
         )
-        consts_dev = [jax.device_put(jnp.asarray(c)) for c in consts]
-        jitted = jax.jit(converted)
-
-        def call(stack, cells, idx, nb, acc):
-            return jitted(stack, cells, idx, nb, acc, *consts_dev)
-
-        return call, acc_zeros
+        call_slice = lazy(
+            "slice", fused_slice, jax.ShapeDtypeStruct((), jnp.int32)
+        )
+        return call_gather, call_slice, acc_zeros
 
     def run(
         self,
@@ -539,17 +577,33 @@ class Evaluator:
                     break
                 chunk_idx = indices[beg : beg + B]
                 nb = chunk_idx.size
-                if nb < B:  # pad to static shape
-                    chunk_idx = np.concatenate(
-                        [chunk_idx, np.repeat(chunk_idx[-1:], B - nb)]
-                    )
-                t_out, acc = self._fused_fn(
-                    traj._stack,
-                    traj._cells_dev,
-                    jnp.asarray(chunk_idx.astype(np.int32)),
-                    jnp.int32(nb),
-                    acc,
+                contiguous = (
+                    nb == B
+                    and int(chunk_idx[-1]) - int(chunk_idx[0]) == B - 1
+                    and np.all(np.diff(chunk_idx) == 1)
                 )
+                if contiguous:
+                    # full in-order chunk: dynamic_slice window (no row
+                    # gather — see _build_fused_fn)
+                    t_out, acc = self._fused_slice_fn(
+                        traj._stack,
+                        traj._cells_dev,
+                        jnp.int32(chunk_idx[0]),
+                        jnp.int32(nb),
+                        acc,
+                    )
+                else:
+                    if nb < B:  # pad to static shape
+                        chunk_idx = np.concatenate(
+                            [chunk_idx, np.repeat(chunk_idx[-1:], B - nb)]
+                        )
+                    t_out, acc = self._fused_fn(
+                        traj._stack,
+                        traj._cells_dev,
+                        jnp.asarray(chunk_idx.astype(np.int32)),
+                        jnp.int32(nb),
+                        acc,
+                    )
                 t_rows.append((nb, t_out))
                 for fi in indices[beg : beg + nb]:
                     frame_mask.set_bit(int(fi))
