@@ -68,6 +68,7 @@ def _hist_kernel(
     triclinic: bool = False,
     bin_mode: str = "block",
     use_ids: bool = True,
+    n_pass_k: int = 1,
 ):
     """Pair tile orientation: A atoms in SUBLANES ((128,1) columns prepared
     in XLA), B candidates in LANES. The B planes expand with a sublane
@@ -116,6 +117,100 @@ def _hist_kernel(
     pid = pl.program_id(0)  # hoisted: program_id inside a pl.when branch
     occ = occ_ref[pid // nchunks]  # breaks interpret mode
 
+    if bin_mode == "mxu":
+        # MERGED A-pass loop (mxu mode only): all `n_pass_k` A passes run
+        # inside ONE grid sweep, so each step's B planes are DMA'd and
+        # sublane-expanded ONCE instead of once per pass (~8× less plane
+        # traffic at the headline config, where n_pass=8). The r2 "merged
+        # A-passes" negative verdict (docs/PERF.md) measured the BLOCK bin
+        # loop, whose per-slot (nbins, Cc) scratch read-modify-write
+        # dominated; here each pass accumulates an (NC, 16) register value
+        # and issues one tiny out_ref add, and dead passes (block max
+        # occupancy ≤ the pass's first A slot) skip their whole slot block
+        # via the same pl.when occupancy gate the per-pass sweep used.
+        NC = nbins // 16
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
+        inv_bin = nbins / r_max
+        if triclinic:
+            B = [box_ref[0, k] for k in range(9)]
+        if use_ids:
+            lane1 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, bx_ref.shape[2]), 1
+            )
+            thresh = jnp.where(pid % nchunks == 0, cap_b, 0)
+            not_self1 = lane1 >= thresh  # (1, Cc) row
+        for m in range(M):
+
+            def expand(ref, m=m):
+                # (G, Cc) → sublane-tile ×ka → (G·ka=128, Cc)
+                return pltpu.repeat(
+                    ref[0, m * (128 // ka) : (m + 1) * (128 // ka)],
+                    ka, axis=0,
+                )
+
+            bxe = expand(bx_ref)
+            bye = expand(by_ref)
+            bze = expand(bz_ref)
+            bide = expand(bid_ref) if use_ids else None
+            for p in range(n_pass_k):
+
+                @pl.when(occ > a_lo + p * ka)
+                def _pass(p=p, m=m, bxe=bxe, bye=bye, bze=bze, bide=bide):
+                    asl = slice((p * M + m) * 128, (p * M + m + 1) * 128)
+                    if triclinic:
+                        f0 = bxe - ax_ref[0, asl]
+                        f1 = bye - ay_ref[0, asl]
+                        f2 = bze - az_ref[0, asl]
+                        dx = f0 * B[0] + f1 * B[3] + f2 * B[6]
+                        dy = f0 * B[1] + f1 * B[4] + f2 * B[7]
+                        dz = f0 * B[2] + f1 * B[5] + f2 * B[8]
+                    else:
+                        dx = bxe - ax_ref[0, asl]
+                        dy = bye - ay_ref[0, asl]
+                        dz = bze - az_ref[0, asl]
+                    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                    # no out-of-range select needed: dist ≥ r_max gives
+                    # bin_id ≥ nbins → blk_c ≥ NC → no coarse one-hot row,
+                    # so the slot contributes nothing to C @ Fᵀ (sentinel
+                    # magnitudes stay well inside int32 after the cast)
+                    bin_id = (dist * inv_bin).astype(jnp.int32)
+                    blk_c = bin_id >> 4
+                    if use_ids:
+                        aid = aid_ref[0, asl]
+                        dedupe = (bide > aid) if symmetric else (bide != aid)
+                        pair_ok = not_self1 | dedupe
+                        sub_c = jnp.where(pair_ok, bin_id & 15, 16)
+                    else:
+                        sub_c = bin_id & 15
+                    hist_acc = jnp.zeros((NC, 16), jnp.float32)
+                    rows = dist.shape[0]
+                    Cc_ = dist.shape[1]
+                    CHUNK_L = min(256, Cc_)
+                    for c0 in range(0, Cc_, CHUNK_L):
+                        cw = min(CHUNK_L, Cc_ - c0)
+                        Sc = rows * cw
+                        blkf = jnp.reshape(blk_c[:, c0 : c0 + cw], (1, Sc))
+                        subf = jnp.reshape(sub_c[:, c0 : c0 + cw], (1, Sc))
+                        Cm = (
+                            blkf
+                            == jax.lax.broadcasted_iota(
+                                jnp.int32, (NC, Sc), 0
+                            )
+                        ).astype(jnp.bfloat16)
+                        Fm = (
+                            subf
+                            == jax.lax.broadcasted_iota(
+                                jnp.int32, (16, Sc), 0
+                            )
+                        ).astype(jnp.bfloat16)
+                        hist_acc = hist_acc + jax.lax.dot_general(
+                            Cm, Fm, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    out_ref[0, :, :] = out_ref[0, :, :] + hist_acc
+
+        return
+
     @pl.when(occ <= a_lo)
     def _skip():
         # This A-slot pass is empty for every cell of this block (max
@@ -145,9 +240,6 @@ def _hist_kernel(
             )
             thresh = jnp.where(pid % nchunks == 0, cap_b, 0)
             not_self1 = lane1 >= thresh  # (1, Cc) row, broadcasts over rows
-        if bin_mode == "mxu":
-            NC = nbins // 16
-            hist_acc = jnp.zeros((NC, 16), jnp.float32)
         for m in range(M):
 
             def expand(ref):
@@ -179,44 +271,6 @@ def _hist_kernel(
             bin_id = jnp.where(
                 dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins + 16
             )
-            if bin_mode == "mxu":
-                # Two-level one-hot MXU binning (tools/bench_binloop.py
-                # 'mxu': 9.1 vs 4.9 Gslot/s for the block loop): coarse =
-                # bin>>4 (NC rows), fine = bin&15 (16 rows), both built as
-                # bf16 one-hots over the flattened slot axis (24 compares
-                # per slot vs ~2.5 ops per slot·bin), contracted on the
-                # MXU: hist(NC,16) = C @ F^T. Validity folds in via
-                # sentinels: pair_ok==0 → fine 16 (no F row), out-of-range
-                # dist → coarse ≥ NC (no C row). bf16 compares crash this
-                # backend's Mosaic compiler — compare in f32/int32. Lane
-                # chunks keep the one-hots inside the VMEM budget; the
-                # (rows, CHUNK_L)→(1, Sc) reshape is the only relayout.
-                blk_c = bin_id >> 4
-                if use_ids:
-                    sub_c = jnp.where(pair_ok, bin_id & 15, 16)
-                else:
-                    sub_c = bin_id & 15
-                rows = dist.shape[0]
-                Cc_ = dist.shape[1]
-                CHUNK_L = min(256, Cc_)
-                for c0 in range(0, Cc_, CHUNK_L):
-                    cw = min(CHUNK_L, Cc_ - c0)  # last chunk may be shorter
-                    Sc = rows * cw
-                    blkf = jnp.reshape(blk_c[:, c0 : c0 + cw], (1, Sc))
-                    subf = jnp.reshape(sub_c[:, c0 : c0 + cw], (1, Sc))
-                    Cm = (
-                        blkf
-                        == jax.lax.broadcasted_iota(jnp.int32, (NC, Sc), 0)
-                    ).astype(jnp.bfloat16)
-                    Fm = (
-                        subf
-                        == jax.lax.broadcasted_iota(jnp.int32, (16, Sc), 0)
-                    ).astype(jnp.bfloat16)
-                    hist_acc = hist_acc + jax.lax.dot_general(
-                        Cm, Fm, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                continue
             # select+accumulate rows in bf16 — EXACT (per-(bin, lane) partial
             # counts ≤ 128 sublanes are integers ≤ 256, all exactly
             # representable) and 2×-packed on the VPU; the compare stays
@@ -282,10 +336,7 @@ def _hist_kernel(
 
                 pl.when(live)(_compute)
                 pl.when(jnp.logical_not(live))(_dead)
-        if bin_mode == "mxu":
-            out_ref[0] = hist_acc
-        else:
-            out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
+        out_ref[0, :, :] = jnp.sum(scratch_ref[...], axis=1)[:, None]
 
 
 def _offset_classes(
@@ -745,6 +796,61 @@ def _pair_dist_histogram_impl(
                 out_blk = (1, nb_eff, 1)
                 scratch = pltpu.VMEM((nb_eff, Cc), jnp.float32)
             n_ab = 4 if k_ids else 3
+            if bin_mode == "mxu":
+                # MERGED A passes: one pallas_call runs every pass inside
+                # each grid step, so the step's B planes DMA once instead
+                # of once per pass (see the merged-branch comment in
+                # _hist_kernel). A columns for all passes concatenate
+                # along the sublane axis — pass p, step m at sublanes
+                # (p·M + m)·128.
+                a_all = [
+                    jnp.concatenate(
+                        [a_cols[p][k] for p in range(n_pass)], axis=1
+                    )
+                    for k in range(n_ab)
+                ]
+                a_spec_m = pl.BlockSpec(
+                    (1, n_pass * M * LANES, 1),
+                    lambda i, nch=nchunks: (i // nch, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                partial_hists = pl.pallas_call(
+                    functools.partial(
+                        _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
+                        nchunks=nchunks, cap_b=cap_b, symmetric=symmetric,
+                        M=M, g_lo=g_lo, a_lo=0, triclinic=tri,
+                        bin_mode=bin_mode, use_ids=k_ids,
+                        n_pass_k=n_pass,
+                    ),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (nsteps,) + out_blk[1:], jnp.float32
+                    ),
+                    grid=(nsteps,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                    ]
+                    + [a_spec_m] * n_ab
+                    + [b_spec] * n_ab,
+                    out_specs=pl.BlockSpec(
+                        out_blk,
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    scratch_shapes=[scratch],
+                    interpret=interpret,
+                )(
+                    (
+                        basis.reshape(1, 9) if tri else box.reshape(1, 3)
+                    ).astype(jnp.float32),
+                    occ_blk,
+                    *a_all,
+                    *((bxp, byp, bzp, bidp) if k_ids else (bxp, byp, bzp)),
+                )
+                total = total + jnp.sum(partial_hists, axis=0).reshape(
+                    nbins
+                )
+                continue
             for p in range(n_pass):
                 partial_hists = pl.pallas_call(
                     functools.partial(
@@ -778,14 +884,9 @@ def _pair_dist_histogram_impl(
                     *(a_cols[p] if k_ids else a_cols[p][:3]),
                     *((bxp, byp, bzp, bidp) if k_ids else (bxp, byp, bzp)),
                 )
-                if bin_mode == "mxu":
-                    total = total + jnp.sum(partial_hists, axis=0).reshape(
-                        nbins
-                    )
-                else:
-                    total = total.at[16 * g_lo :].add(
-                        jnp.sum(partial_hists, axis=(0, 2))
-                    )
+                total = total.at[16 * g_lo :].add(
+                    jnp.sum(partial_hists, axis=(0, 2))
+                )
     return total * 2.0 if symmetric else total
 
 

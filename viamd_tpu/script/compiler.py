@@ -251,14 +251,16 @@ class _Compiler:
         selections: dict[str, Selection] = {}
         import os
 
-        barrier = os.environ.get("VIAMD_TPU_PROP_BARRIER", "0") == "1"
+        barrier = os.environ.get("VIAMD_TPU_PROP_BARRIER", "1") == "1"
         for stmt in stmts:
             val = self.eval(stmt.expr)
             if barrier and isinstance(val, (DynValue, AccumValue)):
-                # experiment knob: fence each property's subgraph so XLA
-                # schedules them back-to-back instead of interleaving
-                # (probing the measured multi-property composition penalty,
-                # docs/PERF.md)
+                # fence each property's subgraph so XLA schedules them
+                # back-to-back instead of interleaving — on TPU the
+                # interleaved schedule measured +0.19 ms/frame at the
+                # headline config (fused 3.54 vs barriered 3.35 ms,
+                # tools/exp_composition.py r4); set
+                # VIAMD_TPU_PROP_BARRIER=0 to let XLA interleave
                 if isinstance(val, DynValue):
                     val = DynValue(
                         jax.lax.optimization_barrier(val.data),
