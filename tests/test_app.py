@@ -950,6 +950,232 @@ class TestVeloxchem:
         assert ta["rotatory_strength"] == -2.0
 
 
+class TestVeloxchemSpectroscopy:
+    """Reference-exact spectra + vib/opt/scf/summary surfaces
+    (veloxchem.cpp:2625-2800 unit/broadening helpers, :3090-3270 summary
+    window, :3868-4310 electronic spectroscopy, :4409-4755 vibrational)."""
+
+    def _qm(self, **kw):
+        from viamd_tpu.io.vlx import QMData, Shell
+
+        shells = [
+            Shell(np.zeros(3, np.float32), 0,
+                  np.array([0.5], np.float32), np.array([1.0], np.float32)),
+        ]
+        C = np.array([[1.0]], np.float32)
+        return QMData.from_arrays(
+            [[0, 0, 0]], [8], shells, C,
+            mo_occupations=np.array([2.0], np.float32), **kw,
+        )
+
+    def test_x_unit_conversions(self):
+        from viamd_tpu.components.veloxchem import (
+            convert_value_from_au, convert_value_to_au,
+        )
+
+        # eV scale factor (veloxchem.cpp:48) and involutive nm map (:2635)
+        assert abs(convert_value_from_au(1.0, "ev") - 27.2114079527) < 1e-9
+        for u in ("ev", "nm", "cm-1", "au"):
+            v = convert_value_to_au(convert_value_from_au(0.25, u), u)
+            assert abs(v - 0.25) < 1e-12
+
+    def test_absorption_eps_peak_value(self, ala_session):
+        from viamd_tpu.components.veloxchem import (
+            EV_TO_HARTREE, OSCILLATOR_STRENGTH_TO_EPSILON,
+        )
+        from viamd_tpu.io.vlx import ExcitedStates
+
+        vlx = ala_session.components["veloxchem"]
+        exc = ExcitedStates(
+            energies_ev=np.array([5.0]),
+            oscillator_strengths=np.array([0.5]),
+            rotatory_strengths=np.array([-3.0]),
+        )
+        vlx.load(self._qm(excited=exc))
+        fwhm_ev = 0.2
+        x, eps = vlx.absorption_spectrum_eps(
+            x=np.array([5.0]), x_unit="ev", fwhm_ev=fwhm_ev
+        )
+        # at the peak: eps = ω · (f/ω)·(1/γ)/π · CONST = f·CONST/(π·γ)
+        gamma = 0.5 * fwhm_ev * EV_TO_HARTREE
+        expect = 0.5 * OSCILLATOR_STRENGTH_TO_EPSILON / (np.pi * gamma)
+        assert abs(eps[0] - expect) / expect < 1e-9
+        # nm axis: same ε at the equivalent wavelength
+        lam = 1239.841973862093 / 5.0  # eV→nm via the 45.5633/x au map
+        x2, eps2 = vlx.absorption_spectrum_eps(
+            x=np.array([lam]), x_unit="nm", fwhm_ev=fwhm_ev
+        )
+        assert abs(eps2[0] - eps[0]) / eps[0] < 1e-4
+        # gaussian shape stays finite and peaks at the state
+        xg, yg = vlx.absorption_spectrum_eps(fwhm_ev=fwhm_ev,
+                                             shape="gaussian")
+        assert np.isfinite(yg).all() and abs(xg[np.argmax(yg)] - 5.0) < 0.1
+
+    def test_ecd_eps_peak_value(self, ala_session):
+        from viamd_tpu.components.veloxchem import (
+            EV_TO_HARTREE, ROTATORY_STRENGTH_TO_DELTA_EPSILON,
+        )
+        from viamd_tpu.io.vlx import ExcitedStates
+
+        vlx = ala_session.components["veloxchem"]
+        exc = ExcitedStates(
+            energies_ev=np.array([5.0]),
+            oscillator_strengths=np.array([0.5]),
+            rotatory_strengths=np.array([-3.0]),
+        )
+        vlx.load(self._qm(excited=exc))
+        fwhm_ev = 0.2
+        x, de = vlx.ecd_spectrum_eps(x=np.array([5.0]), fwhm_ev=fwhm_ev)
+        gamma = 0.5 * fwhm_ev * EV_TO_HARTREE
+        x_au = 5.0 * EV_TO_HARTREE
+        expect = x_au * (-3.0 / gamma) * ROTATORY_STRENGTH_TO_DELTA_EPSILON
+        assert abs(de[0] - expect) / abs(expect) < 1e-9
+
+    def test_cpp_sampled_spectra(self, ala_session):
+        from viamd_tpu.io.vlx import ResponseSamples
+
+        vlx = ala_session.components["veloxchem"]
+        freqs = np.linspace(0.05, 0.5, 16)
+        qm = self._qm(
+            rsp_samples=ResponseSamples(
+                frequencies_au=freqs,
+                sigma=np.arange(16.0),
+                delta_epsilons=-np.arange(16.0),
+                optical_rotations=np.arange(16.0) * 2,
+            ),
+            rsp_type="cpp",
+        )
+        vlx.load(qm)
+        x, y = vlx.absorption_spectrum_eps(x_unit="au")
+        assert np.allclose(x, freqs) and np.allclose(y, np.arange(16.0))
+        _, de = vlx.ecd_spectrum_eps(x_unit="au")
+        assert np.allclose(de, -np.arange(16.0))
+        _, r = vlx.ord_spectrum(x_unit="au")
+        assert np.allclose(r, np.arange(16.0) * 2)
+
+    def test_tpa_transition_spectrum(self, ala_session):
+        from viamd_tpu.components.veloxchem import AU_TO_GM, EV_TO_HARTREE
+        from viamd_tpu.io.vlx import ExcitedStates
+
+        vlx = ala_session.components["veloxchem"]
+        exc = ExcitedStates(
+            energies_ev=np.array([4.0]),
+            oscillator_strengths=np.array([0.0]),
+        )
+        vlx.load(self._qm(
+            excited=exc,
+            tpa_trans_linear=np.array([2.0]),
+            rsp_type="tpa_transition",
+        ))
+        fwhm_ev = 0.2
+        x, y = vlx.tpa_spectrum(x=np.array([4.0]), fwhm_ev=fwhm_ev)
+        gamma = 0.5 * fwhm_ev * EV_TO_HARTREE
+        x_au = 4.0 * EV_TO_HARTREE
+        # AU_TO_GM · ω² · (ω² · base) with base = y/γ at the peak
+        expect = AU_TO_GM * x_au**2 * (x_au**2 * 2.0 / gamma)
+        assert abs(y[0] - expect) / expect < 1e-9
+
+    def _vib_qm(self):
+        from viamd_tpu.io.vlx import VibrationalData
+
+        modes = np.zeros((2, 1, 3))
+        modes[0, 0] = [1.0, 0, 0]
+        modes[1, 0] = [0, 1.0, 0]
+        return self._qm(vib=VibrationalData(
+            frequencies=np.array([1000.0, 1600.0]),
+            ir_intensities=np.array([5.0, 2.0]),
+            normal_modes=modes,
+            raman_activities=np.array([[7.0, 1.0], [3.0, 4.0]]),
+            external_frequencies=np.array([0.0, 0.0856]),
+        ))
+
+    def test_ir_spectrum(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._vib_qm())
+        x, y = vlx.ir_spectrum(x=np.array([1000.0]), fwhm_cm=20.0)
+        # lorentzian_vib at the peak = I/(π·γ) plus the 1600 cm⁻¹ mode's
+        # tail I₂·γ/(π·(Δ²+γ²)) (veloxchem.cpp:2727-2733)
+        expect = 5.0 / (np.pi * 10.0) + 2.0 * 10.0 / (
+            np.pi * (600.0**2 + 100.0)
+        )
+        assert abs(y[0] - expect) / expect < 1e-9
+        # frequency scaling shifts the peak (veloxchem.cpp:4433)
+        xs, ys = vlx.ir_spectrum(fwhm_cm=20.0, freq_scaling=0.5)
+        assert abs(xs[np.argmax(ys)] - 500.0) < 2.0
+        xg, yg = vlx.ir_spectrum(shape="gaussian")
+        assert np.isfinite(yg).all() and yg.max() > 0
+
+    def test_raman_spectrum(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._vib_qm())
+        x, y0 = vlx.raman_spectrum(0, x=np.array([1000.0, 1600.0]))
+        _, y1 = vlx.raman_spectrum(1, x=np.array([1000.0, 1600.0]))
+        # activity tables differ per external frequency
+        assert y0[0] > y0[1] and y1[1] > y1[0]
+
+    def test_normal_mode_displacement(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._vib_qm())
+        base = np.asarray(vlx.qm.atom_coords, np.float64)
+        # t=0 → undisplaced; t=π/2 → +0.25·amp·mode (veloxchem.cpp:4745)
+        assert np.allclose(vlx.normal_mode_displacement(0, 0.0), base)
+        d = vlx.normal_mode_displacement(0, np.pi / 2, amplitude=2.0)
+        assert np.allclose(d - base, [[0.5, 0, 0]])
+
+    def test_scf_convergence_and_summary(self, ala_session):
+        from viamd_tpu.io.vlx import ScfHistory
+
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._qm(
+            scf_history=ScfHistory(
+                energies=np.array([-74.0, -74.9, -74.96]),
+                gradient_norms=np.array([1.0, 0.1, 1e-4]),
+            ),
+            basis_label="STO-3G",
+            dft_label="B3LYP",
+            molecular_charge=1.0,
+            spin_multiplicity=2,
+            nuclear_repulsion=9.19,
+        ))
+        scf = vlx.scf_convergence()
+        assert scf["total_energy"] == -74.96
+        assert np.allclose(scf["energy_offsets"][-1], 0.0)
+        assert scf["nuclear_repulsion"] == 9.19
+        s = vlx.summary()
+        assert s["method"] == "B3LYP" and s["basis_set"] == "STO-3G"
+        # Z=8, charge +1 → 7 electrons, doublet → 4 alpha / 3 beta
+        assert s["num_alpha_electrons"] == 4
+        assert s["num_beta_electrons"] == 3
+
+    def test_optimization_profile(self, ala_session):
+        from viamd_tpu.components.veloxchem import HARTREE_TO_KJ_PER_MOL
+        from viamd_tpu.io.vlx import OptimizationData
+
+        vlx = ala_session.components["veloxchem"]
+        coords = np.zeros((3, 1, 3))
+        coords[:, 0, 0] = [0.0, 0.5, 1.0]
+        vlx.load(self._qm(opt=OptimizationData(
+            energies=np.array([-74.0, -74.5, -74.4]),
+            coordinates=coords,
+        )))
+        prof = vlx.optimization_profile()
+        # minimum is the reference (veloxchem.cpp:3195-3203)
+        assert np.allclose(
+            prof["energies_kj_rel"],
+            (np.array([-74.0, -74.5, -74.4]) + 74.5) * HARTREE_TO_KJ_PER_MOL,
+        )
+        assert vlx.optimization_coordinates(1)[0, 0] == 0.5
+        assert vlx.optimization_coordinates(99)[0, 0] == 1.0  # clamped
+        # IRC: the transition-state step is the reference (:3196-3199)
+        vlx.load(self._qm(opt=OptimizationData(
+            energies=np.array([-74.0, -73.5, -74.4]),
+            opt_type="irc", irc_ts_index=1,
+        )))
+        prof = vlx.optimization_profile()
+        assert prof["energies_kj_rel"][1] == 0.0
+        assert prof["ts_index"] == 1
+
+
 class TestRamachandranSelection:
     def test_select_in_plot(self, ala_session):
         rama = ala_session.components["ramachandran"]

@@ -343,6 +343,63 @@ class TestVlxH5:
         ))
         assert abs(psi[0]) > abs(psi[1]) * 5
 
+    def test_h5_vib_opt_scf_sections(self, tmp_path):
+        """Vibrational / optimization / SCF-history / CPP-sample / summary
+        sections of the checkpoint (md_vlx_vib_*/opt_*/scf_history_*/
+        rsp_sigma surfaces, reference veloxchem.cpp:3090-3270,3886,4409)."""
+        h5py = pytest.importorskip("h5py")
+        import numpy as np
+
+        from viamd_tpu.io.vlx import load_vlx_h5
+
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.4]], np.float32)
+        p = str(tmp_path / "full.h5")
+        with h5py.File(p, "w") as f:
+            f["atom_coordinates"] = coords
+            f["nuclear_charges"] = np.array([1, 1], np.int32)
+            f["alpha_orbitals"] = np.eye(2, dtype=np.float32)
+            g = f.create_group("basis")
+            for i in range(2):
+                sg = g.create_group(str(i))
+                sg["center"] = coords[i]
+                sg["angular"] = 0
+                sg["exponents"] = np.array([1.3], np.float32)
+                sg["coefficients"] = np.array([1.0], np.float32)
+            v = f.create_group("vib")
+            v["frequencies"] = np.array([4400.0])
+            v["ir_intensities"] = np.array([0.5])
+            v["normal_modes"] = np.array([[[0, 0, 1.0], [0, 0, -1.0]]])
+            v["raman_activities"] = np.array([[12.0]])
+            v["external_frequencies"] = np.array([0.0])
+            o = f.create_group("opt")
+            o["energies"] = np.array([-1.0, -1.1])
+            o["coordinates"] = np.stack([coords, coords * 1.1])
+            s = f.create_group("scf")
+            sh = s.create_group("history")
+            sh["energies"] = np.array([-1.0, -1.05, -1.1])
+            sh["gradient_norms"] = np.array([0.5, 0.05, 1e-5])
+            r = f.create_group("rsp")
+            r["frequencies"] = np.linspace(0.1, 0.3, 4)
+            r["sigma"] = np.arange(4.0)
+            f["molecular_charge"] = 0.0
+            f["spin_multiplicity"] = 1
+            f["nuclear_repulsion"] = 0.714
+            f["dft_func_label"] = np.bytes_("HF")
+        qm = load_vlx_h5(p)
+        assert qm.vib is not None and qm.vib.n_modes == 1
+        assert qm.vib.normal_modes.shape == (1, 2, 3)
+        assert qm.vib.raman_activities.shape == (1, 1)
+        assert qm.opt is not None and qm.opt.n_steps == 2
+        assert qm.opt.coordinates.shape == (2, 2, 3)
+        assert qm.scf_history is not None
+        assert qm.scf_history.energies[-1] == -1.1
+        assert qm.rsp_samples is not None
+        np.testing.assert_allclose(qm.rsp_samples.sigma, np.arange(4.0))
+        assert qm.rsp_type == "cpp"  # inferred from sampled sigma
+        assert qm.dft_label == "HF"
+        assert qm.molecular_charge == 0.0
+        assert qm.nuclear_repulsion == 0.714
+
 
 class TestSidecarCache:
     def test_xtc_sidecar_roundtrip(self, tmp_path):

@@ -17,6 +17,60 @@ import numpy as np
 
 from viamd_tpu.io.vlx import BOHR_PER_ANGSTROM, QMData
 
+# Spectrum unit constants (reference veloxchem.cpp:43-52)
+HARTREE_TO_EV = 27.2114079527
+EV_TO_HARTREE = 1.0 / HARTREE_TO_EV
+HARTREE_TO_KJ_PER_MOL = 2625.4996394799
+OSCILLATOR_STRENGTH_TO_EPSILON = 1054.9516366171872
+ROTATORY_STRENGTH_TO_DELTA_EPSILON = 0.01386075702557538652
+AU_TO_GM = 40479.02797814119
+_NM_AU = 45.56331418628337
+_CM_INV_PER_AU = 219479.86946633097
+
+
+def convert_value_from_au(value, unit: str):
+    """x-axis unit conversion from Hartree (veloxchem.cpp:2631-2645):
+    unit ∈ {"au", "ev", "nm", "cm-1"}. nm is an involution (45.563…/x)."""
+    v = np.asarray(value, np.float64)
+    u = unit.lower()
+    if u in ("ev",):
+        return v * HARTREE_TO_EV
+    if u in ("nm",):
+        return _NM_AU / v
+    if u in ("cm-1", "cm⁻¹", "cm_inverse", "wavenumber"):
+        return v * _CM_INV_PER_AU
+    if u in ("au", "hartree"):
+        return v
+    raise ValueError(f"unknown x unit {unit!r}")
+
+
+def convert_value_to_au(value, unit: str):
+    """Inverse of convert_value_from_au (veloxchem.cpp:2647-2661)."""
+    v = np.asarray(value, np.float64)
+    u = unit.lower()
+    if u in ("ev",):
+        return v * EV_TO_HARTREE
+    if u in ("nm",):
+        return _NM_AU / v
+    if u in ("cm-1", "cm⁻¹", "cm_inverse", "wavenumber"):
+        return v / _CM_INV_PER_AU
+    if u in ("au", "hartree"):
+        return v
+    raise ValueError(f"unknown x unit {unit!r}")
+
+
+def _lorentzian_base(x, px, py, fwhm):
+    """Non-normalized Lorentzian peak sum (veloxchem.cpp:2700-2710)."""
+    g = fwhm * 0.5
+    d = x[:, None] - px[None, :]
+    return ((py[None, :] * g) / (d * d + g * g)).sum(axis=1)
+
+
+def _gaussian_base(x, px, py, fwhm):
+    sg = fwhm * 0.21233045007200476068  # sigma_from_fwhm
+    d = x[:, None] - px[None, :]
+    return (py[None, :] * np.exp(-0.5 * (d / sg) ** 2)).sum(axis=1)
+
 
 class VeloxchemComponent:
     name = "veloxchem"
@@ -355,6 +409,271 @@ class VeloxchemComponent:
             exc.energies_ev, exc.rotatory_strengths, x_ev, broadening_ev,
             shape,
         )
+
+    # ---- reference-exact spectra (electronic spectroscopy section,
+    # veloxchem.cpp:3868-4310: x-unit conversion, molar-absorptivity /
+    # Δε / TPA-GM scaling, Lorentzian|Gaussian broadening) --------------
+
+    def _peaks_au(self):
+        exc = self._excited()
+        return np.asarray(exc.energies_ev, np.float64) * EV_TO_HARTREE
+
+    def _spectrum_x(self, px_au, fwhm_au, x, x_unit, n=512):
+        """Default sample positions: peak span ± 10 FWHM, in x_unit."""
+        if x is not None:
+            return (np.asarray(x, np.float64),
+                    convert_value_to_au(x, x_unit))
+        lo = max(float(px_au.min()) - 10 * fwhm_au, 1e-6)
+        hi = float(px_au.max()) + 10 * fwhm_au
+        x_au = np.linspace(lo, hi, n)
+        return convert_value_from_au(x_au, x_unit), x_au
+
+    def absorption_spectrum_eps(
+        self, x=None, x_unit: str = "ev", fwhm_ev: float = 0.123,
+        shape: str = "lorentzian",
+    ):
+        """Molar absorptivity ε(ω) in L mol⁻¹ cm⁻¹ (the reference's
+        Absorption plot, veloxchem.cpp:3930-3999): broadening runs in a.u.
+        with peaks f_k/ω_k, then ε = ω · y · 1054.95… . For CPP runs the
+        checkpoint's pre-sampled σ(ω) is returned directly."""
+        qm = self.qm
+        if qm is not None and qm.rsp_samples is not None and \
+                qm.rsp_samples.sigma is not None:
+            s = qm.rsp_samples
+            return (convert_value_from_au(s.frequencies_au, x_unit),
+                    np.asarray(s.sigma, np.float64))
+        exc = self._excited()
+        px = self._peaks_au()
+        py = np.asarray(exc.oscillator_strengths, np.float64) / px
+        fwhm = fwhm_ev * EV_TO_HARTREE
+        xs, x_au = self._spectrum_x(px, fwhm, x, x_unit)
+        if shape == "lorentzian":
+            y = _lorentzian_base(x_au, px, py, fwhm) / np.pi
+        elif shape == "gaussian":
+            sg = fwhm * 0.21233045007200476068
+            y = _gaussian_base(x_au, px, py, fwhm) / (sg * np.sqrt(2 * np.pi))
+        else:
+            raise ValueError(f"unknown line shape {shape!r}")
+        return xs, x_au * y * OSCILLATOR_STRENGTH_TO_EPSILON
+
+    def ecd_spectrum_eps(
+        self, x=None, x_unit: str = "ev", fwhm_ev: float = 0.123,
+        shape: str = "lorentzian",
+    ):
+        """Δε(ω) in L mol⁻¹ cm⁻¹ from rotatory strengths in 10⁻⁴⁰ cgs
+        (the ECD plot, veloxchem.cpp:4056-4110); CPP runs return the
+        sampled Δε directly."""
+        qm = self.qm
+        if qm is not None and qm.rsp_samples is not None and \
+                qm.rsp_samples.delta_epsilons is not None:
+            s = qm.rsp_samples
+            return (convert_value_from_au(s.frequencies_au, x_unit),
+                    np.asarray(s.delta_epsilons, np.float64))
+        exc = self._excited()
+        if exc.rotatory_strengths is None:
+            raise ValueError("rsp data has no rotatory strengths")
+        px = self._peaks_au()
+        py = np.asarray(exc.rotatory_strengths, np.float64)
+        fwhm = fwhm_ev * EV_TO_HARTREE
+        xs, x_au = self._spectrum_x(px, fwhm, x, x_unit)
+        if shape == "lorentzian":
+            y = _lorentzian_base(x_au, px, py, fwhm)
+        elif shape == "gaussian":
+            sg = fwhm * 0.21233045007200476068
+            y = _gaussian_base(x_au, px, py, fwhm) * np.pi / (
+                sg * np.sqrt(2 * np.pi)
+            )
+        else:
+            raise ValueError(f"unknown line shape {shape!r}")
+        return xs, x_au * y * ROTATORY_STRENGTH_TO_DELTA_EPSILON
+
+    def ord_spectrum(self, x_unit: str = "ev"):
+        """Optical rotatory dispersion — CPP runs only (the sampled
+        md_vlx_rsp_optical_rotations, veloxchem.cpp:3889)."""
+        qm = self.qm
+        if qm is None or qm.rsp_samples is None or \
+                qm.rsp_samples.optical_rotations is None:
+            raise ValueError("no sampled optical rotations (CPP rsp only)")
+        s = qm.rsp_samples
+        return (convert_value_from_au(s.frequencies_au, x_unit),
+                np.asarray(s.optical_rotations, np.float64))
+
+    def tpa_spectrum(
+        self, x=None, x_unit: str = "ev", fwhm_ev: float = 0.123,
+        circular: bool = False,
+    ):
+        """Two-photon absorption cross-section in GM. TPA runs return the
+        checkpoint's sampled cross-sections; TPA_TRANSITION runs broaden
+        the per-state linear/circular transition strengths with the
+        reference's scaling AU_TO_GM · ω² · (ω² · lorentzian_base)
+        (veloxchem.cpp:4242-4310 + lorentzian_tpa:2731 — the ω² appears in
+        BOTH the getter factor and lorentzian_tpa; replicated as-is)."""
+        qm = self.qm
+        if qm is not None and qm.rsp_samples is not None and \
+                qm.rsp_samples.tpa_cross_sections is not None:
+            s = qm.rsp_samples
+            return (convert_value_from_au(s.frequencies_au, x_unit),
+                    np.asarray(s.tpa_cross_sections, np.float64))
+        if qm is None or (qm.tpa_trans_linear is None and
+                          qm.tpa_trans_circular is None):
+            raise ValueError("no TPA data in the checkpoint")
+        py = qm.tpa_trans_circular if circular else qm.tpa_trans_linear
+        if py is None:
+            raise ValueError("requested TPA polarization not present")
+        px = self._peaks_au()
+        py = np.asarray(py, np.float64)
+        fwhm = fwhm_ev * EV_TO_HARTREE
+        xs, x_au = self._spectrum_x(px, fwhm, x, x_unit)
+        base = _lorentzian_base(x_au, px, py, fwhm)
+        return xs, AU_TO_GM * x_au**2 * (x_au**2 * base)
+
+    # ---- vibrational spectroscopy (veloxchem.cpp:4409-4700) ------------
+
+    def _vib(self):
+        if self.qm is None or self.qm.vib is None:
+            raise ValueError("no vibrational data in the checkpoint")
+        return self.qm.vib
+
+    def ir_spectrum(
+        self, x=None, fwhm_cm: float = 20.0, shape: str = "lorentzian",
+        freq_scaling: float = 1.0,
+    ):
+        """Broadened IR spectrum (cm⁻¹, km/mol): harmonic frequencies ×
+        the basis-set scaling factor, broadened with lorentzian_vib =
+        base/π or gaussian_vib = base·√2/(σ√π) (veloxchem.cpp:2727-2733,
+        2771-2776, window :4411-4530)."""
+        vib = self._vib()
+        if vib.ir_intensities is None:
+            raise ValueError("no IR intensities in the checkpoint")
+        px = np.asarray(vib.frequencies, np.float64) * freq_scaling
+        py = np.asarray(vib.ir_intensities, np.float64)
+        return self._vib_broaden(px, py, x, fwhm_cm, shape)
+
+    def raman_spectrum(
+        self, external_freq_index: int = 0, x=None, fwhm_cm: float = 20.0,
+        shape: str = "lorentzian", freq_scaling: float = 1.0,
+    ):
+        """Broadened Raman activity spectrum at one external frequency
+        (resonance Raman; veloxchem.cpp:4590-4620)."""
+        vib = self._vib()
+        if vib.raman_activities is None:
+            raise ValueError("no Raman activities in the checkpoint")
+        px = np.asarray(vib.frequencies, np.float64) * freq_scaling
+        py = np.asarray(vib.raman_activities, np.float64)[
+            external_freq_index
+        ]
+        return self._vib_broaden(px, py, x, fwhm_cm, shape)
+
+    @staticmethod
+    def _vib_broaden(px, py, x, fwhm, shape):
+        if x is None:
+            lo = max(float(px.min()) - 5 * fwhm, 0.0)
+            x = np.linspace(lo, float(px.max()) + 5 * fwhm, 1024)
+        x = np.asarray(x, np.float64)
+        if shape == "lorentzian":
+            return x, _lorentzian_base(x, px, py, fwhm) / np.pi
+        if shape == "gaussian":
+            sg = fwhm * 0.21233045007200476068
+            return x, _gaussian_base(x, px, py, fwhm) * np.sqrt(2.0) / (
+                sg * np.sqrt(np.pi)
+            )
+        raise ValueError(f"unknown line shape {shape!r}")
+
+    def normal_mode_displacement(
+        self, mode: int, t: float = 0.0, amplitude: float = 1.0
+    ) -> np.ndarray:
+        """Animated normal-mode geometry (Bohr): coords + mode ·
+        (amplitude · 0.25 · sin(t)) — the reference's vibration
+        visualization perturbs atom positions exactly so, advancing
+        t += dt · freq_scale · 8 per frame (veloxchem.cpp:4713-4755)."""
+        vib = self._vib()
+        if vib.normal_modes is None:
+            raise ValueError("no normal modes in the checkpoint")
+        base = np.asarray(self.qm.atom_coords, np.float64)
+        d = np.asarray(vib.normal_modes[mode], np.float64)
+        return base + d * (amplitude * 0.25 * np.sin(t))
+
+    # ---- summary window (veloxchem.cpp:3090-3270) -----------------------
+
+    def scf_convergence(self) -> dict:
+        """SCF history: per-iteration energies/gradient norms plus the
+        |E−E_final| offsets the reference plots on the log axis
+        (veloxchem.cpp:3120-3170)."""
+        qm = self.qm
+        if qm is None or qm.scf_history is None:
+            raise ValueError("no SCF history in the checkpoint")
+        e = np.asarray(qm.scf_history.energies, np.float64)
+        g = np.asarray(qm.scf_history.gradient_norms, np.float64)
+        return {
+            "energies": e,
+            "gradient_norms": g,
+            "energy_offsets": np.abs(e - e[-1]),
+            "total_energy": float(e[-1]),
+            "final_gradient_norm": float(g[-1]),
+            "nuclear_repulsion": qm.nuclear_repulsion,
+        }
+
+    def optimization_profile(self) -> dict:
+        """Relative-energy profile in kJ/mol over optimization steps; IRC
+        runs reference the transition-state step instead of the minimum
+        (veloxchem.cpp:3173-3258)."""
+        qm = self.qm
+        if qm is None or qm.opt is None:
+            raise ValueError("no optimization data in the checkpoint")
+        opt = qm.opt
+        e = np.asarray(opt.energies, np.float64)
+        if opt.opt_type == "irc" and opt.irc_ts_index is not None and \
+                opt.irc_ts_index < len(e):
+            ref = e[opt.irc_ts_index]
+        else:
+            ref = e.min()
+        return {
+            "steps": np.arange(1, len(e) + 1),
+            "energies_kj_rel": (e - ref) * HARTREE_TO_KJ_PER_MOL,
+            "opt_type": opt.opt_type,
+            "ts_index": opt.irc_ts_index,
+        }
+
+    def optimization_coordinates(self, step: int) -> np.ndarray:
+        """Geometry of one optimization step (Bohr) — drives the Step
+        slider's set_atom_coordinates (veloxchem.cpp:3250-3258)."""
+        qm = self.qm
+        if qm is None or qm.opt is None or qm.opt.coordinates is None:
+            raise ValueError("no optimization coordinates in the checkpoint")
+        step = int(np.clip(step, 0, qm.opt.n_steps - 1))
+        return np.asarray(qm.opt.coordinates[step], np.float64)
+
+    def summary(self) -> dict:
+        """Summary-window facts: level of calculation + system information
+        (veloxchem.cpp:3098-3118). Alpha/beta electron counts derive from
+        ΣZ − charge and the spin multiplicity when not stored."""
+        qm = self.qm
+        if qm is None:
+            raise ValueError("no QM data loaded")
+        charge = qm.molecular_charge if qm.molecular_charge is not None \
+            else 0.0
+        mult = qm.spin_multiplicity if qm.spin_multiplicity is not None \
+            else 1
+        n_e = int(round(float(np.sum(qm.atom_numbers)) - charge))
+        n_alpha = qm.n_alpha_electrons
+        n_beta = qm.n_beta_electrons
+        if n_alpha is None or n_beta is None:
+            n_alpha = (n_e + mult - 1) // 2
+            n_beta = n_e - n_alpha
+        out = {
+            "method": qm.dft_label,
+            "basis_set": qm.basis_label,
+            "num_atoms": int(len(qm.atom_numbers)),
+            "num_alpha_electrons": int(n_alpha),
+            "num_beta_electrons": int(n_beta),
+            "molecular_charge": float(charge),
+            "spin_multiplicity": int(mult),
+            "rsp_type": qm.rsp_type,
+            "nuclear_repulsion": qm.nuclear_repulsion,
+        }
+        if qm.c6_value is not None:
+            out["c6_value"] = float(qm.c6_value)
+        return out
 
     def representation_info(self) -> "RepresentationInfo":
         """Catalog of the QM representations available for the loaded

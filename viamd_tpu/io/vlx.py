@@ -65,6 +65,61 @@ class ExcitedStates:
 
 
 @dataclass
+class VibrationalData:
+    """Vibrational results (md_vlx_vib_*: reference veloxchem.cpp:4409-4700
+    — IR/Raman spectra table + normal-mode animation)."""
+
+    frequencies: np.ndarray  # (M,) harmonic frequencies, cm⁻¹
+    ir_intensities: np.ndarray | None = None  # (M,) km/mol
+    normal_modes: np.ndarray | None = None  # (M, na, 3) displacement vectors
+    raman_activities: np.ndarray | None = None  # (F, M) per external freq
+    external_frequencies: np.ndarray | None = None  # (F,) a.u.
+
+    @property
+    def n_modes(self) -> int:
+        return len(self.frequencies)
+
+
+@dataclass
+class OptimizationData:
+    """Geometry-optimization trajectory (md_vlx_opt_*: reference
+    veloxchem.cpp:3173-3258 — relative-energy profile + per-step geometry
+    playback; IRC runs mark the transition-state step)."""
+
+    energies: np.ndarray  # (S,) Hartree
+    coordinates: np.ndarray | None = None  # (S, na, 3) Bohr
+    opt_type: str = "energy"  # "energy" | "irc" | "constrained"
+    irc_ts_index: int | None = None
+
+    @property
+    def n_steps(self) -> int:
+        return len(self.energies)
+
+
+@dataclass
+class ScfHistory:
+    """SCF convergence history (md_vlx_scf_history_*: reference
+    veloxchem.cpp:3120-3170 — gradient-norm log plot + |E−E_final|)."""
+
+    energies: np.ndarray  # (I,) Hartree per iteration
+    gradient_norms: np.ndarray  # (I,) a.u.
+
+
+@dataclass
+class ResponseSamples:
+    """Pre-sampled response spectra for CPP/TPA calculations
+    (md_vlx_rsp_sigma/delta_epsilons/optical_rotations/tpa_cross_sections,
+    reference veloxchem.cpp:3886-3891 — plotted directly, unlike LINEAR
+    runs whose spectra are broadened from per-state peaks)."""
+
+    frequencies_au: np.ndarray  # (F,)
+    sigma: np.ndarray | None = None  # absorption cross-section
+    delta_epsilons: np.ndarray | None = None  # ECD Δε
+    optical_rotations: np.ndarray | None = None  # ORD
+    tpa_cross_sections: np.ndarray | None = None  # GM
+
+
+@dataclass
 class QMData:
     atom_coords: np.ndarray  # (na, 3) Bohr
     atom_numbers: np.ndarray  # (na,)
@@ -78,6 +133,28 @@ class QMData:
     scf_dipole: np.ndarray | None = None
     # optional per-atom property arrays from the checkpoint (label → (na,))
     atom_properties: dict | None = None
+    # vibrational / optimization / SCF-history / sampled-response sections
+    # (each None when the checkpoint doesn't carry that calculation)
+    vib: "VibrationalData | None" = None
+    opt: "OptimizationData | None" = None
+    scf_history: "ScfHistory | None" = None
+    rsp_samples: "ResponseSamples | None" = None
+    # response calculation kind (md_vlx_rsp_type, veloxchem.cpp:3093):
+    # "linear" | "cpp" | "tpa" | "tpa_transition" | "c6" | "unknown"
+    rsp_type: str = "unknown"
+    # two-photon transition strengths for TPA_TRANSITION runs (per state)
+    tpa_trans_linear: np.ndarray | None = None
+    tpa_trans_circular: np.ndarray | None = None
+    # summary-window metadata (veloxchem.cpp:3098-3170 "Level of
+    # Calculation" / "System Information" / "SCF" sections)
+    basis_label: str | None = None
+    dft_label: str | None = None
+    molecular_charge: float | None = None
+    spin_multiplicity: int | None = None
+    nuclear_repulsion: float | None = None
+    c6_value: float | None = None
+    n_alpha_electrons: int | None = None
+    n_beta_electrons: int | None = None
     # expanded primitive arrays (built lazily)
     _prims: tuple | None = field(default=None, repr=False)
 
@@ -156,6 +233,16 @@ class QMData:
             np.asarray(mo_coeffs, np.float32),
             **kw,
         )
+
+
+def _read_str(v, default):
+    """Decode a scalar/0-d string dataset returned by _find."""
+    if v is None:
+        return default
+    s = np.asarray(v).reshape(-1)[0]
+    if isinstance(s, bytes):
+        s = s.decode()
+    return str(s)
 
 
 def _find(h5, *names, paths=None):
@@ -349,6 +436,135 @@ def load_vlx_h5(path: str) -> QMData:
             f, "ground_state_dipole", "scf/ground_state_dipole",
             "dipole_moment", "scf/dipole_moment", paths=keys,
         )
+        # -- vibrational section (md_vlx_vib_*) --------------------------
+        vib = None
+        vfreq = _find(f, "vib/frequencies", "vib_frequencies", paths=None)
+        if vfreq is not None:
+            modes = _find(f, "vib/normal_modes", "normal_modes", paths=None)
+            na = np.asarray(coords).shape[0]
+            if modes is not None:
+                modes = np.asarray(modes, np.float64).reshape(
+                    len(np.ravel(vfreq)), na, 3
+                )
+            raman = _find(
+                f, "vib/raman_activities", "raman_activities", paths=None
+            )
+            if raman is not None:
+                raman = np.atleast_2d(np.asarray(raman, np.float64))
+            ir = _find(f, "vib/ir_intensities", "ir_intensities", paths=None)
+            extf = _find(
+                f, "vib/external_frequencies", "external_frequencies",
+                paths=None,
+            )
+            vib = VibrationalData(
+                frequencies=np.ravel(np.asarray(vfreq, np.float64)),
+                ir_intensities=(
+                    np.ravel(np.asarray(ir, np.float64))
+                    if ir is not None else None
+                ),
+                normal_modes=modes,
+                raman_activities=raman,
+                external_frequencies=(
+                    np.ravel(np.asarray(extf, np.float64))
+                    if extf is not None else None
+                ),
+            )
+        # -- geometry-optimization section (md_vlx_opt_*) -----------------
+        opt = None
+        oen = _find(f, "opt/energies", "opt_energies", paths=None)
+        if oen is not None:
+            ocoord = _find(f, "opt/coordinates", "opt_coordinates",
+                           paths=None)
+            na = np.asarray(coords).shape[0]
+            if ocoord is not None:
+                ocoord = np.asarray(ocoord, np.float64).reshape(
+                    len(np.ravel(oen)), na, 3
+                )
+            otype = _read_str(
+                _find(f, "opt/type", "opt_type", paths=None), "energy"
+            )
+            ots = _find(f, "opt/irc_ts_index", "irc_ts_index", paths=None)
+            opt = OptimizationData(
+                energies=np.ravel(np.asarray(oen, np.float64)),
+                coordinates=ocoord,
+                opt_type=otype,
+                irc_ts_index=(int(np.ravel(ots)[0])
+                              if ots is not None else None),
+            )
+        # -- SCF history (md_vlx_scf_history_*) ---------------------------
+        scf_hist = None
+        shen = _find(
+            f, "scf/history/energies", "scf_history_energies", paths=None
+        )
+        shg = _find(
+            f, "scf/history/gradient_norms", "scf_history_gradient_norms",
+            "gradient_norms", paths=None,
+        )
+        if shen is not None and shg is not None:
+            scf_hist = ScfHistory(
+                energies=np.ravel(np.asarray(shen, np.float64)),
+                gradient_norms=np.ravel(np.asarray(shg, np.float64)),
+            )
+        # -- sampled response spectra (CPP/TPA runs) ----------------------
+        samples = None
+        sfreq = _find(f, "rsp/frequencies", "rsp_frequencies", paths=None)
+        if sfreq is not None:
+            def _opt_arr(*names):
+                v = _find(f, *names, paths=None)
+                return (np.ravel(np.asarray(v, np.float64))
+                        if v is not None else None)
+
+            samples = ResponseSamples(
+                frequencies_au=np.ravel(np.asarray(sfreq, np.float64)),
+                sigma=_opt_arr("rsp/sigma"),
+                delta_epsilons=_opt_arr("rsp/delta_epsilons"),
+                optical_rotations=_opt_arr("rsp/optical_rotations"),
+                tpa_cross_sections=_opt_arr("rsp/tpa_cross_sections"),
+            )
+        tpa_lin = _find(f, "rsp/tpa_trans_linear", paths=None)
+        tpa_cir = _find(f, "rsp/tpa_trans_circular", paths=None)
+        # response kind: explicit key, else inferred from what's present
+        # (md_vlx_rsp_type semantics, veloxchem.cpp:3912,3977)
+        rsp_type = _read_str(_find(f, "rsp/type", "rsp_type", paths=None),
+                             "")
+        if not rsp_type:
+            if tpa_lin is not None:
+                rsp_type = "tpa_transition"
+            elif samples is not None and samples.tpa_cross_sections is not None:
+                rsp_type = "tpa"
+            elif samples is not None and (
+                samples.sigma is not None
+                or samples.delta_epsilons is not None
+                or samples.optical_rotations is not None
+            ):
+                rsp_type = "cpp"
+            elif ev is not None:
+                rsp_type = "linear"
+            else:
+                rsp_type = "unknown"
+        # -- summary metadata ---------------------------------------------
+        def _scalar(*names):
+            v = _find(f, *names, paths=keys)
+            if v is None:
+                return None
+            return float(np.ravel(np.asarray(v, np.float64))[0])
+
+        basis_label = _read_str(
+            _find(f, "basis_set", "basis_set_label", paths=keys), None
+        )
+        dft_label = _read_str(
+            _find(f, "dft_func_label", "xc_functional", "dft_functional",
+                  paths=keys),
+            None,
+        )
+        charge = _scalar("molecular_charge", "charge")
+        mult = _scalar("spin_multiplicity", "multiplicity")
+        nre = _scalar("nuclear_repulsion", "nuclear_repulsion_energy")
+        c6 = _scalar("c6_value", "c6")
+        nae = _scalar("number_of_alpha_electrons", "n_alpha_electrons")
+        nbe = _scalar("number_of_beta_electrons", "n_beta_electrons")
+        if c6 is not None and rsp_type == "unknown":
+            rsp_type = "c6"
         aprops: dict | None = None
         if "atom_properties" in f and hasattr(f["atom_properties"], "keys"):
             na = np.asarray(coords).shape[0]
@@ -370,4 +586,25 @@ def load_vlx_h5(path: str) -> QMData:
                 if dip is not None and np.asarray(dip).size == 3 else None
             ),
             atom_properties=aprops,
+            vib=vib,
+            opt=opt,
+            scf_history=scf_hist,
+            rsp_samples=samples,
+            rsp_type=rsp_type,
+            tpa_trans_linear=(
+                np.ravel(np.asarray(tpa_lin, np.float64))
+                if tpa_lin is not None else None
+            ),
+            tpa_trans_circular=(
+                np.ravel(np.asarray(tpa_cir, np.float64))
+                if tpa_cir is not None else None
+            ),
+            basis_label=basis_label,
+            dft_label=dft_label,
+            molecular_charge=charge,
+            spin_multiplicity=(int(mult) if mult is not None else None),
+            nuclear_repulsion=nre,
+            c6_value=c6,
+            n_alpha_electrons=(int(nae) if nae is not None else None),
+            n_beta_electrons=(int(nbe) if nbe is not None else None),
         )
