@@ -762,6 +762,36 @@ class TestPallasRDF:
             np.testing.assert_array_equal(h_blk, h_mxu)
             assert h_mxu.sum() > 0
 
+    def test_mxu_merged_sweep_matches_per_pass(self, monkeypatch):
+        """VIAMD_TPU_RDF_MERGED=1 (all A passes in one grid sweep) is
+        bit-identical to the default per-pass mxu launches. Merged is OFF
+        by default — measured ~0.25 ms/frame slower end-to-end
+        (docs/PERF.md r4) — but stays covered for A/B."""
+        import jax
+
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        rng = np.random.RandomState(3)
+        L, n = 24.0, 600  # small cells force cap_a > ka → several passes
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        ia = jnp.asarray(np.arange(n, dtype=np.int32))
+        boxj = jnp.asarray([L, L, L], jnp.float32)
+        dims, cap = choose_grid_r(np.array([L] * 3), 5.0, n, radius=1)
+        kw = dict(dims=dims, cap_a=cap, cap_b=cap, radius=1,
+                  symmetric=True, interpret=True, bin_mode="mxu")
+        h_pass = np.asarray(pallas_rdf.pair_dist_histogram_pl(
+            jnp.asarray(x), ia, ia, boxj, 128, 5.0, **kw))
+        monkeypatch.setenv("VIAMD_TPU_RDF_MERGED", "1")
+        jax.clear_caches()  # env is read at trace time
+        try:
+            h_merged = np.asarray(pallas_rdf.pair_dist_histogram_pl(
+                jnp.asarray(x), ia, ia, boxj, 128, 5.0, **kw))
+        finally:
+            jax.clear_caches()
+        np.testing.assert_array_equal(h_pass, h_merged)
+        assert h_merged.sum() > 0
+
     def test_multipass_and_radius1_interpret(self):
         from viamd_tpu.ops import pallas_rdf
         from viamd_tpu.ops.neighbors import choose_grid

@@ -22,6 +22,7 @@ distance→mask→bin→accumulate chain in VMEM with lane-aligned shapes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -802,54 +803,70 @@ def _pair_dist_histogram_impl(
                 # of once per pass (see the merged-branch comment in
                 # _hist_kernel). A columns for all passes concatenate
                 # along the sublane axis — pass p, step m at sublanes
-                # (p·M + m)·128.
-                a_all = [
-                    jnp.concatenate(
-                        [a_cols[p][k] for p in range(n_pass)], axis=1
-                    )
-                    for k in range(n_ab)
-                ]
-                a_spec_m = pl.BlockSpec(
-                    (1, n_pass * M * LANES, 1),
-                    lambda i, nch=nchunks: (i // nch, 0, 0),
-                    memory_space=pltpu.VMEM,
+                # (p·M + m)·128. DEFAULT OFF: the merged sweep measured
+                # SLOWER end-to-end (headline 248-250 vs 265 f/s per-pass,
+                # steady 0.52 vs 0.48 s — docs/PERF.md r4 "merged A-pass
+                # re-attempt") even though the standalone K-loop microbench
+                # suggested 2.21→1.90 ms (cross-day noise band ±15%); the
+                # out_ref read-modify-write per (m, p) and the n_pass×
+                # larger A block outweigh the saved plane DMA, which XLA's
+                # grid pipelining already overlaps. VIAMD_TPU_RDF_MERGED=1
+                # re-enables for A/B.
+                merged = os.environ.get("VIAMD_TPU_RDF_MERGED", "0") == "1"
+                groups = (
+                    [(0, n_pass)] if merged
+                    else [(p, 1) for p in range(n_pass)]
                 )
-                partial_hists = pl.pallas_call(
-                    functools.partial(
-                        _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
-                        nchunks=nchunks, cap_b=cap_b, symmetric=symmetric,
-                        M=M, g_lo=g_lo, a_lo=0, triclinic=tri,
-                        bin_mode=bin_mode, use_ids=k_ids,
-                        n_pass_k=n_pass,
-                    ),
-                    out_shape=jax.ShapeDtypeStruct(
-                        (nsteps,) + out_blk[1:], jnp.float32
-                    ),
-                    grid=(nsteps,),
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                for p0, np_k in groups:
+                    a_all = [
+                        jnp.concatenate(
+                            [a_cols[p0 + q][k] for q in range(np_k)], axis=1
+                        ) if np_k > 1 else a_cols[p0][k]
+                        for k in range(n_ab)
                     ]
-                    + [a_spec_m] * n_ab
-                    + [b_spec] * n_ab,
-                    out_specs=pl.BlockSpec(
-                        out_blk,
-                        lambda i: (i, 0, 0),
+                    a_spec_m = pl.BlockSpec(
+                        (1, np_k * M * LANES, 1),
+                        lambda i, nch=nchunks: (i // nch, 0, 0),
                         memory_space=pltpu.VMEM,
-                    ),
-                    scratch_shapes=[scratch],
-                    interpret=interpret,
-                )(
-                    (
-                        basis.reshape(1, 9) if tri else box.reshape(1, 3)
-                    ).astype(jnp.float32),
-                    occ_blk,
-                    *a_all,
-                    *((bxp, byp, bzp, bidp) if k_ids else (bxp, byp, bzp)),
-                )
-                total = total + jnp.sum(partial_hists, axis=0).reshape(
-                    nbins
-                )
+                    )
+                    partial_hists = pl.pallas_call(
+                        functools.partial(
+                            _hist_kernel, ka=ka, nbins=nbins, r_max=r_max,
+                            nchunks=nchunks, cap_b=cap_b,
+                            symmetric=symmetric,
+                            M=M, g_lo=g_lo, a_lo=p0 * ka, triclinic=tri,
+                            bin_mode=bin_mode, use_ids=k_ids,
+                            n_pass_k=np_k,
+                        ),
+                        out_shape=jax.ShapeDtypeStruct(
+                            (nsteps,) + out_blk[1:], jnp.float32
+                        ),
+                        grid=(nsteps,),
+                        in_specs=[
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                        ]
+                        + [a_spec_m] * n_ab
+                        + [b_spec] * n_ab,
+                        out_specs=pl.BlockSpec(
+                            out_blk,
+                            lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        scratch_shapes=[scratch],
+                        interpret=interpret,
+                    )(
+                        (
+                            basis.reshape(1, 9) if tri else box.reshape(1, 3)
+                        ).astype(jnp.float32),
+                        occ_blk,
+                        *a_all,
+                        *((bxp, byp, bzp, bidp) if k_ids
+                          else (bxp, byp, bzp)),
+                    )
+                    total = total + jnp.sum(partial_hists, axis=0).reshape(
+                        nbins
+                    )
                 continue
             for p in range(n_pass):
                 partial_hists = pl.pallas_call(
