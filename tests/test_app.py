@@ -1176,6 +1176,89 @@ class TestVeloxchemSpectroscopy:
         assert prof["ts_index"] == 1
 
 
+class TestChargeTransfer:
+    """NTO charge-transfer analysis: density→atom attribution, the
+    donor→acceptor transition matrix (veloxchem.cpp:5805-5870), and the
+    Sankey transition-diagram SVG export (:1988-2090, :2244-2268)."""
+
+    def test_transition_matrix_algorithm(self):
+        from viamd_tpu.components.veloxchem import compute_transition_matrix
+
+        # full transfer: group 0 donates everything to group 1
+        m = compute_transition_matrix([1.0, 0.0], [0.0, 1.0])
+        assert m[1, 0] == 1.0 and m[0, 0] == 0.0 and m[1, 1] == 0.0
+        # partial: 30% of the charge moves 0→1, the rest is retained
+        m = compute_transition_matrix([1.0, 0.0], [0.7, 0.3])
+        assert abs(m[0, 0] - 0.7) < 1e-12 and abs(m[1, 0] - 0.3) < 1e-12
+        # two donors share one acceptor proportionally to their deficits
+        m = compute_transition_matrix([0.6, 0.4, 0.0], [0.4, 0.3, 0.3])
+        assert abs(m[2, 0] - 0.2) < 1e-12 and abs(m[2, 1] - 0.1) < 1e-12
+        # degenerate input → zero matrix, no crash (cpp:5830-5833)
+        assert compute_transition_matrix([0, 0], [0, 0]).sum() == 0.0
+
+    def test_attribution(self):
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.gto import attribute_grid_to_atoms
+
+        # two atoms splitting an 8^3 grid of ones down the middle
+        atoms = jnp.asarray([[2.0, 4.0, 4.0], [6.0, 4.0, 4.0]], jnp.float32)
+        grid = jnp.ones((8, 8, 8), jnp.float32)
+        q = np.asarray(attribute_grid_to_atoms(
+            grid, jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32),
+            atoms,
+        ))
+        assert abs(q[0] - 256.0) < 1e-3 and abs(q[1] - 256.0) < 1e-3
+        # a larger radius on atom 1 moves the weighted-Voronoi boundary
+        q = np.asarray(attribute_grid_to_atoms(
+            grid, jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32),
+            atoms, radii=jnp.asarray([0.0, 2.5], jnp.float32),
+        ))
+        assert q[1] > q[0]
+        assert abs(q.sum() - 512.0) < 1e-3  # every voxel attributed once
+
+    def test_charge_transfer_h2(self, ala_session):
+        from viamd_tpu.io.vlx import ExcitedStates, QMData, Shell
+
+        d = 1.4
+        shells = [
+            Shell(np.array([0.0, 0, 0], np.float32), 0,
+                  np.array([0.5], np.float32), np.array([1.0], np.float32)),
+            Shell(np.array([d, 0, 0], np.float32), 0,
+                  np.array([0.5], np.float32), np.array([1.0], np.float32)),
+        ]
+        C = np.array([[0.7, 0.7], [0.7, -0.7]], np.float32)
+        qm = QMData.from_arrays(
+            [[0, 0, 0], [d, 0, 0]], [1, 1], shells, C,
+            mo_occupations=np.array([2.0, 0.0], np.float32),
+            excited=ExcitedStates(
+                energies_ev=np.array([10.0]),
+                oscillator_strengths=np.array([0.5]),
+                transition_dms=np.array([[[1.0]]], np.float32),
+            ),
+        )
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(qm)
+        ct = vlx.charge_transfer(0, [[0], [1]], dims=32)
+        # bonding hole and antibonding particle are both symmetric:
+        # each group retains ~half the charge, no net flow
+        hp = ct["hole_charges"] / ct["hole_charges"].sum()
+        assert abs(hp[0] - 0.5) < 0.02
+        m = ct["matrix"]
+        assert abs(m[0, 0] - 0.5) < 0.02 and abs(m[1, 1] - 0.5) < 0.02
+        assert m[0, 1] + m[1, 0] < 0.04
+
+    def test_sankey_svg(self, ala_session, tmp_path):
+        from viamd_tpu.components.veloxchem import sankey_svg
+
+        m = np.array([[0.7, 0.0], [0.3, 0.0]])
+        svg = sankey_svg(m, [1.0, 0.0], [0.7, 0.3],
+                         labels=["donor", "acceptor"])
+        assert svg.startswith("<svg") and "</svg>" in svg
+        assert svg.count("<rect") >= 3  # canvas + hole bar + 2 part bars
+        assert "<path" in svg and "donor" in svg and "30.0%" in svg
+
+
 class TestRamachandranSelection:
     def test_select_in_plot(self, ala_session):
         rama = ala_session.components["ramachandran"]

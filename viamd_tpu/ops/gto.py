@@ -103,6 +103,64 @@ def eval_gto_grid(
     return vals.reshape(-1)[:P].reshape(nx, ny, nz)
 
 
+def attribute_grid_to_atoms(
+    grid: jnp.ndarray,  # (nx, ny, nz) density values
+    origin: jnp.ndarray,  # (3,)
+    voxel: jnp.ndarray,  # (3,)
+    atom_xyz: jnp.ndarray,  # (na, 3) same units as origin/voxel
+    radii: jnp.ndarray | None = None,  # (na,) additively-weighted Voronoi
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Per-atom integral of a density grid by nearest-atom segmentation →
+    (na,) charges (voxel volume folded in).
+
+    Rebuilds md_gto's segment-and-attribute step
+    (md_gto_segment_and_attribute_to_groups, called with per-atom xyzr at
+    /root/reference/src/components/veloxchem/veloxchem.cpp:6888-6898 to
+    integrate the attachment/detachment densities per atom group for the
+    charge-transfer transition matrix). Each voxel's value goes to the atom
+    minimizing |r−x_a| − r_a (additively-weighted Voronoi — mdlib passes
+    xyz+RADIUS per atom; with equal radii this is the plain Voronoi cell).
+    Winner selection + per-atom reduction run as a one-hot bf16 contraction
+    on the MXU per voxel chunk (no scatter — CLAUDE.md device rules)."""
+    nx, ny, nz = grid.shape
+    P = nx * ny * nz
+    na = atom_xyz.shape[0]
+    ii = jnp.arange(P, dtype=jnp.int32)
+    iz = ii % nz
+    iy = (ii // nz) % ny
+    ix = ii // (ny * nz)
+    pts = origin[None, :] + (
+        jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32) + 0.5
+    ) * voxel[None, :]
+    vox_vol = voxel[0] * voxel[1] * voxel[2]
+    vals = grid.reshape(-1) * vox_vol
+    P_pad = -(-P // chunk) * chunk
+    pts = jnp.pad(pts, ((0, P_pad - P), (0, 0)))
+    vals = jnp.pad(vals, (0, P_pad - P))  # padded voxels carry 0 density
+    r_a = (
+        jnp.zeros((na,), jnp.float32) if radii is None
+        else jnp.asarray(radii, jnp.float32)
+    )
+
+    def body(c0, _):
+        p = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
+        v = jax.lax.dynamic_slice(vals, (c0,), (chunk,))
+        # (chunk, na) distances, expanded elementwise (no (…,3) matmul)
+        dx = p[:, 0:1] - atom_xyz[None, :, 0]
+        dy = p[:, 1:2] - atom_xyz[None, :, 1]
+        dz = p[:, 2:3] - atom_xyz[None, :, 2]
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - r_a[None, :]
+        win = jnp.argmin(d, axis=1)  # (chunk,)
+        onehot = (
+            win[None, :] == jnp.arange(na, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)  # (na, chunk)
+        return c0 + chunk, onehot @ v
+
+    _, parts = jax.lax.scan(body, 0, None, length=P_pad // chunk)
+    return jnp.sum(parts, axis=0)
+
+
 def normalization(alpha: float, l: int, m: int, n: int) -> float:
     """Cartesian GTO normalization constant (host-side helper)."""
     from math import factorial, pi, sqrt
