@@ -1239,14 +1239,26 @@ class TestChargeTransfer:
         )
         vlx = ala_session.components["veloxchem"]
         vlx.load(qm)
-        ct = vlx.charge_transfer(0, [[0], [1]], dims=32)
-        # bonding hole and antibonding particle are both symmetric:
-        # each group retains ~half the charge, no net flow
-        hp = ct["hole_charges"] / ct["hole_charges"].sum()
-        assert abs(hp[0] - 0.5) < 0.02
-        m = ct["matrix"]
-        assert abs(m[0, 0] - 0.5) < 0.02 and abs(m[1, 1] - 0.5) < 0.02
-        assert m[0, 1] + m[1, 0] < 0.04
+        # both attribution methods: the Mulliken path (the reference's
+        # enabled branch, veloxchem.cpp:6835-6881) and the grid
+        # segmentation fallback (:6888-6898). Bonding hole + antibonding
+        # particle are both symmetric: each group retains ~half the
+        # charge, no net flow.
+        for method in ("mulliken", "grid"):
+            ct = vlx.charge_transfer(0, [[0], [1]], dims=32, method=method)
+            hp = ct["hole_charges"] / ct["hole_charges"].sum()
+            assert abs(hp[0] - 0.5) < 0.02, method
+            m = ct["matrix"]
+            assert abs(m[0, 0] - 0.5) < 0.02, method
+            assert abs(m[1, 1] - 0.5) < 0.02, method
+            assert m[0, 1] + m[1, 0] < 0.04, method
+        # Mulliken preserves tr(D·S) before clamping: group charges sum
+        # to the attachment/detachment populations
+        D_det, D_att = vlx.attachment_detachment_ao(0)
+        S = vlx.qm.overlap_matrix()
+        ct = vlx.charge_transfer(0, [[0], [1]])
+        assert abs(ct["hole_charges"].sum() - (D_det * S).sum()) < 1e-9
+        assert abs(ct["part_charges"].sum() - (D_att * S).sum()) < 1e-9
 
     def test_sankey_svg(self, ala_session, tmp_path):
         from viamd_tpu.components.veloxchem import sankey_svg

@@ -1200,6 +1200,51 @@ class TestPallasRDF:
 
 
 class TestGTO:
+    def test_overlap_matrix_analytic(self):
+        """Analytic contracted-GTO overlap (ops.gto.overlap_matrix, the
+        md_vlx_scf_overlap_matrix_data stand-in): normalized diagonals,
+        closed-form s–s value, and an s–p cross term vs grid quadrature."""
+        from viamd_tpu.io.vlx import Shell
+        from viamd_tpu.ops import gto
+
+        a, b, d = 0.7, 0.7, 1.4
+        shells = [
+            Shell(np.array([0, 0, 0], np.float32), 0,
+                  np.array([a], np.float32), np.array([1.0], np.float32)),
+            Shell(np.array([d, 0, 0], np.float32), 0,
+                  np.array([b], np.float32), np.array([1.0], np.float32)),
+            Shell(np.zeros(3, np.float32), 1,
+                  np.array([0.9], np.float32), np.array([1.0], np.float32)),
+            Shell(np.zeros(3, np.float32), 2,
+                  np.array([1.3], np.float32), np.array([1.0], np.float32)),
+        ]
+        S = gto.overlap_matrix(shells)
+        assert S.shape == (11, 11)  # 1+1+3+6 cartesians
+        np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-6)
+        np.testing.assert_allclose(
+            S[0, 1], np.exp(-a * b / (a + b) * d * d), atol=1e-6
+        )
+        assert abs(S[0, 2]) < 1e-12  # s–p on the same... different centers
+        # s(center 0) – px(center d): odd symmetry along x only partially
+        # cancels; compare against dense grid quadrature
+        g = np.linspace(-10, 10, 161)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        dv = (g[1] - g[0]) ** 3
+        f1 = gto.normalization(a, 0, 0, 0) * np.exp(
+            -a * (X**2 + Y**2 + Z**2)
+        )
+        f2 = gto.normalization(0.9, 1, 0, 0) * X * np.exp(
+            -0.9 * (X**2 + Y**2 + Z**2)
+        )
+        sp_same_center = (f1 * f2).sum() * dv  # exactly 0 by symmetry
+        assert abs(sp_same_center) < 1e-9
+        x2 = X - d
+        f3 = gto.normalization(b, 0, 0, 0) * np.exp(
+            -b * (x2**2 + Y**2 + Z**2)
+        )
+        num = (f3 * f2).sum() * dv
+        np.testing.assert_allclose(S[1, 2], num, atol=1e-4)
+
     def test_s_orbital_normalized(self):
         """Normalized 1s gaussian: ∫ψ² dV = 1 (grid quadrature)."""
         from viamd_tpu.ops import gto

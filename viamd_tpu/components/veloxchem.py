@@ -416,21 +416,38 @@ class VeloxchemComponent:
     # :6888-6898 density→group attribution, :1988-2090 vg_sankey_diagram,
     # :2244-2268 SVG export) ---------------------------------------------
 
-    def charge_transfer(self, state: int, groups, dims: int = 64) -> dict:
+    def attachment_detachment_ao(self, state: int):
+        """Attachment/detachment density matrices in the AO basis
+        (md_vlx_rsp_transition_density_matrix_extract ATTACHMENT/
+        DETACHMENT, veloxchem.cpp:6851-6852): D_det = H Λ Hᵀ,
+        D_att = P Λ Pᵀ from the AO-basis NTO hole/particle vectors."""
+        lam, holes, parts = self.ntos(state)
+        lam = np.asarray(lam, np.float64)
+        H = np.asarray(holes, np.float64)
+        P = np.asarray(parts, np.float64)
+        return (H * lam) @ H.T, (P * lam) @ P.T
+
+    def charge_transfer(
+        self, state: int, groups, dims: int = 64,
+        method: str = "mulliken",
+    ) -> dict:
         """Per-group hole/particle charges of one excited state and the
         donor→acceptor transition matrix.
 
         `groups`: (na,) int group index per atom (the reference's painted
-        atom_group_idx) or a list of atom-index arrays. The detachment
-        (hole) and attachment (particle) densities integrate per atom by
-        additively-weighted-Voronoi segmentation (vdW radii), then sum per
-        group; matrix[i, j] = charge fraction flowing donor j → acceptor i
+        atom_group_idx) or a list of atom-index arrays.
+
+        `method="mulliken"` (the reference's enabled path,
+        veloxchem.cpp:6835-6881): q_g = Σ_{μ∈g} Σ_ν D[μ,ν]·S[μ,ν] from
+        the attachment/detachment AO density matrices and the overlap
+        matrix (checkpoint-provided or analytic), exactly preserving
+        tr(D·S), tiny negative noise clamped at 0.
+        `method="grid"` (the md_gto segmentation path, :6888-6898):
+        integrate the attachment/detachment GRIDS per atom by additively-
+        weighted-Voronoi segmentation (vdW radii).
+
+        matrix[i, j] = charge fraction flowing donor j → acceptor i
         (diagonal = retained fraction min(hole%, part%))."""
-        import jax.numpy as jnp
-
-        from viamd_tpu.core.elements import vdw_radius
-        from viamd_tpu.ops.gto import attribute_grid_to_atoms
-
         qm = self.qm
         na = len(qm.atom_numbers)
         gidx = np.zeros(na, np.int32)
@@ -441,17 +458,40 @@ class VeloxchemComponent:
         else:
             gidx = np.asarray(groups, np.int32)
             n_groups = int(gidx.max()) + 1
-        det, att, origin, vox = self.attachment_detachment_grids(state, dims)
-        radii = vdw_radius(np.asarray(qm.atom_numbers)) * BOHR_PER_ANGSTROM
-        xyz = jnp.asarray(qm.atom_coords, jnp.float32)
-        per_atom = [
-            np.asarray(attribute_grid_to_atoms(
-                jnp.asarray(g), jnp.asarray(origin, jnp.float32),
-                jnp.asarray(vox, jnp.float32), xyz,
-                jnp.asarray(radii, jnp.float32),
-            ))
-            for g in (det, att)
-        ]
+        if method == "mulliken":
+            D_det, D_att = self.attachment_detachment_ao(state)
+            S = qm.overlap_matrix()
+            a2a = qm.ao_to_atom_idx()
+            per_atom = [
+                np.bincount(a2a, weights=(D * S).sum(axis=1), minlength=na)
+                for D in (D_det, D_att)
+            ]
+        elif method == "grid":
+            import jax.numpy as jnp
+
+            from viamd_tpu.core.elements import vdw_radius
+            from viamd_tpu.ops.gto import attribute_grid_to_atoms
+
+            det, att, origin, vox = self.attachment_detachment_grids(
+                state, dims
+            )
+            radii = (
+                vdw_radius(np.asarray(qm.atom_numbers)) * BOHR_PER_ANGSTROM
+            )
+            xyz = jnp.asarray(qm.atom_coords, jnp.float32)
+            per_atom = [
+                np.asarray(attribute_grid_to_atoms(
+                    jnp.asarray(g), jnp.asarray(origin, jnp.float32),
+                    jnp.asarray(vox, jnp.float32), xyz,
+                    jnp.asarray(radii, jnp.float32),
+                ))
+                for g in (det, att)
+            ]
+        else:
+            raise ValueError(f"unknown charge_transfer method {method!r}")
+        # Mulliken populations of attach/detach densities are non-negative
+        # in exact arithmetic; clamp numeric noise (veloxchem.cpp:6873-6880)
+        per_atom = [np.maximum(q, 0.0) for q in per_atom]
         hole_g = np.bincount(gidx, weights=per_atom[0], minlength=n_groups)
         part_g = np.bincount(gidx, weights=per_atom[1], minlength=n_groups)
         return {

@@ -155,8 +155,32 @@ class QMData:
     c6_value: float | None = None
     n_alpha_electrons: int | None = None
     n_beta_electrons: int | None = None
+    # AO overlap matrix (md_vlx_scf_overlap_matrix_data) — parsed from the
+    # checkpoint when present, else computed analytically on demand
+    # (ops.gto.overlap_matrix)
+    overlap: np.ndarray | None = None
     # expanded primitive arrays (built lazily)
     _prims: tuple | None = field(default=None, repr=False)
+
+    def overlap_matrix(self) -> np.ndarray:
+        """S in the contracted cartesian AO basis; checkpoint-provided or
+        analytic (cached)."""
+        if self.overlap is None:
+            from viamd_tpu.ops.gto import overlap_matrix
+
+            self.overlap = overlap_matrix(self.shells)
+        return self.overlap
+
+    def ao_to_atom_idx(self) -> np.ndarray:
+        """(nbasis_cart,) atom index per basis function — shell centers
+        matched to atom coordinates (md_vlx_ao_to_atom_idx)."""
+        out = []
+        xyz = np.asarray(self.atom_coords, np.float64)
+        for sh in self.shells:
+            d = ((xyz - np.asarray(sh.center, np.float64)) ** 2).sum(1)
+            a = int(np.argmin(d))
+            out.extend([a] * len(_CART[sh.angular]))
+        return np.asarray(out, np.int32)
 
     @property
     def n_occupied(self) -> int:
@@ -436,6 +460,8 @@ def load_vlx_h5(path: str) -> QMData:
             f, "ground_state_dipole", "scf/ground_state_dipole",
             "dipole_moment", "scf/dipole_moment", paths=keys,
         )
+        ovl = _find(f, "scf/overlap", "overlap_matrix", "overlap",
+                    paths=None)
         # -- vibrational section (md_vlx_vib_*) --------------------------
         vib = None
         vfreq = _find(f, "vib/frequencies", "vib_frequencies", paths=None)
@@ -607,4 +633,6 @@ def load_vlx_h5(path: str) -> QMData:
             c6_value=c6,
             n_alpha_electrons=(int(nae) if nae is not None else None),
             n_beta_electrons=(int(nbe) if nbe is not None else None),
+            overlap=(np.asarray(ovl, np.float64)
+                     if ovl is not None else None),
         )

@@ -103,6 +103,102 @@ def eval_gto_grid(
     return vals.reshape(-1)[:P].reshape(nx, ny, nz)
 
 
+def overlap_matrix(shells) -> "np.ndarray":
+    """Analytic overlap matrix of a contracted cartesian GTO basis →
+    (nbasis_cart, nbasis_cart), host NumPy.
+
+    Supplies md_vlx_scf_overlap_matrix_data when a checkpoint doesn't
+    carry S (the reference reads it from the VeloxChem h5 and feeds the
+    Mulliken charge attribution, veloxchem.cpp:6842,6869-6871). Uses the
+    Gaussian-product closed form: S = ∏_d S1d with
+    S1d(l1,l2) = Σ_{i,j} C(l1,i) C(l2,j) PA^{l1-i} PB^{l2-j} (i+j−1)!! /
+    (2γ)^{(i+j)/2} (even i+j), prefactor (π/γ)^{3/2} exp(−αβ|AB|²/γ).
+    Normalization matches primitives_for_orbital (same `normalization`),
+    so diagonal entries of single-primitive shells are exactly 1."""
+    from math import comb
+
+    # expand shells → per-primitive arrays (mirrors QMData._expand)
+    centers, exps, lmns, bidx, cn = [], [], [], [], []
+    b = 0
+    _CART_L = {
+        0: [(0, 0, 0)],
+        1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+        2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1),
+            (0, 0, 2)],
+        3: [(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1),
+            (1, 0, 2), (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)],
+    }
+    for sh in shells:
+        for l, m, n in _CART_L[int(sh.angular)]:
+            for a, c in zip(
+                np.asarray(sh.exponents, np.float64),
+                np.asarray(sh.contraction, np.float64),
+            ):
+                centers.append(np.asarray(sh.center, np.float64))
+                exps.append(float(a))
+                lmns.append((l, m, n))
+                bidx.append(b)
+                cn.append(float(c) * normalization(float(a), l, m, n))
+            b += 1
+    K = len(exps)
+    nb = b
+    A = np.asarray(centers)  # (K, 3)
+    al = np.asarray(exps)  # (K,)
+    L = np.asarray(lmns)  # (K, 3)
+    cw = np.asarray(cn)
+    bidx = np.asarray(bidx)
+
+    def df_odd(k):  # (k−1)!! for even k ≥ 0
+        out = 1.0
+        for i in range(k - 1, 0, -2):
+            out *= i
+        return out
+
+    lmax = int(L.max())
+    Ctab = np.zeros((lmax + 1, lmax + 1))
+    for lt in range(lmax + 1):
+        for it in range(lt + 1):
+            Ctab[lt, it] = comb(lt, it)
+    # pairwise primitive quantities
+    g = al[:, None] + al[None, :]  # (K, K)
+    mu = al[:, None] * al[None, :] / g
+    P = (al[:, None, None] * A[:, None, :] + al[None, :, None] *
+         A[None, :, :]) / g[:, :, None]
+    AB2 = ((A[:, None, :] - A[None, :, :]) ** 2).sum(-1)
+    pref = (np.pi / g) ** 1.5 * np.exp(-mu * AB2)
+    PA = P - A[:, None, :]  # (K, K, 3)
+    PB = P - A[None, :, :]
+    inv2g = 1.0 / (2.0 * g)
+    # S1d[l1, l2] per axis, built for all needed (l1, l2) pairs
+    S = np.array(pref)
+    for d in range(3):
+        s1 = np.zeros_like(g)
+        l1 = L[:, d][:, None]
+        l2 = L[:, d][None, :]
+        for i in range(lmax + 1):
+            for j in range(lmax + 1):
+                if (i + j) % 2 == 1:
+                    continue
+                ok = (l1 >= i) & (l2 >= j)
+                c1 = Ctab[np.maximum(l1, i), i]
+                c2 = Ctab[np.maximum(l2, j), j]
+                term = np.where(
+                    ok,
+                    c1 * c2
+                    * PA[:, :, d] ** np.maximum(l1 - i, 0)
+                    * PB[:, :, d] ** np.maximum(l2 - j, 0)
+                    * df_odd(i + j) * inv2g ** ((i + j) // 2),
+                    0.0,
+                )
+                s1 = s1 + term
+        S = S * s1
+    Sw = S * cw[:, None] * cw[None, :]
+    out = np.zeros((nb, nb))
+    np.add.at(out, (bidx[:, None].repeat(K, 1), bidx[None, :].repeat(K, 0)),
+              Sw)
+    return out
+
+
 def attribute_grid_to_atoms(
     grid: jnp.ndarray,  # (nx, ny, nz) density values
     origin: jnp.ndarray,  # (3,)
