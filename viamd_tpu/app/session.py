@@ -35,12 +35,25 @@ class Representation:
 
     name: str = "rep"
     filter: str = "all"
-    type: str = "spacefill"  # spacefill | licorice | ballstick
+    type: str = "spacefill"  # spacefill | licorice | ballstick | dipole
     color_mapping: str = "cpk"
     uniform_color: tuple = (0.6, 0.6, 0.9, 1.0)
     radius_scale: float = 1.0
     alpha: float = 1.0  # < 1 → drawn in the transparent pass, blended over
     enabled: bool = True
+    # ColorMapping::Property (viamd.cpp:1375,1408-1445): color by the
+    # current frame's value of an evaluated temporal property, remapped
+    # through [map_beg, map_end] into `color_map`
+    prop: str = ""
+    map_beg: float = 0.0
+    map_end: float = 1.0
+    color_map: str = "viridis"
+    # RepresentationType::DipoleMoment (main.cpp:6927-6955): arrow of one
+    # dipole from the RepresentationInfo catalog
+    dipole_key: str = "ground_state_dipole"
+    dipole_scale: float = 1.0
+    dipole_radius: float = 0.15
+    dipole_offset: tuple = (0.0, 0.0, 0.0)
     # derived
     mask: Optional[Bitfield] = None
     dynamic: bool = False
@@ -480,6 +493,37 @@ class Session:
         self.events.broadcast(EventType.EVAL_COMPLETE, res)
         return res
 
+    def _property_colors(self, rep) -> np.ndarray:
+        """ColorMapping::Property (viamd.cpp:1408-1445): the current
+        frame's value of `rep.prop`, lerped between the bracketing frames,
+        normalized over [map_beg, map_end] and sampled from `color_map`.
+        Per-structure properties (dim == number of `in`-context
+        structures) color each structure by its own value."""
+        from viamd_tpu.render import color as color_mod
+
+        sys = self.system
+        res = self.eval_result
+        if res is None or rep.prop not in (res.temporal or {}):
+            rep.error = f"property '{rep.prop}' not evaluated"
+            return color_mod.color_atoms_uniform(sys, rep.uniform_color)
+        vals = np.asarray(res.temporal[rep.prop], np.float64)
+        F = vals.shape[0]
+        f = float(np.clip(self.frame, 0, F - 1))
+        i0 = int(np.clip(np.floor(f), 0, F - 1))
+        i1 = int(np.clip(i0 + 1, 0, F - 1))
+        tfrac = f - i0
+        v = vals[i0] * (1.0 - tfrac) + vals[i1] * tfrac
+        structures = None
+        if self.compiled is not None:
+            try:
+                structures = self.compiled.property(rep.prop).structures
+            except KeyError:
+                pass
+        return color_mod.color_atoms_property(
+            sys, v, (rep.map_beg, rep.map_end), rep.color_map,
+            structures=structures,
+        )
+
     def evaluate_async(self, **kw):
         """Background evaluation with interruption (the interactive pattern:
         interrupt-then-wait + progress overlay)."""
@@ -569,6 +613,8 @@ class Session:
             mapping = color_mod.COLOR_MAPPINGS.get(rep.color_mapping)
             if rep.color_mapping == "secondary_structure" and ss_w is not None:
                 cols = color_mod.color_atoms_secondary_structure(sys, ss_w)
+            elif rep.color_mapping == "property":
+                cols = self._property_colors(rep)
             elif mapping:
                 cols = mapping(sys)
             else:
@@ -580,7 +626,38 @@ class Session:
                 # atoms desaturate; the outline draws after compositing
                 cols = color_mod.desaturate_colors(cols, ~self.selection)
 
-            if rep.type in ("ribbons", "cartoon"):
+            if rep.type == "dipole":
+                # RepresentationType::DipoleMoment (main.cpp:6927-6955):
+                # arrow = cylinder body (80%) + cone head (1.5× radius)
+                # from the RepresentationInfo dipole catalog
+                from viamd_tpu.render.triangles import (
+                    arrow_mesh, render_triangles,
+                )
+
+                info = self.components["veloxchem"].representation_info()
+                dip = next(
+                    (d for d in info.dipole_moments
+                     if d.key == rep.dipole_key),
+                    None,
+                )
+                if dip is None:
+                    rep.error = f"no dipole '{rep.dipole_key}'"
+                    continue
+                org = np.asarray(dip.origin, np.float64) + np.asarray(
+                    rep.dipole_offset, np.float64
+                )
+                vec = np.asarray(dip.vec, np.float64) * rep.dipole_scale
+                tris = arrow_mesh(org, org + vec, rep.dipole_radius)
+                vm = np.asarray(cam.view_matrix(), np.float32)
+                tv = tris @ vm[:3, :3].T + vm[:3, 3]
+                col = np.asarray(rep.uniform_color, np.float32)
+                rgba, d, p = render_triangles(
+                    tv, np.tile(col, (len(tv), 1)),
+                    np.full(len(tv), -1, np.int32),
+                    cam.proj_matrix(width, height, jitter), width, height,
+                )
+                rgba, d, p = np.asarray(rgba), np.asarray(d), np.asarray(p)
+            elif rep.type in ("ribbons", "cartoon"):
                 # true peptide-plane-oriented flat ribbon mesh with sheet
                 # arrowheads (md_gl RIBBONS/CARTOON, viamd.h:161-169)
                 from viamd_tpu.render.ribbon_mesh import ribbon_mesh

@@ -186,7 +186,7 @@ kindSel.addEventListener('change',showPlot);
 const repsDiv=document.getElementById('reps');
 const REP_TYPES=['spacefill','licorice','ballstick','tube','ribbons','cartoon'];
 const REP_COLORS=['cpk','atom_index','residue_index','residue_name','chain',
-                  'secondary_structure','uniform'];
+                  'secondary_structure','property','uniform'];
 function mkSel(opts,cur){const s=document.createElement('select');
   for(const o of opts){const e=document.createElement('option');
     e.textContent=o;if(o===cur)e.selected=true;s.appendChild(e);}return s;}
@@ -335,9 +335,14 @@ class ViewerServer:
                 i = int(data.get("index", -1))
                 if 0 <= i < len(s.representations):
                     rep = s.representations[i]
-                    for k in ("name", "filter", "type", "color_mapping"):
+                    for k in ("name", "filter", "type", "color_mapping",
+                              "prop", "color_map", "dipole_key"):
                         if k in data:
                             setattr(rep, k, str(data[k]))
+                    for k in ("map_beg", "map_end", "dipole_scale",
+                              "dipole_radius"):
+                        if k in data:
+                            setattr(rep, k, float(data[k]))
                     if "enabled" in data:
                         rep.enabled = bool(data["enabled"])
                     if "radius_scale" in data:

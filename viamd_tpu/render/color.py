@@ -211,6 +211,43 @@ COLOR_MAPPINGS = {
 }
 
 
+def color_atoms_property(
+    sys: System,
+    values,
+    map_range: tuple,
+    colormap_name: str = "viridis",
+    structures=None,
+    base=None,
+) -> np.ndarray:
+    """ColorMapping::Property (viamd.cpp:1408-1445): map the current
+    frame's property value(s) through a colormap over [map_beg, map_end].
+
+    `values`: scalar → every atom gets the one colormap sample; (S,) with
+    `structures` (S atom-index arrays) → each structure's atoms colored by
+    its own value (the reference's dim == vis.structure-count branch).
+    `base`: colors to start from (uncovered atoms keep it; default CPK)."""
+    from viamd_tpu.render.colormap import colormap as cmap_fn
+
+    cols = (np.array(base, np.float32) if base is not None
+            else color_atoms_cpk(sys))
+    lo, hi = map_range
+    span = (hi - lo) or 1.0
+    table = np.asarray(cmap_fn(colormap_name, 256), np.float32)
+    vals = np.asarray(values, np.float64).reshape(-1)
+
+    def sample(v):
+        t = float(np.clip((v - lo) / span, 0.0, 1.0))
+        c = table[int(round(t * 255))]
+        return np.array([c[0], c[1], c[2], 1.0], np.float32)
+
+    if structures is not None and len(structures) == vals.size:
+        for s, v in zip(structures, vals):
+            cols[np.asarray(s, np.int64)] = sample(v)
+    else:
+        cols[:] = sample(float(vals.mean()) if vals.size else lo)
+    return cols
+
+
 # -- masked ops (filter_colors / tint / desaturate, color_utils.h:276+) ------
 
 

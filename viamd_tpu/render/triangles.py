@@ -122,6 +122,52 @@ def _tile_kernel(cap: int, w: int, h: int, tx: int, shade: bool):
     return run
 
 
+def arrow_mesh(
+    beg: np.ndarray,
+    end: np.ndarray,
+    radius: float,
+    head_radius: float | None = None,
+    body_fraction: float = 0.8,
+    segments: int = 16,
+) -> np.ndarray:
+    """World-space triangle mesh of an arrow: cylinder body over the first
+    `body_fraction` of beg→end plus a cone head (the reference's dipole-
+    moment representation draws immediate::cylinder + immediate::cone with
+    head radius 1.5× body, /root/reference/src/main.cpp:6939-6953).
+    Returns (T, 3, 3) triangles."""
+    beg = np.asarray(beg, np.float64)
+    end = np.asarray(end, np.float64)
+    head_radius = 1.5 * radius if head_radius is None else head_radius
+    axis = end - beg
+    ln = np.linalg.norm(axis)
+    if ln < 1e-12:
+        return np.zeros((0, 3, 3), np.float32)
+    az = axis / ln
+    ref = np.array([1.0, 0, 0]) if abs(az[0]) < 0.9 else np.array([0, 1.0, 0])
+    ax = np.cross(az, ref)
+    ax /= np.linalg.norm(ax)
+    ay = np.cross(az, ax)
+    mid = beg + axis * body_fraction
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.cos(ang)[:, None] * ax + np.sin(ang)[:, None] * ay  # (S,3)
+    b0 = beg + ring * radius
+    b1 = mid + ring * radius
+    h0 = mid + ring * head_radius
+    tris = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        # cylinder side (two triangles)
+        tris.append([b0[i], b1[i], b0[j]])
+        tris.append([b0[j], b1[i], b1[j]])
+        # cone side
+        tris.append([h0[i], end, h0[j]])
+        # cone base annulus + body base cap
+        tris.append([b1[i], h0[i], b1[j]])
+        tris.append([b1[j], h0[i], h0[j]])
+        tris.append([b0[i], b0[j], beg])
+    return np.asarray(tris, np.float32)
+
+
 def render_triangles(
     verts_view: np.ndarray,  # (T,3,3) view-space vertices
     colors: np.ndarray,  # (T,4) rgba per triangle

@@ -167,6 +167,9 @@ class _Compiler:
         def probe(x, basis, inv_basis):
             temporal, accum, selections = self._run(stmts, x, basis, inv_basis)
             meta["units"] = {k: v.unit for k, v in temporal.items()}
+            meta["structures"] = {
+                k: v.structures for k, v in temporal.items()
+            }
             meta["specs"] = {k: v.spec for k, v in accum.items()}
             meta["selections"] = selections
             t_out = {
@@ -209,6 +212,7 @@ class _Compiler:
                     kind="temporal",
                     dim=int(np.prod(sh.shape)) if sh.shape else 1,
                     unit=meta["units"][name],
+                    structures=meta["structures"].get(name),
                 )
             )
         for name, spec in meta["specs"].items():
@@ -264,7 +268,7 @@ class _Compiler:
                 if isinstance(val, DynValue):
                     val = DynValue(
                         jax.lax.optimization_barrier(val.data),
-                        val.unit, val.is_coord,
+                        val.unit, val.is_coord, structures=val.structures,
                     )
                 else:
                     val = AccumValue(
@@ -301,7 +305,9 @@ class _Compiler:
             d = val.data
             if d.shape and d.shape[-1] == len(names):
                 return [
-                    DynValue(d[..., i], val.unit) for i in range(len(names))
+                    DynValue(d[..., i], val.unit,
+                             structures=val.structures)
+                    for i in range(len(names))
                 ]
         raise ScriptError(
             f"cannot destructure value into {len(names)} names",
@@ -412,9 +418,22 @@ class _Compiler:
         prev = self.context
         self.context = ctx
         try:
-            return self.eval(node.expr)
+            val = self.eval(node.expr)
         finally:
             self.context = prev
+        if (
+            isinstance(val, DynValue)
+            and val.structures is None
+            and getattr(val.data, "shape", ())
+            and val.data.shape[0] == ctx.n_structures
+        ):
+            # one value per context structure → carry the atom groups for
+            # the Property color mapping (viamd.cpp:1408-1445)
+            val = DynValue(
+                val.data, val.unit, val.is_coord,
+                structures=list(ctx.structures),
+            )
+        return val
 
     def _eval_Subscript(self, node: P.Subscript):
         base = self.eval(node.base)

@@ -82,6 +82,11 @@ class DynValue:
     unit: str = ""
     # shape info captured at compile time (trace shapes are static anyway)
     is_coord: bool = False  # value is a 3-vector position
+    # per-structure atom-index arrays when the value came from an
+    # `expr in sel` context with one value per structure — the
+    # MD_SCRIPT_VISUALIZE_ATOMS payload the reference's Property color
+    # mapping consumes (viamd.cpp:1408-1445)
+    structures: Any = None
 
 
 @dataclass
@@ -126,3 +131,6 @@ class PropertyMeta:
     dim: int = 1  # per-frame value count (temporal)
     unit: str = ""
     spec: Optional[AccumSpec] = None
+    # per-structure atom indices when dim maps 1:1 onto `in`-context
+    # structures (drives the Property color mapping, viamd.cpp:1408-1445)
+    structures: Optional[list] = None
