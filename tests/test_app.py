@@ -1241,6 +1241,30 @@ class TestPropertyAndDipoleReps:
         assert img is not None and img.shape == (120, 160, 4)
         s.representations.pop()
 
+    def test_rep_tint_and_saturation(self, ala_session):
+        """Per-rep tint/saturation post-pass (viamd.cpp:1455-1466)."""
+        from viamd_tpu.app.session import Representation
+
+        s = ala_session
+        rep = s.representations[0]
+        base = s._property_colors  # keep linters quiet about unused
+        del base
+        from viamd_tpu.render import color as color_mod
+
+        c0 = color_mod.COLOR_MAPPINGS["cpk"](s.system)
+        rep.tint_color = (1.0, 0.0, 0.0, 1.0)
+        rep.tint_scale = 0.5
+        rep.saturation = 0.5
+        img, _, _ = s.render(width=64, height=48, rep_index=0)
+        assert img.shape == (48, 64, 4)
+        # the tint pushes every atom's red channel toward 1 relative to
+        # green/blue — verify on the color util directly too
+        every = np.ones(s.system.natoms, bool)
+        tinted = color_mod.tint_colors(c0, every, rep.tint_color, 0.5)
+        assert (tinted[:, 0] >= c0[:, 0] - 1e-6).all()
+        rep.tint_scale = 0.0
+        rep.saturation = 1.0
+
     def test_arrow_mesh(self):
         from viamd_tpu.render.triangles import arrow_mesh
 

@@ -54,6 +54,11 @@ class Representation:
     dipole_scale: float = 1.0
     dipole_radius: float = 0.15
     dipole_offset: tuple = (0.0, 0.0, 0.0)
+    # per-rep tint/saturation post-pass (viamd.cpp:1455-1466: applied
+    # whenever tint_scale > 0 or saturation < 1)
+    tint_color: tuple = (1.0, 1.0, 1.0, 1.0)
+    tint_scale: float = 0.0
+    saturation: float = 1.0
     # derived
     mask: Optional[Bitfield] = None
     dynamic: bool = False
@@ -619,6 +624,17 @@ class Session:
                 cols = mapping(sys)
             else:
                 cols = color_mod.color_atoms_uniform(sys, rep.uniform_color)
+            if rep.tint_scale > 0.0 or rep.saturation < 1.0:
+                # per-rep tint/saturation (viamd.cpp:1455-1466)
+                every = np.ones(sys.natoms, bool)
+                if rep.tint_scale > 0.0:
+                    cols = color_mod.tint_colors(
+                        cols, every, rep.tint_color, rep.tint_scale
+                    )
+                if rep.saturation < 1.0:
+                    cols = color_mod.desaturate_colors(
+                        cols, every, 1.0 - rep.saturation
+                    )
             if rep.mask is not None:
                 cols = color_mod.filter_colors(cols, rep.mask)
             if show_selection and self.selection and self.selection.popcount():
