@@ -1147,6 +1147,54 @@ class TestVeloxchemSpectroscopy:
         assert s["num_alpha_electrons"] == 4
         assert s["num_beta_electrons"] == 3
 
+    def test_coordinate_override_playback(self, ala_session):
+        """Opt-step / normal-mode playback writes session coordinates and
+        clears back to the trajectory (veloxchem.cpp:3250-3258,
+        4745-4780)."""
+        from viamd_tpu.io.vlx import (
+            BOHR_PER_ANGSTROM, OptimizationData, VibrationalData,
+        )
+
+        s = ala_session
+        vlx = s.components["veloxchem"]
+        na = s.system.natoms
+        base = s.current_coords() * BOHR_PER_ANGSTROM  # Å → Bohr
+        coords = np.stack([base, base + [1.0, 0, 0]])  # 2 opt steps
+        modes = np.zeros((1, na, 3))
+        modes[0, :, 2] = 1.0
+        from viamd_tpu.io.vlx import QMData
+
+        vlx.load(QMData.from_arrays(
+            base, np.full(na, 1, np.int32), self._qm().shells,
+            np.eye(1, dtype=np.float32),
+            opt=OptimizationData(
+                energies=np.array([-1.0, -1.2]), coordinates=coords
+            ),
+            vib=VibrationalData(
+                frequencies=np.array([100.0]), normal_modes=modes
+            ),
+        ))
+        before = s.current_coords().copy()
+        vlx.apply_optimization_step(1)
+        after = s.current_coords()
+        assert np.allclose(
+            after[:, 0] - before[:, 0], 1.0 / BOHR_PER_ANGSTROM, atol=1e-4
+        )
+        vlx.apply_normal_mode(0, np.pi / 2, amplitude=2.0)
+        dz = s.current_coords()[:, 2] - before[:, 2]
+        assert np.allclose(dz, 0.5 / BOHR_PER_ANGSTROM, atol=1e-4)
+        vlx.clear_coordinate_override()
+        assert np.allclose(s.current_coords(), before)
+        # mismatched atom counts are rejected
+        vlx.load(self._qm(vib=VibrationalData(
+            frequencies=np.array([100.0]),
+            normal_modes=np.zeros((1, 1, 3)),
+        )))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not match"):
+            vlx.apply_normal_mode(0, 0.0)
+
     def test_optimization_profile(self, ala_session):
         from viamd_tpu.components.veloxchem import HARTREE_TO_KJ_PER_MOL
         from viamd_tpu.io.vlx import OptimizationData

@@ -98,6 +98,9 @@ class Session:
         )
         # playback
         self.frame: float = 0.0
+        # transient coordinate override (QM opt-step / normal-mode
+        # animation); None = serve trajectory/system coords
+        self.coord_override: Optional[np.ndarray] = None
         self.fps: float = 10.0  # animation playback rate (viamd.h animation)
         self.interpolation: str = "linear"  # nearest | linear | cubic
         # persisted render settings + user additions (.via sections
@@ -254,7 +257,12 @@ class Session:
     def current_coords(self) -> np.ndarray:
         """Coordinates at the (possibly fractional) playback frame, with the
         PBC-aware interpolation of the reference's hot loop
-        (viamd.cpp:1846-1885)."""
+        (viamd.cpp:1846-1885). A `coord_override` (set by QM optimization-
+        step playback / normal-mode animation, the reference's direct
+        sys.atom writes at veloxchem.cpp:3250-3258, 4745-4755) takes
+        precedence until cleared."""
+        if self.coord_override is not None:
+            return np.asarray(self.coord_override, np.float32)
         if self.trajectory is None or self.num_frames == 0:
             return self._apply_recenter(self.system.coords())
         import jax.numpy as jnp

@@ -703,6 +703,48 @@ class VeloxchemComponent:
         d = np.asarray(vib.normal_modes[mode], np.float64)
         return base + d * (amplitude * 0.25 * np.sin(t))
 
+    def _override_coords(self, coords_bohr: np.ndarray):
+        """Install QM coordinates (Bohr) as the session's coordinate
+        override — the reference writes directly into sys.atom.x/y/z and
+        broadcasts SystemStateChanged (veloxchem.cpp:3250-3258,
+        4745-4755). Requires the QM atom list to cover the system."""
+        sys_ = self.session.system
+        if sys_ is None or len(coords_bohr) != sys_.natoms:
+            raise ValueError(
+                f"QM atom count {len(coords_bohr)} does not match the "
+                f"loaded system ({0 if sys_ is None else sys_.natoms})"
+            )
+        self.session.coord_override = (
+            np.asarray(coords_bohr, np.float64) / BOHR_PER_ANGSTROM
+        ).astype(np.float32)
+        from viamd_tpu.app.events import EventType
+
+        self.session.events.broadcast(
+            EventType.SYSTEM_STATE_CHANGED, self.session
+        )
+
+    def apply_optimization_step(self, step: int):
+        """Show one geometry-optimization step in the session (the Step
+        slider, veloxchem.cpp:3250-3258)."""
+        self._override_coords(self.optimization_coordinates(step))
+
+    def apply_normal_mode(self, mode: int, t: float, amplitude: float = 1.0):
+        """Animate one vibrational mode in the session (advance t by
+        dt·freq_scale·8 per tick, veloxchem.cpp:4713-4755)."""
+        self._override_coords(
+            self.normal_mode_displacement(mode, t, amplitude)
+        )
+
+    def clear_coordinate_override(self):
+        """Reset to trajectory coordinates (the reference's reset-once on
+        deselect, veloxchem.cpp:4770-4780)."""
+        self.session.coord_override = None
+        from viamd_tpu.app.events import EventType
+
+        self.session.events.broadcast(
+            EventType.SYSTEM_STATE_CHANGED, self.session
+        )
+
     # ---- summary window (veloxchem.cpp:3090-3270) -----------------------
 
     def scf_convergence(self) -> dict:
