@@ -1324,6 +1324,107 @@ class TestPropertyAndDipoleReps:
         assert arrow_mesh([1, 1, 1], [1, 1, 1], 0.5).shape[0] == 0
 
 
+class TestVolumeExport:
+    """VeloxChem export window (veloxchem.cpp:5361-5650): OBB-fitted
+    grids, cube + raw/mhd/xyz formats, resolution presets, |ψ|."""
+
+    def _diag_h4(self):
+        """4 H atoms along the (1,1,0) diagonal — a PCA-obvious shape."""
+        from viamd_tpu.io.vlx import QMData, Shell
+
+        pts = np.stack([np.linspace(0, 9.0, 4)] * 2 + [np.zeros(4)], 1)
+        shells = [
+            Shell(p.astype(np.float32), 0, np.array([0.6], np.float32),
+                  np.array([1.0], np.float32))
+            for p in pts
+        ]
+        C = np.eye(4, dtype=np.float32)
+        return QMData.from_arrays(
+            pts, [1, 1, 1, 1], shells, C,
+            mo_occupations=np.array([2, 2, 0, 0], np.float32),
+        )
+
+    def test_obb_geometry(self, ala_session):
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._diag_h4())
+        R, lo, voxel, dims = vlx.obb_geometry(samples_per_ang=4.0)
+        # right-handed orthonormal frame
+        assert abs(np.linalg.det(R) - 1.0) < 1e-9
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-12)
+        # the first grid axis is the molecular diagonal (±(1,1,0)/√2)
+        assert abs(abs(R[:, 0] @ [2**-0.5, 2**-0.5, 0]) - 1.0) < 1e-6
+        # projected extents: long axis ≈ 12.7+12 Bohr, short ≈ padding
+        # only — the OBB grid is elongated along axis 0
+        assert dims[0] > dims[1] and dims[0] > dims[2]
+        # every dim aligned to 8, clamped to [8, 512]
+        assert all(d % 8 == 0 and 8 <= d <= 512 for d in dims)
+        # AABB (use_obb=False) is axis-aligned → identity orientation
+        R2, _, _, dims2 = vlx.obb_geometry(4.0, use_obb=False)
+        np.testing.assert_array_equal(R2, np.eye(3))
+        # the OBB fits tighter: fewer total voxels than the AABB grid
+        assert np.prod(dims) < np.prod(dims2)
+
+    def test_oriented_grid_values(self, ala_session):
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.gto import eval_gto, grid_points
+
+        vlx = ala_session.components["veloxchem"]
+        qm = self._diag_h4()
+        vlx.load(qm)
+        R, lo, voxel, dims = vlx.obb_geometry(4.0)
+        centers, exps, cf, lmn = qm.primitives_for_orbital(0)
+        from viamd_tpu.ops.gto import eval_gto_grid
+
+        g = np.asarray(eval_gto_grid(
+            jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(cf),
+            jnp.asarray(lmn), jnp.asarray(lo, jnp.float32),
+            jnp.asarray(voxel, jnp.float32), tuple(int(d) for d in dims),
+            orientation=jnp.asarray(R, jnp.float32),
+        ))
+        # one voxel vs direct evaluation at its world point
+        i, j, k = 3, 2, 1
+        p_grid = lo + (np.array([i, j, k]) + 0.5) * voxel
+        p_world = R @ p_grid
+        psi = float(np.asarray(eval_gto(
+            jnp.asarray(p_world, jnp.float32)[None, :],
+            jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(cf),
+            jnp.asarray(lmn),
+        ))[0])
+        assert abs(g[i, j, k] - psi) < 1e-5
+
+    def test_export_cube_and_mhd(self, ala_session, tmp_path):
+        from viamd_tpu.app.export import read_cube
+
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(self._diag_h4())
+        p = str(tmp_path / "homo.cube")
+        vlx.export_volume(p, source="mo", fmt="cube", resolution="low")
+        grid, origin, voxel, zs, xyz = read_cube(p)
+        assert grid.ndim == 3 and np.isfinite(grid).all()
+        assert len(zs) == 4
+        # magnitude export is non-negative
+        p2 = str(tmp_path / "homo_abs.cube")
+        vlx.export_volume(p2, source="mo", fmt="cube", resolution="low",
+                          use_magnitude=True)
+        g2, *_ = read_cube(p2)
+        assert (g2 >= 0).all()
+        # mhd: header + raw payload + xyz atoms
+        files = vlx.export_volume(
+            str(tmp_path / "dens.mhd"), source="electron_density",
+            fmt="mhd", resolution="low",
+        )
+        assert len(files) == 3
+        hdr = open(files[0]).read()
+        assert "MET_FLOAT" in hdr and "TransformMatrix" in hdr
+        raw = np.fromfile(files[1], np.float32)
+        dims = [int(t) for t in
+                [ln for ln in hdr.splitlines()
+                 if ln.startswith("DimSize")][0].split("=")[1].split()]
+        assert raw.size == np.prod(dims) and (raw >= -1e-6).all()
+        assert open(files[2]).readline().strip() == "4"
+
+
 class TestChargeTransfer:
     """NTO charge-transfer analysis: density→atom attribution, the
     donor→acceptor transition matrix (veloxchem.cpp:5805-5870), and the

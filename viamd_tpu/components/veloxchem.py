@@ -96,6 +96,157 @@ class VeloxchemComponent:
         vox = (hi - lo) / dims
         return lo.astype(np.float32), vox.astype(np.float32)
 
+    # volume-resolution presets: samples per Å (Low/Mid/High,
+    # veloxchem.cpp:127-133)
+    RESOLUTION_SAMPLES_PER_ANG = {"low": 4.0, "mid": 8.0, "high": 16.0}
+
+    def obb_geometry(
+        self, samples_per_ang: float = 8.0, use_obb: bool = True,
+        padding_bohr: float = 6.0,
+    ):
+        """Export grid geometry, optionally fit to the molecule's
+        principal axes (the Use-OBB option, veloxchem.cpp:838-842
+        mat3_PCA + calculate_bounds w/ 6 Bohr padding:185, dims =
+        clamp(align8(extent·samples), 8, 512):225-229).
+
+        Returns (orientation (3,3) columns = grid axes, origin_grid (3,)
+        Bohr in the GRID frame, voxel (3,) Bohr, dims (3,) ints)."""
+        qm = self.qm
+        if qm is None:
+            raise ValueError("no QM data loaded")
+        xyz = np.asarray(qm.atom_coords, np.float64)
+        if use_obb and len(xyz) > 2:
+            c = xyz - xyz.mean(axis=0)
+            cov = c.T @ c / len(xyz)
+            w, V = np.linalg.eigh(cov)
+            R = V[:, ::-1]  # principal axis first (descending variance)
+            if np.linalg.det(R) < 0:
+                R[:, 2] = -R[:, 2]  # right-handed (mat3_orthonormalize)
+        else:
+            R = np.eye(3)
+        proj = xyz @ R  # coordinates in the grid frame (Rᵀ x, row form)
+        lo = proj.min(axis=0) - padding_bohr
+        hi = proj.max(axis=0) + padding_bohr
+        ext = hi - lo
+        spb = samples_per_ang * 0.52917721  # samples per Bohr
+        dims = np.clip(
+            ((ext * spb).astype(int) + 7) // 8 * 8, 8, 512
+        ).astype(int)
+        voxel = ext / dims
+        return R, lo, voxel, dims
+
+    def export_volume(
+        self,
+        path: str,
+        source: str = "mo",
+        fmt: str = "cube",
+        mo: int | None = None,
+        state: int = 0,
+        nto_lambda: int = 0,
+        nto_component: str = "particle",
+        resolution: str | float = "mid",
+        use_obb: bool = True,
+        use_magnitude: bool = False,
+    ):
+        """The VeloxChem Export window (veloxchem.cpp:5361-5650): evaluate
+        an electronic-structure source on an (optionally OBB-fitted) grid
+        and write it as Gaussian `cube` or `mhd` (raw + MetaImage header +
+        xyz atoms).
+
+        `source`: "mo" (default HOMO; |ψ| with use_magnitude) | "nto"
+        (hole/particle lambda channel) | "transition_density" |
+        "attachment" | "detachment" | "electron_density".
+        `resolution`: "low"/"mid"/"high" (4/8/16 samples per Å) or a
+        number. Returns the written path(s)."""
+        import jax.numpy as jnp
+
+        from viamd_tpu.ops.gto import (
+            density_grid, eval_gto_grid, transition_density_grid,
+        )
+
+        qm = self.qm
+        if qm is None:
+            raise ValueError("no QM data loaded")
+        spa = (self.RESOLUTION_SAMPLES_PER_ANG[resolution]
+               if isinstance(resolution, str) else float(resolution))
+        R, lo, voxel, dims = self.obb_geometry(spa, use_obb)
+        dims_t = tuple(int(d) for d in dims)
+        Rj = jnp.asarray(R, jnp.float32) if use_obb else None
+        oj = jnp.asarray(lo, jnp.float32)
+        vj = jnp.asarray(voxel, jnp.float32)
+        if source == "mo":
+            mo_idx = qm.n_occupied - 1 if mo is None else int(mo)
+            centers, exps, cf, lmn = qm.primitives_for_orbital(mo_idx)
+            g = eval_gto_grid(
+                jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(cf),
+                jnp.asarray(lmn), oj, vj, dims_t, orientation=Rj,
+            )
+        elif source == "nto":
+            lam, holes, parts = self.ntos(state)
+            vecs = parts if nto_component == "particle" else holes
+            centers, exps, C, lmn = qm.primitives_for_vectors(
+                vecs[:, nto_lambda : nto_lambda + 1]
+            )
+            g = eval_gto_grid(
+                jnp.asarray(centers), jnp.asarray(exps),
+                jnp.asarray(C[:, 0]), jnp.asarray(lmn), oj, vj, dims_t,
+                orientation=Rj,
+            )
+        elif source == "transition_density":
+            exc = self._excited()
+            Co, Cv = self._split_occ_virt()
+            centers, exps, Cop, lmn = qm.primitives_for_vectors(Co)
+            _, _, Cvp, _ = qm.primitives_for_vectors(Cv)
+            g = transition_density_grid(
+                jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(Cop),
+                jnp.asarray(Cvp), exc.transition_dms[state],
+                jnp.asarray(lmn), oj, vj, dims_t, orientation=Rj,
+            )
+        elif source in ("attachment", "detachment"):
+            lam, holes, parts = self.ntos(state)
+            vecs = parts if source == "attachment" else holes
+            centers, exps, C, lmn = qm.primitives_for_vectors(vecs)
+            g = density_grid(
+                jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
+                jnp.asarray(lmn), oj, vj, dims_t,
+                occupations=np.asarray(lam, np.float32),
+                orientation=Rj,
+            )
+        elif source == "electron_density":
+            centers, exps, C, lmn = qm.primitives_all()
+            occ = (qm.mo_occupations if qm.mo_occupations is not None
+                   else None)
+            g = density_grid(
+                jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
+                jnp.asarray(lmn), oj, vj, dims_t, occupations=occ,
+                orientation=Rj,
+            )
+        else:
+            raise ValueError(f"unknown export source {source!r}")
+        g = np.asarray(g)
+        if use_magnitude:
+            g = np.abs(g)  # md_gto op |ψ| (gto_op_from_use_magnitude)
+        # world-space geometry (Å) for the writers
+        B2A = 1.0 / BOHR_PER_ANGSTROM
+        origin_world = (R @ lo) * B2A
+        axes = (R * voxel[None, :]).T * B2A  # row i = voxel vector of axis i
+        z = np.asarray(qm.atom_numbers)
+        axyz = np.asarray(qm.atom_coords, np.float64) * B2A
+        from viamd_tpu.app import export as ex
+
+        if fmt == "cube":
+            ex.export_cube(
+                path, g, origin_world, voxel * B2A, atoms_z=z,
+                atoms_xyz=axyz, axes=axes,
+            )
+            return [path]
+        if fmt in ("mhd", "raw"):
+            return ex.export_mhd(
+                path, g, origin_world, voxel * B2A, orientation=R,
+                atoms_z=z, atoms_xyz=axyz,
+            )
+        raise ValueError(f"unknown export format {fmt!r}")
+
     def orbital_grid(self, mo: int, dims: int = 64) -> tuple:
         """ψ_mo on a voxel grid → (grid (D,D,D), origin Bohr, voxel Bohr)."""
         if self.qm is None:

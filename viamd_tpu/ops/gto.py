@@ -65,6 +65,40 @@ def eval_gto(
     return jnp.dot(phi, coeffs, preferred_element_type=jnp.float32)
 
 
+def grid_points(
+    origin: jnp.ndarray,  # (3,) in the GRID frame
+    voxel: jnp.ndarray,  # (3,)
+    dims: tuple,
+    orientation: "jnp.ndarray | None" = None,  # (3,3) grid→world rotation
+    chunk: int | None = None,
+) -> jnp.ndarray:
+    """(P, 3) world-space voxel centers, optionally padded to `chunk`.
+
+    `orientation` columns are the grid axes (the md_grid_t layout,
+    veloxchem.cpp:1534-1541: world point = orientation @ (origin +
+    (i+0.5)·voxel), with origin given in the grid frame — the OBB export
+    grids). None = axis-aligned (identity)."""
+    nx, ny, nz = dims
+    P = nx * ny * nz
+    ii = jnp.arange(P, dtype=jnp.int32)
+    iz = ii % nz
+    iy = (ii // nz) % ny
+    ix = ii // (ny * nz)
+    pts = origin[None, :] + (
+        jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32) + 0.5
+    ) * voxel[None, :]
+    if orientation is not None:
+        from viamd_tpu.ops.pbc import cellmul
+
+        # world = R @ p_grid ⇔ row-vector p_grid @ Rᵀ (expanded, no
+        # tiny-K matmul — CLAUDE.md backend rule)
+        pts = cellmul(pts, jnp.asarray(orientation, jnp.float32).T)
+    if chunk is not None:
+        P_pad = -(-P // chunk) * chunk
+        pts = jnp.pad(pts, ((0, P_pad - P), (0, 0)))
+    return pts
+
+
 @functools.partial(jax.jit, static_argnames=("dims", "chunk"))
 def eval_gto_grid(
     centers: jnp.ndarray,
@@ -75,30 +109,23 @@ def eval_gto_grid(
     voxel: jnp.ndarray,  # (3,)
     dims: tuple,  # (nx, ny, nz)
     chunk: int = 8192,
+    orientation: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """Evaluate one orbital on a voxel grid → (nx, ny, nz).
 
     Voxels stream in chunks through eval_gto (bounded memory); the grid is
     the input to the volume ray-marcher (the veloxchem orbital windows).
-    """
+    `orientation` rotates the grid into world space (OBB exports)."""
     nx, ny, nz = dims
     P = nx * ny * nz
-    ii = jnp.arange(P, dtype=jnp.int32)
-    iz = ii % nz
-    iy = (ii // nz) % ny
-    ix = ii // (ny * nz)
-    pts = origin[None, :] + (
-        jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32) + 0.5
-    ) * voxel[None, :]
-    P_pad = -(-P // chunk) * chunk
-    pts = jnp.pad(pts, ((0, P_pad - P), (0, 0)))
+    pts = grid_points(origin, voxel, dims, orientation, chunk)
 
     def body(c0, _):
         block = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
         return c0 + chunk, eval_gto(block, centers, exponents, coeffs, lmn)
 
     _, vals = jax.lax.scan(
-        body, 0, None, length=P_pad // chunk
+        body, 0, None, length=pts.shape[0] // chunk
     )
     return vals.reshape(-1)[:P].reshape(nx, ny, nz)
 
@@ -274,7 +301,7 @@ def normalization(alpha: float, l: int, m: int, n: int) -> float:
 
 def density_grid(
     centers, exponents, mo_coeffs, lmn, origin, voxel, dims,
-    occupations=None, chunk: int = 8192,
+    occupations=None, chunk: int = 8192, orientation=None,
 ):
     """Electron density ρ = Σ_mo occ·ψ_mo² on a grid (the electron-density
     window capability). mo_coeffs: (K, M)."""
@@ -287,28 +314,20 @@ def density_grid(
     )
     nx, ny, nz = dims
     P = nx * ny * nz
-    ii = jnp.arange(P, dtype=jnp.int32)
-    iz = ii % nz
-    iy = (ii // nz) % ny
-    ix = ii // (ny * nz)
-    pts = origin[None, :] + (
-        jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5
-    ) * voxel[None, :]
-    P_pad = -(-P // chunk) * chunk
-    pts = jnp.pad(pts, ((0, P_pad - P), (0, 0)))
+    pts = grid_points(origin, voxel, dims, orientation, chunk)
 
     def body(c0, _):
         block = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
         psi = eval_gto(block, centers, exponents, mo_coeffs, lmn)  # (chunk, M)
         return c0 + chunk, jnp.sum(psi * psi * occ[None, :], axis=1)
 
-    _, vals = jax.lax.scan(body, 0, None, length=P_pad // chunk)
+    _, vals = jax.lax.scan(body, 0, None, length=pts.shape[0] // chunk)
     return vals.reshape(-1)[:P].reshape(nx, ny, nz)
 
 
 def transition_density_grid(
     centers, exponents, C_occ, C_virt, T, lmn, origin, voxel, dims,
-    chunk: int = 8192,
+    chunk: int = 8192, orientation=None,
 ):
     """One-particle transition density ρ_T(r) = Σ_ia T_ia ψ_i(r) ψ_a(r)
     on a grid — the md_gto transition-density capability behind the
@@ -322,15 +341,7 @@ def transition_density_grid(
     T = jnp.asarray(T, jnp.float32)
     nx, ny, nz = dims
     P = nx * ny * nz
-    ii = jnp.arange(P, dtype=jnp.int32)
-    iz = ii % nz
-    iy = (ii // nz) % ny
-    ix = ii // (ny * nz)
-    pts = origin[None, :] + (
-        jnp.stack([ix, iy, iz], -1).astype(jnp.float32) + 0.5
-    ) * voxel[None, :]
-    P_pad = -(-P // chunk) * chunk
-    pts = jnp.pad(pts, ((0, P_pad - P), (0, 0)))
+    pts = grid_points(origin, voxel, dims, orientation, chunk)
 
     def body(c0, _):
         block = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
@@ -339,5 +350,5 @@ def transition_density_grid(
         mixed = jnp.dot(phi_o, T, preferred_element_type=jnp.float32)
         return c0 + chunk, jnp.sum(mixed * phi_v, axis=1)
 
-    _, vals = jax.lax.scan(body, 0, None, length=P_pad // chunk)
+    _, vals = jax.lax.scan(body, 0, None, length=pts.shape[0] // chunk)
     return vals.reshape(-1)[:P].reshape(nx, ny, nz)
