@@ -1393,6 +1393,31 @@ class TestVolumeExport:
         ))[0])
         assert abs(g[i, j, k] - psi) < 1e-5
 
+    def test_orbital_scene_volume(self, ala_session):
+        """In-scene orbital compositing (the ElectronicStructure reps on
+        RenderTransparent, veloxchem.cpp:617-700): the ± iso volume
+        changes pixels over the molecule-only frame."""
+        from viamd_tpu.io.vlx import BOHR_PER_ANGSTROM, QMData, Shell
+
+        s = ala_session
+        lo, hi = s.system.aabb()
+        center = (np.asarray(lo) + np.asarray(hi)) / 2 * BOHR_PER_ANGSTROM
+        shells = [Shell(center.astype(np.float32), 0,
+                        np.array([0.05], np.float32),
+                        np.array([1.0], np.float32))]
+        qm = QMData.from_arrays(
+            center[None, :], [1], shells, np.eye(1, dtype=np.float32),
+            mo_occupations=np.array([2.0], np.float32),
+        )
+        vlx = s.components["veloxchem"]
+        vlx.load(qm)
+        vd = vlx.orbital_scene_volume(0, dims=24, iso=0.2)
+        assert vd["grid"].shape == (24, 24, 24)
+        base, depth, _ = s.render(width=96, height=80)
+        comp = s.render(width=96, height=80, volume=vd)[0]
+        assert comp.shape == base.shape
+        assert np.abs(comp - base).max() > 0.05  # the volume drew
+
     def test_export_cube_and_mhd(self, ala_session, tmp_path):
         from viamd_tpu.app.export import read_cube
 

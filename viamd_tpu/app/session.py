@@ -847,6 +847,14 @@ class Session:
         from viamd_tpu.render import volume as vol_mod
 
         comp = self.components["density_volume"]
+        if isinstance(volume, dict):
+            # explicit scene volume (the veloxchem RenderTransparent
+            # analog, veloxchem.cpp:617-700): {"grid", "model", and
+            # optional "tf"/"value_range"/"iso_values"/"iso_colors"} —
+            # e.g. VeloxchemComponent.orbital_scene_volume
+            return self._composite_scene_volume(
+                volume, img, depth, width, height, jitter
+            )
         names = comp.volume_properties()
         if not names:
             raise ValueError(
@@ -883,6 +891,61 @@ class Session:
             iso_colors=comp.iso_colors,
             clip_min=tuple(comp.clip_min),
             clip_max=tuple(comp.clip_max),
+        )
+        view = np.asarray(cam.view_matrix(), np.float32)
+        proj = np.asarray(
+            cam.proj_matrix(width, height, jitter), np.float32
+        )
+        if width * height >= 256 * 256:
+            from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+            vimg, _ = render_volume_shearwarp(
+                grid, tf, model, view, proj, settings,
+                scene_depth=np.asarray(depth),
+            )
+        else:
+            vimg, _ = vol_mod.render_volume(
+                grid, tf, model, view, proj, settings,
+                scene_depth=np.asarray(depth),
+            )
+        vimg = np.asarray(vimg)
+        va = vimg[..., 3:4]
+        base = np.asarray(img, np.float32)
+        rgb = vimg[..., :3] + base[..., :3] * (1.0 - va)
+        a = va + base[..., 3:4] * (1.0 - va)
+        return np.concatenate([rgb, a], axis=-1).astype(np.float32)
+
+    def _composite_scene_volume(
+        self, vd: dict, img, depth, width, height, jitter
+    ):
+        """Composite an explicit {grid, model, …} volume over the opaque
+        image with the scene-depth-clamped march (the veloxchem orbital
+        volumes on RenderTransparent, veloxchem.cpp:617-700)."""
+        from viamd_tpu.render import colormap as cmap_mod
+        from viamd_tpu.render import volume as vol_mod
+
+        grid = np.asarray(vd["grid"], np.float32)
+        model = np.asarray(vd["model"], np.float32)
+        span = float(np.abs(grid).max()) or 1.0
+        vr = tuple(vd.get("value_range", (-span, span)))
+        tf = vd.get("tf")
+        if tf is None:
+            tf = cmap_mod.transfer_function("cool", 128, alpha_scale=0.0)
+        iso_values = tuple(vd.get("iso_values", (0.05 * span,
+                                                 -0.05 * span)))
+        iso_colors = tuple(vd.get("iso_colors", (
+            (0.9, 0.3, 0.2, 0.6), (0.2, 0.4, 0.95, 0.6),
+        )))
+        cam = self.camera or cam_mod.compute_optimal_view(
+            *self.system.aabb()
+        )
+        settings = vol_mod.VolumeRenderSettings(
+            width=width, height=height,
+            value_range=vr,
+            enable_dvr=bool(vd.get("enable_dvr", False)),
+            enable_iso=bool(iso_values),
+            iso_values=iso_values,
+            iso_colors=iso_colors,
         )
         view = np.asarray(cam.view_matrix(), np.float32)
         proj = np.asarray(

@@ -289,6 +289,31 @@ class VeloxchemComponent:
         )
         return np.asarray(grid), origin, vox
 
+    def orbital_scene_volume(
+        self, mo: int | None = None, dims: int = 48, iso: float = 0.05,
+    ) -> dict:
+        """An orbital volume ready for in-scene compositing —
+        `Session.render(volume=vlx.orbital_scene_volume(...))` renders the
+        ± isosurfaces over the molecule with the scene-depth-clamped
+        march, the reference's ElectronicStructure representations on
+        RenderTransparent (veloxchem.cpp:617-700). The model matrix places
+        the Bohr grid in the session's Å world."""
+        if self.qm is None:
+            raise ValueError("no QM data loaded")
+        mo_idx = self.qm.n_occupied - 1 if mo is None else int(mo)
+        grid, origin, vox = self.orbital_grid(mo_idx, dims)
+        span = float(np.abs(grid).max()) or 1.0
+        B2A = 1.0 / BOHR_PER_ANGSTROM
+        model = np.eye(4, dtype=np.float32)
+        model[:3, :3] = np.diag(np.asarray(vox) * dims * B2A)
+        model[:3, 3] = np.asarray(origin) * B2A
+        return {
+            "grid": grid,
+            "model": model,
+            "iso_values": (iso * span, -iso * span),
+            "iso_colors": ((0.9, 0.3, 0.2, 0.6), (0.2, 0.4, 0.95, 0.6)),
+        }
+
     def render_orbital(
         self, mo: int, dims: int = 64, width: int = 512, height: int = 512,
         iso: float = 0.05,
