@@ -1344,6 +1344,49 @@ class TestVolumeExport:
             mo_occupations=np.array([2, 2, 0, 0], np.float32),
         )
 
+    def test_unrestricted_spin_densities(self, ala_session):
+        """ElectronicStructureSpin total/alpha/beta/difference
+        (veloxchem.cpp:1855-1885) on an unrestricted hydrogen-atom-like
+        doublet: one alpha electron, zero beta."""
+        from viamd_tpu.io.vlx import QMData, Shell
+
+        shells = [Shell(np.zeros(3, np.float32), 0,
+                        np.array([0.8], np.float32),
+                        np.array([1.0], np.float32))]
+        qm = QMData.from_arrays(
+            [[0, 0, 0]], [1], shells, np.eye(1, dtype=np.float32),
+            mo_occupations=np.array([1.0], np.float32),
+            beta_coeffs=np.eye(1, dtype=np.float32),
+            beta_occupations=np.array([0.0]),
+        )
+        assert qm.scf_type == "unrestricted"
+        vlx = ala_session.components["veloxchem"]
+        vlx.load(qm)
+        dims = 40
+        tot, origin, vox = vlx.density_grid(dims=dims, spin="total")
+        alp, _, _ = vlx.density_grid(dims=dims, spin="alpha")
+        bet, _, _ = vlx.density_grid(dims=dims, spin="beta")
+        dif, _, _ = vlx.density_grid(dims=dims, spin="difference")
+        dv = float(np.prod(vox))
+        assert abs(tot.sum() * dv - 1.0) < 0.02  # one electron
+        assert bet.sum() * dv < 1e-9  # no beta electrons
+        np.testing.assert_allclose(dif, alp - bet, atol=1e-7)
+        np.testing.assert_allclose(tot, alp + bet, atol=1e-7)
+        info = vlx.representation_info()
+        assert info.beta is not None and info.beta.homo_idx == -1
+        assert vlx.summary()["scf_type"] == "unrestricted"
+        # restricted fallback: alpha == beta == total/2, difference == 0
+        qm_r = QMData.from_arrays(
+            [[0, 0, 0]], [2], shells, np.eye(1, dtype=np.float32),
+            mo_occupations=np.array([2.0], np.float32),
+        )
+        vlx.load(qm_r)
+        tot, _, _ = vlx.density_grid(dims=dims, spin="total")
+        alp, _, _ = vlx.density_grid(dims=dims, spin="alpha")
+        dif, _, _ = vlx.density_grid(dims=dims, spin="difference")
+        np.testing.assert_allclose(alp * 2, tot, atol=1e-7)
+        assert np.abs(dif).max() < 1e-9
+
     def test_obb_geometry(self, ala_session):
         vlx = ala_session.components["veloxchem"]
         vlx.load(self._diag_h4())

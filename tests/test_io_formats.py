@@ -358,6 +358,8 @@ class TestVlxH5:
             f["atom_coordinates"] = coords
             f["nuclear_charges"] = np.array([1, 1], np.int32)
             f["alpha_orbitals"] = np.eye(2, dtype=np.float32)
+            f["beta_orbitals"] = np.eye(2, dtype=np.float32) * 0.5
+            f["beta_occupations"] = np.array([1.0, 0.0])
             g = f.create_group("basis")
             for i in range(2):
                 sg = g.create_group(str(i))
@@ -399,6 +401,9 @@ class TestVlxH5:
         assert qm.dft_label == "HF"
         assert qm.molecular_charge == 0.0
         assert qm.nuclear_repulsion == 0.714
+        assert qm.scf_type == "unrestricted"
+        np.testing.assert_allclose(qm.beta_coeffs, np.eye(2) * 0.5)
+        np.testing.assert_allclose(qm.beta_occupations, [1.0, 0.0])
 
 
 class TestSidecarCache:

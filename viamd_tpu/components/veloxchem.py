@@ -264,30 +264,61 @@ class VeloxchemComponent:
         )
         return np.asarray(grid), origin, vox
 
-    def density_grid(self, dims: int = 64, n_occupied: Optional[int] = None):
-        """Electron density over occupied orbitals."""
+    def density_grid(
+        self, dims: int = 64, n_occupied: Optional[int] = None,
+        spin: str = "total",
+    ):
+        """Electron density over occupied orbitals.
+
+        `spin` (veloxchem.cpp:1855-1885 ElectronicStructureSpin):
+        "total" = α+β (restricted checkpoints store both spins in the
+        occupations already), "alpha"/"beta" = one spin set (restricted →
+        half the stored occupations), "difference" = α−β spin density
+        (identically 0 for restricted)."""
         if self.qm is None:
             raise ValueError("no QM data loaded")
-        import jax.numpy as jnp
+        qm = self.qm
 
-        from viamd_tpu.ops.gto import density_grid
+        def one(spin_set: str, occ_scale: float = 1.0):
+            import jax.numpy as jnp
 
-        centers, exps, C, lmn = self.qm.primitives_all()
-        if n_occupied is not None:
-            C = C[:, :n_occupied]
-        occ = (
-            self.qm.mo_occupations[: C.shape[1]]
-            if self.qm.mo_occupations is not None
-            else None
-        )
-        origin, vox = self._grid_geometry(dims)
-        grid = density_grid(
-            jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
-            jnp.asarray(lmn), jnp.asarray(origin), jnp.asarray(vox),
-            (dims, dims, dims),
-            occupations=occ,
-        )
-        return np.asarray(grid), origin, vox
+            from viamd_tpu.ops.gto import density_grid
+
+            centers, exps, C, lmn = qm.primitives_all(spin_set)
+            occ = qm.mo_occupations
+            if spin_set == "beta" and qm.beta_occupations is not None:
+                occ = qm.beta_occupations
+            if n_occupied is not None:
+                C = C[:, :n_occupied]
+            if occ is not None:
+                occ = np.asarray(occ[: C.shape[1]], np.float32) * occ_scale
+            elif occ_scale != 1.0:
+                occ = np.full(C.shape[1], 2.0 * occ_scale, np.float32)
+            origin, vox = self._grid_geometry(dims)
+            g = density_grid(
+                jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
+                jnp.asarray(lmn), jnp.asarray(origin), jnp.asarray(vox),
+                (dims, dims, dims), occupations=occ,
+            )
+            return np.asarray(g), origin, vox
+
+        unrestricted = qm.beta_coeffs is not None
+        if spin == "total":
+            ga, origin, vox = one("alpha")
+            if unrestricted:
+                gb, _, _ = one("beta")
+                ga = ga + gb
+            return ga, origin, vox
+        if spin == "alpha":
+            return one("alpha", occ_scale=1.0 if unrestricted else 0.5)
+        if spin == "beta":
+            return one("beta", occ_scale=1.0 if unrestricted else 0.5)
+        if spin == "difference":
+            sa = 1.0 if unrestricted else 0.5
+            ga, origin, vox = one("alpha", occ_scale=sa)
+            gb, _, _ = one("beta", occ_scale=sa)
+            return ga - gb, origin, vox
+        raise ValueError(f"unknown spin {spin!r}")
 
     def orbital_scene_volume(
         self, mo: int | None = None, dims: int = 48, iso: float = 0.05,
@@ -996,6 +1027,7 @@ class VeloxchemComponent:
             "num_beta_electrons": int(n_beta),
             "molecular_charge": float(charge),
             "spin_multiplicity": int(mult),
+            "scf_type": qm.scf_type,
             "rsp_type": qm.rsp_type,
             "nuclear_repulsion": qm.nuclear_repulsion,
         }
@@ -1036,6 +1068,26 @@ class VeloxchemComponent:
                     np.asarray(qm.mo_energies, np.float64)
                     if qm.mo_energies is not None else None
                 ),
+            )
+        beta = None
+        if qm.beta_coeffs is not None:
+            occb = qm.beta_occupations
+            homo_b = (int(np.sum(np.asarray(occb) > 0)) - 1
+                      if occb is not None else qm.n_occupied - 1)
+            nmo_b = qm.beta_coeffs.shape[1]
+            lumo_b = min(homo_b + 1, nmo_b - 1)
+            beta = MolecularOrbitalInfo(
+                homo_idx=homo_b,
+                lumo_idx=lumo_b,
+                labels=[
+                    f"{i + 1}{' (homo)' if i == homo_b else ''}"
+                    f"{' (lumo)' if i == lumo_b else ''}"
+                    for i in range(nmo_b)
+                ],
+                occupations=(np.asarray(occb, np.float64)
+                             if occb is not None else None),
+                energies=(np.asarray(qm.beta_energies, np.float64)
+                          if qm.beta_energies is not None else None),
             )
         nto = None
         if qm.excited is not None and qm.excited.transition_dms is not None:
@@ -1093,7 +1145,7 @@ class VeloxchemComponent:
                 density_props += ["transition_density",
                                   "attachment_density", "detachment_density"]
         return RepresentationInfo(
-            alpha=alpha, beta=None, nto=nto, dipole_moments=dipoles,
+            alpha=alpha, beta=beta, nto=nto, dipole_moments=dipoles,
             atom_properties=atom_props, density_properties=density_props,
         )
 

@@ -127,6 +127,13 @@ class QMData:
     mo_coeffs: np.ndarray  # (nbasis_cart, nmo)
     mo_energies: np.ndarray | None = None
     mo_occupations: np.ndarray | None = None
+    # beta-spin MO set for unrestricted checkpoints (md_vlx_scf_type
+    # MD_VLX_SCF_TYPE_UNRESTRICTED; alpha/beta density selection at
+    # veloxchem.cpp:1855-1885). None = restricted (beta ≡ alpha, the
+    # stored occupations count both spins).
+    beta_coeffs: np.ndarray | None = None
+    beta_energies: np.ndarray | None = None
+    beta_occupations: np.ndarray | None = None
     excited: ExcitedStates | None = None
     # SCF ground-state dipole moment (a.u.), when the checkpoint carries it
     # (md_vlx_scf_ground_state_dipole_moment)
@@ -199,10 +206,22 @@ class QMData:
         c = self.mo_coeffs[basis_idx, mo] * cnorm
         return centers, exps, c.astype(np.float32), lmn
 
-    def primitives_all(self):
-        """(centers, exponents, coeff_matrix (K, nmo), lmn)."""
+    @property
+    def scf_type(self) -> str:
+        """"unrestricted" when a beta MO set is present (md_vlx_scf_type)."""
+        return "unrestricted" if self.beta_coeffs is not None \
+            else "restricted"
+
+    def primitives_all(self, spin: str = "alpha"):
+        """(centers, exponents, coeff_matrix (K, nmo), lmn).
+
+        `spin="beta"` uses the beta MO set of unrestricted checkpoints
+        (falls back to the alpha coefficients when restricted)."""
         centers, exps, lmn, basis_idx, cnorm = self._expand()
-        C = self.mo_coeffs[basis_idx, :] * cnorm[:, None]
+        M = self.mo_coeffs
+        if spin == "beta" and self.beta_coeffs is not None:
+            M = self.beta_coeffs
+        C = M[basis_idx, :] * cnorm[:, None]
         return centers, exps, C.astype(np.float32), lmn
 
     def primitives_for_vectors(self, vectors: np.ndarray):
@@ -377,6 +396,13 @@ def load_vlx_h5(path: str) -> QMData:
             f, "alpha_energies", "E_alpha", "scf/alpha/energies", paths=keys
         )
         occ = _find(f, "alpha_occupations", "occ_alpha", paths=keys)
+        Cb = _find(
+            f, "beta_orbitals", "C_beta", "scf/beta/orbitals", paths=keys
+        )
+        eb = _find(
+            f, "beta_energies", "E_beta", "scf/beta/energies", paths=keys
+        )
+        occb = _find(f, "beta_occupations", "occ_beta", paths=keys)
         if coords is None or charges is None or C is None:
             raise ValueError(
                 f"unrecognized VeloxChem h5 layout in '{path}'; datasets: "
@@ -606,6 +632,12 @@ def load_vlx_h5(path: str) -> QMData:
             np.asarray(C, np.float32),
             mo_energies=energies,
             mo_occupations=occ,
+            beta_coeffs=(np.asarray(Cb, np.float32)
+                         if Cb is not None else None),
+            beta_energies=(np.asarray(eb, np.float64)
+                           if eb is not None else None),
+            beta_occupations=(np.asarray(occb, np.float64)
+                              if occb is not None else None),
             excited=exc,
             scf_dipole=(
                 np.asarray(dip, np.float64).reshape(3)
