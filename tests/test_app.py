@@ -1904,6 +1904,58 @@ class TestViewer:
         finally:
             srv.close()
 
+    def test_qm_spectra_panel(self, ala_session):
+        """The QM spectra panel: /api/state lists the checkpoint's
+        spectra, /api/qm_plot serves PNG curves (the veloxchem spectra
+        windows as viewer plots)."""
+        import json as _json
+        import urllib.request
+
+        from viamd_tpu.app.viewer import ViewerServer
+        from viamd_tpu.io.vlx import (
+            ExcitedStates, QMData, ScfHistory, Shell, VibrationalData,
+        )
+
+        s = ala_session
+        shells = [Shell(np.zeros(3, np.float32), 0,
+                        np.array([0.5], np.float32),
+                        np.array([1.0], np.float32))]
+        s.components["veloxchem"].load(QMData.from_arrays(
+            [[0, 0, 0]], [8], shells, np.eye(1, dtype=np.float32),
+            mo_occupations=np.array([2.0], np.float32),
+            excited=ExcitedStates(np.array([5.0]), np.array([0.4]),
+                                  rotatory_strengths=np.array([-1.0])),
+            vib=VibrationalData(frequencies=np.array([1500.0]),
+                                ir_intensities=np.array([3.0])),
+            scf_history=ScfHistory(np.array([-74.0, -74.9]),
+                                   np.array([0.5, 1e-5])),
+        ))
+        srv = ViewerServer(s, port=0)
+        srv.serve(blocking=False)
+        try:
+            port = srv.httpd.server_address[1]
+            base = f"http://127.0.0.1:{port}"
+            state = _json.loads(
+                urllib.request.urlopen(base + "/api/state").read()
+            )
+            assert state["qm_spectra"] == ["absorption", "ecd", "ir",
+                                           "scf"]
+            for kind in state["qm_spectra"]:
+                png = urllib.request.urlopen(
+                    base + f"/api/qm_plot?kind={kind}"
+                ).read()
+                assert png[:8] == b"\x89PNG\r\n\x1a\n", kind
+            # unknown kind → 400 with an error body
+            import urllib.error
+
+            try:
+                urllib.request.urlopen(base + "/api/qm_plot?kind=nope")
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            srv.close()
+
     def test_full_interaction_sequence(self, ala_session):
         """Drive the whole interactive loop through the HTTP surface:
         orbit → zoom → pick-on-an-atom (selection updates) → rep switch →

@@ -96,6 +96,13 @@ select,button,input[type=text]{background:#26292e;color:#ccc;
   <select id="vol" style="flex:1"><option value="">(none)</option></select>
   <span id="volst"></span>
  </div>
+ <div id="qmpanel" style="display:none">
+  <b>QM spectra</b>
+  <div class="row">
+   <select id="qmsel" style="flex:1"></select>
+  </div>
+  <img id="qmplot" style="width:100%"/>
+ </div>
 </div>
 </div>
 <script>
@@ -222,6 +229,24 @@ function drawReps(reps){
 }
 document.getElementById('repadd').addEventListener('click',
   ()=>repPost('/api/rep_add',{}));
+// --- QM spectra panel (the veloxchem spectra windows as plots) ---
+const qmPanel=document.getElementById('qmpanel'),
+      qmSel=document.getElementById('qmsel'),
+      qmPlot=document.getElementById('qmplot');
+function setQm(kinds){
+  if(!kinds||!kinds.length){qmPanel.style.display='none';return;}
+  qmPanel.style.display='';
+  qmSel.innerHTML='';
+  for(const k of kinds){const o=document.createElement('option');
+    o.value=k;o.textContent=k;qmSel.appendChild(o);}
+  showQm();
+}
+function showQm(){
+  if(!qmSel.value)return;
+  qmPlot.src=`/api/qm_plot?kind=${encodeURIComponent(qmSel.value)}`+
+             `&t=${Date.now()}`;
+}
+qmSel.addEventListener('change',showQm);
 // --- volume panel: composite a volume property in-scene ---
 const volSel=document.getElementById('vol'),volst=document.getElementById('volst');
 function setVols(props,cur){
@@ -250,6 +275,7 @@ document.getElementById('selgo').addEventListener('click',async()=>{
   if(s.properties&&s.properties.length)setProps(s.properties);
   drawReps(s.reps||[]);
   setVols(s.volume_props||[],s.volume);
+  setQm(s.qm_spectra||[]);
   refresh();})();
 </script></body></html>"""
 
@@ -444,7 +470,59 @@ class ViewerServer:
                 "density_volume"
             ].volume_properties(),
             "volume": self.volume_prop,
+            "qm_spectra": self._qm_spectra_kinds(),
         }
+
+    def _qm_spectra_kinds(self) -> list:
+        """Spectra the loaded QM checkpoint supports (the veloxchem
+        electronic/vibrational spectroscopy + summary windows,
+        veloxchem.cpp:3090-4700)."""
+        vlx = self.session.components.get("veloxchem")
+        qm = getattr(vlx, "qm", None)
+        if qm is None:
+            return []
+        kinds = []
+        if qm.excited is not None or (
+            qm.rsp_samples is not None and qm.rsp_samples.sigma is not None
+        ):
+            kinds.append("absorption")
+        if (qm.excited is not None
+                and qm.excited.rotatory_strengths is not None) or (
+            qm.rsp_samples is not None
+            and qm.rsp_samples.delta_epsilons is not None
+        ):
+            kinds.append("ecd")
+        if qm.vib is not None and qm.vib.ir_intensities is not None:
+            kinds.append("ir")
+        if qm.vib is not None and qm.vib.raman_activities is not None:
+            kinds.append("raman")
+        if qm.scf_history is not None:
+            kinds.append("scf")
+        if qm.opt is not None:
+            kinds.append("optimization")
+        return kinds
+
+    def _qm_plot_png(self, kind: str) -> bytes:
+        """Rasterize one QM spectrum/profile as a PNG curve."""
+        vlx = self.session.components["veloxchem"]
+        if kind == "absorption":
+            x, y = vlx.absorption_spectrum_eps()
+        elif kind == "ecd":
+            x, y = vlx.ecd_spectrum_eps()
+        elif kind == "ir":
+            x, y = vlx.ir_spectrum()
+        elif kind == "raman":
+            x, y = vlx.raman_spectrum()
+        elif kind == "scf":
+            scf = vlx.scf_convergence()
+            x = np.arange(1, len(scf["energies"]) + 1)
+            y = np.log10(np.maximum(scf["gradient_norms"], 1e-16))
+        elif kind == "optimization":
+            prof = vlx.optimization_profile()
+            x, y = prof["steps"], prof["energies_kj_rel"]
+        else:
+            raise ValueError(f"unknown QM plot {kind!r}")
+        return self._curve_png(np.asarray(y, np.float64))
 
     def _plot_png(self, prop: str, kind: str) -> bytes:
         """Timeline / distribution plot of an evaluated property — the
@@ -472,19 +550,33 @@ class ViewerServer:
                 img[H - 4 - hh:H - 4, x0:max(x1, x0 + 1)] = fg
         else:
             y = np.asarray(res.temporal[prop], np.float64)
-            y = y.reshape(y.shape[0], -1).mean(axis=1)
-            n = y.size
-            lo, hi = float(np.nanmin(y)), float(np.nanmax(y))
-            span = (hi - lo) or 1.0
-            px = (np.arange(n) * (W - 9) / max(n - 1, 1)).astype(int) + 4
-            py = (H - 5 - (y - lo) / span * (H - 10)).astype(int)
-            for i in range(n - 1):
-                x0, x1 = px[i], px[i + 1]
-                y0, y1 = py[i], py[i + 1]
-                steps = max(abs(x1 - x0), abs(y1 - y0), 1)
-                xs = np.linspace(x0, x1, steps + 1).astype(int)
-                ys = np.linspace(y0, y1, steps + 1).astype(int)
-                img[np.clip(ys, 0, H - 1), np.clip(xs, 0, W - 1)] = fg
+            return self._curve_png(y.reshape(y.shape[0], -1).mean(axis=1))
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "PNG")
+        return buf.getvalue()
+
+    def _curve_png(self, y: np.ndarray) -> bytes:
+        """Rasterize one curve (shared by the property timeline and the
+        QM spectra plots)."""
+        from PIL import Image
+
+        W, H = 328, 140
+        img = np.full((H, W, 3), 16, np.uint8)
+        img[:, :, 2] = 20
+        fg = np.array([120, 200, 140], np.uint8)
+        y = np.asarray(y, np.float64).reshape(-1)
+        n = y.size
+        lo, hi = float(np.nanmin(y)), float(np.nanmax(y))
+        span = (hi - lo) or 1.0
+        px = (np.arange(n) * (W - 9) / max(n - 1, 1)).astype(int) + 4
+        py = (H - 5 - (y - lo) / span * (H - 10)).astype(int)
+        for i in range(n - 1):
+            x0, x1 = px[i], px[i + 1]
+            y0, y1 = py[i], py[i + 1]
+            steps = max(abs(x1 - x0), abs(y1 - y0), 1)
+            xs = np.linspace(x0, x1, steps + 1).astype(int)
+            ys = np.linspace(y0, y1, steps + 1).astype(int)
+            img[np.clip(ys, 0, H - 1), np.clip(xs, 0, W - 1)] = fg
         buf = io.BytesIO()
         Image.fromarray(img, "RGB").save(buf, "PNG")
         return buf.getvalue()
@@ -523,6 +615,18 @@ class ViewerServer:
                         200, json.dumps(viewer._state()).encode(),
                         "application/json",
                     )
+                elif u.path == "/api/qm_plot":
+                    q = parse_qs(u.query)
+                    try:
+                        png = viewer._qm_plot_png(
+                            q.get("kind", ["absorption"])[0]
+                        )
+                        self._send(200, png, "image/png")
+                    except Exception as e:
+                        self._send(
+                            400, json.dumps({"error": str(e)}).encode(),
+                            "application/json",
+                        )
                 elif u.path == "/api/plot":
                     q = parse_qs(u.query)
                     try:
