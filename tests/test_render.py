@@ -666,6 +666,33 @@ class TestShearWarp:
         assert corr > 0.99, corr
         assert np.abs(rm - sw).mean() < 5e-3
 
+    def test_tf_onehot2_mode_matches(self, monkeypatch):
+        """The two-level one-hot TF (VIAMD_TPU_TF_MODE=onehot2) evaluates
+        the SAME piecewise-linear interpolation as the relu-banded path —
+        images agree except where the relu form's ~2e-6 alpha error
+        amplifies through the opacity-correction pow near alpha→0."""
+        import jax
+
+        from viamd_tpu.render.shearwarp import render_volume_shearwarp
+
+        g, tf, model, view, proj = self._scene()
+        s = V.VolumeRenderSettings(
+            width=96, height=96, enable_dvr=True, jitter=False
+        )
+        base, _ = render_volume_shearwarp(g, tf, model, view, proj, s,
+                                          seed=0)
+        monkeypatch.setenv("VIAMD_TPU_TF_MODE", "onehot2")
+        jax.clear_caches()
+        try:
+            alt, _ = render_volume_shearwarp(g, tf, model, view, proj, s,
+                                             seed=0)
+        finally:
+            jax.clear_caches()
+        base, alt = np.asarray(base), np.asarray(alt)
+        assert np.abs(base - alt).mean() < 2e-3
+        corr = np.corrcoef(base[..., 3].ravel(), alt[..., 3].ravel())[0, 1]
+        assert corr > 0.999
+
     def test_matches_raymarcher_iso(self):
         from viamd_tpu.render.shearwarp import render_volume_shearwarp
 

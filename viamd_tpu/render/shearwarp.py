@@ -170,27 +170,92 @@ def _shearwarp_impl(
     # 2 VPU ops/element; the contraction runs on the MXU with N padded to a
     # full lane tile (N=4 matmuls dispatch pathologically).
     if s.enable_dvr:
+        import os
+
+        tf_mode = os.environ.get("VIAMD_TPU_TF_MODE", "relu")
         tfj32 = tf.astype(jnp.float32)
-        zrow = jnp.zeros((1, 4), jnp.float32)
-        up = jnp.concatenate([tfj32[1:], zrow])  # row j ← c_{j+1}
-        down = jnp.concatenate([zrow, tfj32[:-1]])  # row j ← c_{j−1}
-        btf4 = up - 2.0 * tfj32 + down  # banded second difference B @ TF
-        btf = jnp.pad(btf4, [(0, 0), (0, 124)])  # (ntf, 128)
-        tf0 = tfj32[0]  # boundary affine term
-        kk = jax.lax.broadcasted_iota(jnp.float32, (1, ntf), 1)
+        if tf_mode == "onehot2":
+            # Two-level one-hot factorization (the pallas_rdf mxu-binning
+            # idea applied to the TF): knot k = 8·c + f; a (P, 8) FINE
+            # bf16 one-hot contracts against the (8, 8·8) reshaped
+            # [tf | Δtf] table on the MXU, then 8 coarse selects + the
+            # fractional lerp finish on the VPU. Work per sample:
+            # 8·64 bf16 MACs vs the relu path's ntf·128 f32 (the 4 output
+            # channels pad to a full lane tile either way) — ~16× less
+            # MXU traffic at ntf=64. Exact same linear interpolation.
+            ncoarse = -(-ntf // 8)
+            pad_k = ncoarse * 8 - ntf
+            tfp = jnp.pad(tfj32, [(0, pad_k + 1), (0, 0)])  # +1: k+1 row
+            dtf = tfp[1 : ncoarse * 8 + 1] - tfp[: ncoarse * 8]
+            # table rows indexed by FINE f, columns grouped by coarse c:
+            # [:, c*8+0:4] = tf[8c+f], [:, c*8+4:8] = Δtf[8c+f]
+            tf_rows = tfp[: ncoarse * 8]
+            T2 = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            jnp.concatenate(
+                                [tf_rows[c * 8 + f], dtf[c * 8 + f]]
+                            )
+                            for c in range(ncoarse)
+                        ]
+                    )
+                    for f in range(8)
+                ]
+            )  # (8, ncoarse·8) — kept f32: the one-hot rows are exact in
+            # any dtype but the TABLE would quantize in bf16
 
-        def tf_all(vals):  # (Ds, di, di) → (Ds, di, di, 4)
-            x = jnp.clip((vals - vmin) / vspan, 0.0, 1.0) * (ntf - 1)
+            def tf_all(vals):
+                x = jnp.clip((vals - vmin) / vspan, 0.0, 1.0) * (ntf - 1)
 
-            def chunk(v):  # (di, di)
-                xf = v.reshape(-1)
-                S = jnp.maximum(xf[:, None] - kk, 0.0)
-                out = (S @ btf)[:, :4] + (xf + 1.0)[:, None] * tf0[None, :]
-                return out.reshape(di, di, 4)
+                def chunk(v):
+                    xf = v.reshape(-1)
+                    k = jnp.minimum(xf.astype(jnp.int32), ntf - 2)
+                    frac = xf - k
+                    F = (
+                        (k & 7)[:, None]
+                        == jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                    ).astype(jnp.float32)
+                    U = jax.lax.dot_general(
+                        F, T2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (P, ncoarse·8)
+                    c = k >> 3
+                    out = jnp.zeros((xf.shape[0], 4), jnp.float32)
+                    for cc in range(ncoarse):
+                        blk = (
+                            U[:, cc * 8 : cc * 8 + 4]
+                            + frac[:, None] * U[:, cc * 8 + 4 : cc * 8 + 8]
+                        )
+                        out = jnp.where((c == cc)[:, None], blk, out)
+                    return out.reshape(di, di, 4)
 
-            return jax.lax.map(chunk, x)
+                return jax.lax.map(chunk, x)
 
-        TFC = tf_all(R)
+            TFC = tf_all(R)
+        else:
+            zrow = jnp.zeros((1, 4), jnp.float32)
+            up = jnp.concatenate([tfj32[1:], zrow])  # row j ← c_{j+1}
+            down = jnp.concatenate([zrow, tfj32[:-1]])  # row j ← c_{j−1}
+            btf4 = up - 2.0 * tfj32 + down  # banded 2nd difference B @ TF
+            btf = jnp.pad(btf4, [(0, 0), (0, 124)])  # (ntf, 128)
+            tf0 = tfj32[0]  # boundary affine term
+            kk = jax.lax.broadcasted_iota(jnp.float32, (1, ntf), 1)
+
+            def tf_all(vals):  # (Ds, di, di) → (Ds, di, di, 4)
+                x = jnp.clip((vals - vmin) / vspan, 0.0, 1.0) * (ntf - 1)
+
+                def chunk(v):  # (di, di)
+                    xf = v.reshape(-1)
+                    S = jnp.maximum(xf[:, None] - kk, 0.0)
+                    out = (S @ btf)[:, :4] + (
+                        (xf + 1.0)[:, None] * tf0[None, :]
+                    )
+                    return out.reshape(di, di, 4)
+
+                return jax.lax.map(chunk, x)
+
+            TFC = tf_all(R)
     else:
         TFC = jnp.zeros((Ds, di, di, 4), jnp.float32)
 
