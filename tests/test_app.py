@@ -1289,6 +1289,25 @@ class TestPropertyAndDipoleReps:
         assert img is not None and img.shape == (120, 160, 4)
         s.representations.pop()
 
+    def test_reset_view_to_subset(self, ala_session):
+        """Masked view fit (viamd.cpp:2893-2930): fitting to one residue
+        puts the camera closer than the whole-system fit."""
+        s = ala_session
+        s.reset_view()
+        d_all = float(np.linalg.norm(
+            np.asarray(s.camera.eye) - np.asarray(s.camera.center)
+        ))
+        s.reset_view("residue(1)")
+        d_res = float(np.linalg.norm(
+            np.asarray(s.camera.eye) - np.asarray(s.camera.center)
+        ))
+        assert d_res < d_all
+        # selection round
+        s.select("residue(1:2)")
+        s.reset_view("selection")
+        assert s.camera is not None
+        s.reset_view()  # restore
+
     def test_rep_tint_and_saturation(self, ala_session):
         """Per-rep tint/saturation post-pass (viamd.cpp:1455-1466)."""
         from viamd_tpu.app.session import Representation

@@ -552,7 +552,35 @@ class Session:
         return self.tasks.enqueue("Eval Full", work)
 
     # -- view ----------------------------------------------------------------
-    def reset_view(self):
+    def reset_view(self, target=None):
+        """Fit the camera to the system — or to a subset (the reference's
+        masked reset_view, viamd.cpp:2893-2930, and the ViewFit rounds
+        highlight → selection → visible). `target`: None = whole system,
+        a Bitfield / bool mask / filter-expression string, or one of
+        "selection" / "highlight"."""
+        mask = None
+        if target is not None:
+            if target == "selection":
+                mask = self.selection
+            elif target == "highlight":
+                mask = self.highlight
+            elif isinstance(target, str):
+                mask, _ = evaluate_filter(
+                    target, self.system, self.stored_selections,
+                    coords=self.current_coords(),
+                )
+            else:
+                mask = target
+        if mask is not None:
+            sel = (mask.to_bools() if hasattr(mask, "to_bools")
+                   else np.asarray(mask, bool))
+            if sel.any():
+                x = self.current_coords()[sel]
+                pad = float(np.max(self.system.radius)) + 1.0
+                lo = x.min(axis=0) - pad
+                hi = x.max(axis=0) + pad
+                self.camera = cam_mod.compute_optimal_view(lo, hi)
+                return
         lo, hi = self.system.aabb()
         self.camera = cam_mod.compute_optimal_view(lo, hi)
 
