@@ -226,6 +226,7 @@ def overlap_matrix(shells) -> "np.ndarray":
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def attribute_grid_to_atoms(
     grid: jnp.ndarray,  # (nx, ny, nz) density values
     origin: jnp.ndarray,  # (3,)
