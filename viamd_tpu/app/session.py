@@ -686,7 +686,13 @@ class Session:
                     arrow_mesh, render_triangles,
                 )
 
-                info = self.components["veloxchem"].representation_info()
+                try:
+                    info = self.components["veloxchem"].representation_info()
+                except ValueError as e:
+                    # no QM data loaded: fail this rep, not the frame —
+                    # same contract as the dip-not-found case below
+                    rep.error = str(e)
+                    continue
                 dip = next(
                     (d for d in info.dipole_moments
                      if d.key == rep.dipole_key),

@@ -78,6 +78,8 @@ class VeloxchemComponent:
     def __init__(self, session):
         self.session = session
         self.qm: Optional[QMData] = None
+        self._rep_info = None  # representation_info cache (per QMData)
+        self._rep_info_qm = None
 
     def load(self, path_or_data) -> QMData:
         """Attach QM data (the ViamdLoadData .h5 supplemental path)."""
@@ -214,8 +216,14 @@ class VeloxchemComponent:
             )
         elif source == "electron_density":
             centers, exps, C, lmn = qm.primitives_all()
-            occ = (qm.mo_occupations if qm.mo_occupations is not None
-                   else None)
+            if qm.mo_occupations is not None:
+                occ = np.asarray(qm.mo_occupations, np.float32)
+            else:
+                # C spans all nmo columns — occupy only the first
+                # n_occupied (ΣZ//2 fallback), not every virtual.
+                n_occ = min(qm.n_occupied, C.shape[1])
+                C = C[:, :n_occ]
+                occ = np.full(n_occ, 2.0, np.float32)
             g = density_grid(
                 jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
                 jnp.asarray(lmn), oj, vj, dims_t, occupations=occ,
@@ -292,8 +300,14 @@ class VeloxchemComponent:
                 C = C[:, :n_occupied]
             if occ is not None:
                 occ = np.asarray(occ[: C.shape[1]], np.float32) * occ_scale
-            elif occ_scale != 1.0:
-                occ = np.full(C.shape[1], 2.0 * occ_scale, np.float32)
+            else:
+                # no stored occupations: occupy only the first n_occupied
+                # columns (ΣZ//2 fallback) at 2·scale — C spans ALL nmo
+                # columns here, and a blanket fill would put electrons in
+                # every virtual orbital.
+                n_occ = min(qm.n_occupied, C.shape[1])
+                C = C[:, :n_occ]
+                occ = np.full(n_occ, 2.0 * occ_scale, np.float32)
             origin, vox = self._grid_geometry(dims)
             g = density_grid(
                 jnp.asarray(centers), jnp.asarray(exps), jnp.asarray(C),
@@ -837,7 +851,15 @@ class VeloxchemComponent:
         py = qm.tpa_trans_circular if circular else qm.tpa_trans_linear
         if py is None:
             raise ValueError("requested TPA polarization not present")
-        px = self._peaks_au()
+        # TPA_TRANSITION peak positions come from the checkpoint's rsp
+        # frequencies (x_freq_au in the reference getter, veloxchem.cpp:3999),
+        # NOT the excited-state energies — tpa_transition checkpoints need
+        # no rsp/eigenvalues section at all.
+        if qm.rsp_samples is not None and \
+                qm.rsp_samples.frequencies_au is not None:
+            px = np.asarray(qm.rsp_samples.frequencies_au, np.float64)
+        else:
+            px = self._peaks_au()
         py = np.asarray(py, np.float64)
         fwhm = fwhm_ev * EV_TO_HARTREE
         xs, x_au = self._spectrum_x(px, fwhm, x, x_unit)
@@ -1046,6 +1068,8 @@ class VeloxchemComponent:
         qm = self.qm
         if qm is None:
             raise ValueError("no QM data loaded")
+        if self._rep_info is not None and self._rep_info_qm is qm:
+            return self._rep_info  # per-frame dipole reps hit this
         alpha = None
         if qm.mo_energies is not None or qm.mo_occupations is not None:
             nmo = qm.n_orbitals
@@ -1144,10 +1168,12 @@ class VeloxchemComponent:
             if nto is not None:
                 density_props += ["transition_density",
                                   "attachment_density", "detachment_density"]
-        return RepresentationInfo(
+        info = RepresentationInfo(
             alpha=alpha, beta=beta, nto=nto, dipole_moments=dipoles,
             atom_properties=atom_props, density_properties=density_props,
         )
+        self._rep_info, self._rep_info_qm = info, qm
+        return info
 
 
 
@@ -1280,6 +1306,9 @@ def sankey_svg(
     for i in range(G):
         ends[i] = cur
         cur += avail * pp[i]
+        # NOTE: gap keyed on hp (not pp) and avail derived from the hole
+        # bar count on BOTH sides is the reference's exact layout
+        # (veloxchem.cpp:2042-2051) — kept verbatim for parity.
         if hp[i] != 0.0:
             cur += gap
     out = [

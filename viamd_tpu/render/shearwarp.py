@@ -35,6 +35,7 @@ the principal axis (the factorization degenerates there).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,12 +59,14 @@ def _tent_rows(u: jnp.ndarray, n_src: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("settings", "axis", "flip", "di", "order_y")
+    jax.jit,
+    static_argnames=("settings", "axis", "flip", "di", "order_y", "tf_mode"),
 )
 def _shearwarp_impl(
     grid, tf, model, view, proj, seed,
     settings: "VolumeRenderSettings", axis: int, flip: bool, di: int,
     eye_m, order_y: bool = True, cvol=None, scene_depth=None,
+    tf_mode: str = "relu",
 ):
     s = settings
     W, H = s.width, s.height
@@ -170,9 +173,6 @@ def _shearwarp_impl(
     # 2 VPU ops/element; the contraction runs on the MXU with N padded to a
     # full lane tile (N=4 matmuls dispatch pathologically).
     if s.enable_dvr:
-        import os
-
-        tf_mode = os.environ.get("VIAMD_TPU_TF_MODE", "relu")
         tfj32 = tf.astype(jnp.float32)
         if tf_mode == "onehot2":
             # Two-level one-hot factorization (the pallas_rdf mxu-binning
@@ -653,4 +653,7 @@ def render_volume_shearwarp(
         else jnp.asarray(color_volume, jnp.float32),
         None if scene_depth is None
         else jnp.asarray(scene_depth, jnp.float32),
+        # env read OUTSIDE the jit so toggling mid-process retraces
+        # instead of silently reusing the first-traced kernel
+        tf_mode=os.environ.get("VIAMD_TPU_TF_MODE", "relu"),
     )
