@@ -72,6 +72,57 @@ class TestTasks:
         assert len(h.wait()) < 100
         ts.shutdown()
 
+    def test_range_chunks_run_pool_parallel(self):
+        # enkiTS-style range partitioning (task_system.cpp:75): grain chunks
+        # must run on MULTIPLE workers concurrently, not serially in one.
+        import threading
+
+        from viamd_tpu.app.tasks import TaskSystem
+
+        ts = TaskSystem(4)
+        seen = set()
+        active = [0]
+        peak = [0]
+        lock = threading.Lock()
+
+        def chunk(beg, end, task):
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+                seen.add(threading.current_thread().name)
+            time.sleep(0.05)
+            with lock:
+                active[0] -= 1
+            return end - beg
+
+        h = ts.enqueue_range("par", chunk, total=80, grain=10)
+        assert sum(h.wait()) == 80
+        assert len(seen) > 1, f"chunks all ran on one worker: {seen}"
+        assert peak[0] > 1, "no two chunks were ever in flight together"
+        ts.shutdown()
+
+    def test_range_interrupt_midway(self):
+        # interruption mid-range drops not-yet-started chunks; completed
+        # chunk results are still returned in range order.
+        from viamd_tpu.app.tasks import TaskSystem
+
+        ts = TaskSystem(2)
+        started = []
+
+        def chunk(beg, end, task):
+            started.append(beg)
+            time.sleep(0.03)
+            return beg
+
+        h = ts.enqueue_range("slow", chunk, total=400, grain=2)
+        while not started:
+            time.sleep(0.005)
+        h.interrupt_and_wait()
+        got = h.wait()
+        assert 0 < len(got) < 200
+        assert got == sorted(got)
+        ts.shutdown()
+
     def test_dependency_and_main_queue(self):
         from viamd_tpu.app.tasks import TaskSystem
 

@@ -715,6 +715,7 @@ class Session:
                     cam.proj_matrix(width, height, jitter), width, height,
                 )
                 rgba, d, p = np.asarray(rgba), np.asarray(d), np.asarray(p)
+                rep.error = ""  # arrow drew — clear any stale failure
             elif rep.type in ("ribbons", "cartoon"):
                 # true peptide-plane-oriented flat ribbon mesh with sheet
                 # arrowheads (md_gl RIBBONS/CARTOON, viamd.h:161-169)

@@ -104,21 +104,58 @@ class TaskSystem:
         grain: int = 1024,
         dependency: Optional[TaskHandle] = None,
     ) -> TaskHandle:
-        """Range task partitioned by grain (the pool-task range pattern,
-        task_system.cpp:75). Chunks run sequentially inside one worker with
-        progress per chunk; use several enqueue_range calls for parallelism."""
+        """Range task partitioned by grain across the pool (the enkiTS
+        SetRanges pattern, task_system.cpp:75): every [beg, end) chunk is an
+        independent pool submission sharing one handle's interrupt flag and
+        progress fraction. Results come back ordered by range start; an
+        interrupt drops not-yet-started chunks (in-flight chunks observe
+        handle.interrupted themselves, like the reference's interrupt flag)."""
+        handle = TaskHandle(id=uuid.uuid4().hex[:8], label=label,
+                            dependency=dependency)
+        ranges = [(beg, min(beg + grain, total))
+                  for beg in range(0, total, grain)]
+        n_chunks = max(len(ranges), 1)
+        done_count = [0]
+        count_lock = threading.Lock()
 
-        def run(handle: TaskHandle):
-            results = []
-            for beg in range(0, total, grain):
-                if handle.interrupted:
-                    break
-                end = min(beg + grain, total)
-                results.append(fn(beg, end, handle))
-                handle.set_progress(end / max(total, 1))
-            return results
+        _SKIPPED = object()
 
-        return self.enqueue(label, run, dependency)
+        def run_chunk(beg: int, end: int):
+            if handle.interrupted:
+                return _SKIPPED
+            out = fn(beg, end, handle)
+            with count_lock:
+                done_count[0] += 1
+                handle.set_progress(done_count[0] / n_chunks)
+            return out
+
+        def gather(_handle: TaskHandle):
+            if dependency is not None:
+                dependency.wait()
+            if handle.interrupted:
+                return []
+            chunk_futs = [self._pool.submit(run_chunk, beg, end)
+                          for beg, end in ranges]
+            return [r for f in chunk_futs
+                    if (r := f.result()) is not _SKIPPED]
+
+        # The gather runs on a dedicated thread (not a pool worker): if it sat
+        # in the pool, N concurrent range tasks could occupy every worker with
+        # gathers and starve their own chunks.
+        fut: Future = Future()
+
+        def gather_thread():
+            try:
+                fut.set_result(gather(handle))
+            except BaseException as exc:  # noqa: BLE001 - mirror pool behavior
+                fut.set_exception(exc)
+
+        handle.future = fut
+        threading.Thread(target=gather_thread, daemon=True,
+                         name=f"vtpu-range-{handle.id}").start()
+        with self._lock:
+            self._tasks[handle.id] = handle
+        return handle
 
     def running_tasks(self) -> list[TaskHandle]:
         """Visible async tasks (the draw_async_task_window overlay feed,

@@ -141,7 +141,22 @@ class RamachandranComponent:
                 if frame_range is not None
                 else list(range(traj.num_frames))
             )
-            coords, cells = traj.load_frames(idx)
+            tasks = getattr(session, "tasks", None)
+            if tasks is not None and len(idx) > 64:
+                # pool-parallel frame I/O: the trajectory-precompute range
+                # task of viamd.cpp:487-525 partitioned across workers
+                # (task_system.cpp:75). Reader slots are per-call, so chunked
+                # load_frames calls are safe concurrently.
+                h = tasks.enqueue_range(
+                    "Rama: load frames",
+                    lambda b, e, t: traj.load_frames(idx[b:e]),
+                    total=len(idx), grain=max(64, len(idx) // 8),
+                )
+                parts = h.wait()
+                coords = np.concatenate([p[0] for p in parts], axis=0)
+                cells = np.concatenate([p[1] for p in parts], axis=0)
+            else:
+                coords, cells = traj.load_frames(idx)
         phi, psi = bb_ops.backbone_angles_frames(
             jnp.asarray(coords),
             jnp.asarray(bb.atom_n), jnp.asarray(bb.atom_ca),

@@ -89,6 +89,9 @@ class VeloxchemComponent:
             from viamd_tpu.io.vlx import load_vlx_h5
 
             self.qm = load_vlx_h5(path_or_data)
+        # explicit cache invalidation (the identity-keyed rep cache must
+        # never serve a stale QMData)
+        self._rep_info, self._rep_info_qm = None, None
         return self.qm
 
     def _grid_geometry(self, dims: int, padding_bohr: float = 6.0):
@@ -861,6 +864,11 @@ class VeloxchemComponent:
         else:
             px = self._peaks_au()
         py = np.asarray(py, np.float64)
+        if len(px) != len(py):
+            raise ValueError(
+                f"TPA checkpoint inconsistent: {len(px)} rsp frequencies vs "
+                f"{len(py)} transition strengths"
+            )
         fwhm = fwhm_ev * EV_TO_HARTREE
         xs, x_au = self._spectrum_x(px, fwhm, x, x_unit)
         base = _lorentzian_base(x_au, px, py, fwhm)

@@ -193,7 +193,10 @@ class QMData:
     def n_occupied(self) -> int:
         if self.mo_occupations is not None:
             return int(np.sum(np.asarray(self.mo_occupations) > 0))
-        return int(np.sum(self.atom_numbers)) // 2
+        n_elec = int(np.sum(self.atom_numbers))
+        if self.molecular_charge is not None:
+            n_elec -= int(round(self.molecular_charge))
+        return max(n_elec, 0) // 2
 
     @property
     def n_orbitals(self) -> int:
