@@ -47,6 +47,14 @@ class TestParser:
             P.parse("d = distance(1,")
         assert ei.value.line >= 1
 
+    def test_out_keyword_reserved(self):
+        # reference keyword vocabulary (TextEditor.cpp:3313): `out` is a
+        # keyword with no grammar — reserved here with a positioned error
+        # (docs/LANGUAGE.md "Keyword parity").
+        for src in ("out = distance(1,2);", "d = out(1);"):
+            with pytest.raises(ScriptError, match="out"):
+                P.parse(src)
+
     def test_anonymous_expression(self):
         stmts = P.parse("distance(1,2);")
         assert stmts[0].targets[0].startswith("$")

@@ -58,7 +58,12 @@ _PUNCT = (
     "<=", ">=", "==", "!=", "(", ")", "[", "]", "{", "}",
     ",", ";", ":", "=", "+", "-", "*", "/", "<", ">",
 )
-_KEYWORDS = {"and", "or", "not", "in"}
+# `out` completes the reference's VIAMD keyword vocabulary (TextEditor.cpp:
+# 3313 "and or not in out"). The reference snapshot only ever *highlights*
+# `out` — no parser rule or script in the app uses it — so it is reserved
+# here: tokenized as a keyword and rejected with a typed error wherever an
+# identifier is expected (see docs/LANGUAGE.md "Keyword parity").
+_KEYWORDS = {"and", "or", "not", "in", "out"}
 
 
 @dataclass
