@@ -197,6 +197,107 @@ ATOM 5 N N GLY A 2 4.000 2.600 4.000 1.00 14.0
         np.testing.assert_allclose(sys.bfactor[2], 12.0, atol=1e-5)
 
 
+_ASSEMBLY_CIF = """data_asm
+loop_
+_pdbx_struct_assembly_gen.assembly_id
+_pdbx_struct_assembly_gen.oper_expression
+_pdbx_struct_assembly_gen.asym_id_list
+1 '1,2' A
+loop_
+_pdbx_struct_oper_list.id
+_pdbx_struct_oper_list.type
+_pdbx_struct_oper_list.matrix[1][1]
+_pdbx_struct_oper_list.matrix[1][2]
+_pdbx_struct_oper_list.matrix[1][3]
+_pdbx_struct_oper_list.vector[1]
+_pdbx_struct_oper_list.matrix[2][1]
+_pdbx_struct_oper_list.matrix[2][2]
+_pdbx_struct_oper_list.matrix[2][3]
+_pdbx_struct_oper_list.vector[2]
+_pdbx_struct_oper_list.matrix[3][1]
+_pdbx_struct_oper_list.matrix[3][2]
+_pdbx_struct_oper_list.matrix[3][3]
+_pdbx_struct_oper_list.vector[3]
+1 'identity operation' 1 0 0 0 0 1 0 0 0 0 1 0
+2 'crystal symmetry operation' -1 0 0 12 0 -1 0 0 0 0 1 0
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.label_asym_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+ATOM 1 C CA ALA A A 1 1.000 2.000 3.000
+ATOM 2 C C ALA A A 1 2.200 2.500 3.000
+ATOM 3 O O ALA A A 1 3.100 2.000 3.500
+#
+"""
+
+
+class TestMMCIFAssembly:
+    """mmCIF assemblies → the instance table distinct from chains
+    (viamd.h:1560-1570; loader.cpp:141)."""
+
+    def _load(self):
+        from viamd_tpu.io.mmcif import parse_mmcif
+
+        return parse_mmcif(_ASSEMBLY_CIF)
+
+    def test_instance_table(self):
+        sys = self._load()
+        inst = sys.instances
+        assert inst is not None and inst.count == 2
+        assert sys.nchains == 1  # instances are NOT chains
+        np.testing.assert_array_equal(inst.atom_ranges, [[0, 3], [0, 3]])
+        assert inst.is_identity(0) and not inst.is_identity(1)
+        np.testing.assert_allclose(inst.transforms[1][0, 3], 12.0)
+        assert inst.labels[inst.label_id[1]] == "A·2"
+        assert inst.find_by_atom(2) == 0
+        assert inst.nontrivial
+
+    def test_expansion_geometry(self):
+        sys = self._load()
+        xyz, src = sys.instances.expansion(sys.coords())
+        assert xyz.shape == (6, 3) and src.shape == (6,)
+        np.testing.assert_array_equal(src, [0, 1, 2, 0, 1, 2])
+        # copy 2: x -> 12 - x, y -> -y, z -> z
+        np.testing.assert_allclose(xyz[3], [11.0, -2.0, 3.0], atol=1e-5)
+
+    def test_render_draws_both_copies_and_picks_base_atoms(self, tmp_path):
+        from viamd_tpu.app.session import Session
+
+        path = tmp_path / "asm.cif"
+        path.write_text(_ASSEMBLY_CIF)
+        s = Session()
+        s.load(str(path))
+        assert s.system.ninstances == 2
+        rgba, depth, pick = s.render(width=96, height=96)
+        ids = np.unique(np.asarray(pick)[np.asarray(pick) >= 0])
+        assert ids.size > 0 and ids.max() < s.system.natoms
+        # both copies visible: hit pixels on both sides of the midplane
+        # (copy 1 near x≈1-3, copy 2 near x≈9-11 after the flip)
+        hit_cols = np.nonzero((np.asarray(pick) >= 0).any(axis=0))[0]
+        assert hit_cols.max() - hit_cols.min() > 20, (
+            "expected two spatially separated assembly copies"
+        )
+        # dataset window reports instances
+        assert s.components["dataset"].summary()["instances"] == 2
+        # instance-granularity selection grow
+        s.selection = None
+        from viamd_tpu.core.bitfield import Bitfield
+
+        m = Bitfield(s.system.natoms)
+        m.set_bit(1)
+        s.selection = m
+        s.grow_selection(by="instance")
+        assert s.selection.popcount() == 3
+
+
 class TestLAMMPS:
     def test_data_full(self, tmp_path):
         from viamd_tpu.io.lammps import load_lammps_data

@@ -383,8 +383,20 @@ class Session:
                 self.selection, self.current_coords(), radius,
                 self.system.cell,
             )
+        elif by == "instance":
+            # expand_mask SelectionGranularity::Instance (viamd.h:1559-1566):
+            # any touched instance range fills entirely
+            inst = self.system.instances
+            if inst is not None:
+                sel = self.selection.to_bools()
+                out = sel.copy()
+                for k in range(inst.count):
+                    b, e = (int(v) for v in inst.atom_ranges[k])
+                    if sel[b:e].any():
+                        out[b:e] = True
+                self.selection = Bitfield.from_bools(out)
         else:
-            raise ValueError("grow by 'bonds' or 'radius'")
+            raise ValueError("grow by 'bonds', 'radius' or 'instance'")
         self.events.broadcast(EventType.SELECTION_CHANGED, self)
         return self.selection
 
@@ -760,11 +772,42 @@ class Session:
                     width=width, height=height, rep=rep.type,
                     radius_scale=rep.radius_scale,
                 )
+                draw_x, draw_r, draw_c = coords, radii, cols
+                draw_bonds = sys.bonds if rep.type != "spacefill" else None
+                src = None
+                if sys.instances is not None and sys.instances.nontrivial:
+                    # instanced draw (md_gfx instance ranges+transforms,
+                    # viamd.cpp:611-613): expand assembly copies, gather
+                    # per-atom attributes, remap bonds per instance
+                    draw_x, src = sys.instances.expansion(coords)
+                    draw_r, draw_c = radii[src], cols[src]
+                    if draw_bonds is not None and len(draw_bonds):
+                        bb = []
+                        ofs = 0
+                        for k in range(sys.instances.count):
+                            b, e = (int(v) for v in
+                                    sys.instances.atom_ranges[k])
+                            inside = (
+                                (draw_bonds[:, 0] >= b)
+                                & (draw_bonds[:, 0] < e)
+                                & (draw_bonds[:, 1] >= b)
+                                & (draw_bonds[:, 1] < e)
+                            )
+                            bb.append(draw_bonds[inside] - b + ofs)
+                            ofs += e - b
+                        draw_bonds = (
+                            np.concatenate(bb, axis=0)
+                            if bb else draw_bonds
+                        )
                 rgba, d, p = raster.render_molecules(
-                    coords, radii, cols, cam.view_matrix(),
+                    draw_x, draw_r, draw_c, cam.view_matrix(),
                     cam.proj_matrix(width, height, jitter), settings,
-                    bonds=sys.bonds if rep.type != "spacefill" else None,
+                    bonds=draw_bonds,
                 )
+                if src is not None:
+                    # picking reports BASE atom ids for every copy
+                    p = np.asarray(p)
+                    p = np.where(p >= 0, src[np.maximum(p, 0)], -1)
             if rep.alpha < 1.0:
                 transparent.append((rep.alpha, rgba, d, p))
             elif img is None:
@@ -1162,6 +1205,18 @@ class Session:
             elif level == "chain":
                 ch = np.asarray(self.system.atom_chain_idx)
                 mask = Bitfield.from_bools(ch == int(ch[idx]))
+            elif level == "instance":
+                # SelectionGranularity::Instance (viamd.h:1559-1566):
+                # grow to the owning instance's atom range
+                inst = self.system.instances
+                k = inst.find_by_atom(idx) if inst is not None else -1
+                if k >= 0:
+                    b, e = (int(v) for v in inst.atom_ranges[k])
+                    sel = np.zeros(self.system.natoms, bool)
+                    sel[b:e] = True
+                    mask = Bitfield.from_bools(sel)
+                else:
+                    mask.set_bit(idx)
             else:
                 raise ValueError(f"unknown level '{level}'")
         return self._combine_selection(mask, mode)

@@ -35,6 +35,7 @@ class DatasetComponent:
             "atoms": sys.natoms,
             "residues": sys.nres,
             "chains": sys.nchains,
+            "instances": sys.ninstances,
             "bonds": sys.nbonds,
             "frames": self.session.num_frames,
             "water_atoms": int(((flags & S.FLAG_WATER) != 0).sum()),
