@@ -365,9 +365,17 @@ class _Compiler:
         if node.op == "not":
             sel = self._as_selection(v, node)
             inv = ~sel.mask
+            mfn = None
+            if sel.mask_fn is not None:
+                inner = sel.mask_fn
+                mfn = lambda x, b, i: ~inner(x, b, i)  # noqa: E731
             if self.context is not None:
                 inv = inv & self.context.mask
-            return self._regroup(inv, dynamic=sel.dynamic)
+                if mfn is not None:
+                    ctx_bools = jnp.asarray(self.context.mask.to_bools())
+                    inner2 = mfn
+                    mfn = lambda x, b, i: inner2(x, b, i) & ctx_bools  # noqa: E731
+            return self._regroup(inv, dynamic=sel.dynamic, mask_fn=mfn)
         raise ScriptError(f"bad operand for {node.op}", node.line, node.col)
 
     def _eval_BinOp(self, node: P.BinOp):
@@ -378,7 +386,10 @@ class _Compiler:
             a = self._as_selection(lhs, node)
             b = self._as_selection(rhs, node)
             m = a.mask & b.mask if op == "and" else a.mask | b.mask
-            return self._regroup(m, dynamic=a.dynamic or b.dynamic)
+            return self._regroup(
+                m, dynamic=a.dynamic or b.dynamic,
+                mask_fn=_compose_mask_fns(op, a, b),
+            )
         # arithmetic / comparisons on numbers + dyn values
         def as_data(v):
             if isinstance(v, DynValue):
@@ -413,6 +424,20 @@ class _Compiler:
     def _eval_InExpr(self, node: P.InExpr):
         ctx = self.eval(node.context)
         ctx = self._as_selection(ctx, node)
+        if ctx.dynamic:
+            # structure contexts are frozen at compile time (static gather
+            # indices); a per-frame-varying context would change structure
+            # COUNT and shapes under jit — typed error, not a silent freeze
+            # (the reference's is_dynamic selections are likewise barred
+            # from property structure contexts, viamd.cpp:1510 re-evaluates
+            # display filters only)
+            raise ScriptError(
+                "'in' context must be static: dynamic selections "
+                "(within/x/y/z) cannot form structure contexts — bind the "
+                "selection statically or use it directly in "
+                "count/com/rdf/distance_min/distance_max",
+                node.line, node.col,
+            )
         if ctx.n_structures == 0:
             raise ScriptError("'in' context matches nothing", node.line, node.col)
         prev = self.context
@@ -500,11 +525,12 @@ class _Compiler:
             getattr(node, "col", 0),
         )
 
-    def _regroup(self, mask: Bitfield, dynamic=False) -> Selection:
+    def _regroup(self, mask: Bitfield, dynamic=False, mask_fn=None) -> Selection:
         """Selection from a raw mask: structures grouped by residue when the
         mask spans whole residues, else a single flat structure."""
         idx = mask.indices()
-        return Selection(mask, [idx] if idx.size else [], "atom", dynamic)
+        return Selection(mask, [idx] if idx.size else [], "atom", dynamic,
+                         mask_fn)
 
     def residue_selection(self, res_mask: np.ndarray, dynamic=False) -> Selection:
         """Selection at residue granularity from a per-residue bool mask."""
@@ -521,9 +547,12 @@ class _Compiler:
         sel = Selection(mask, structures, "residue", dynamic)
         return self._clip_to_context(sel)
 
-    def atom_selection(self, atom_mask: np.ndarray, dynamic=False) -> Selection:
+    def atom_selection(
+        self, atom_mask: np.ndarray, dynamic=False, mask_fn=None
+    ) -> Selection:
         bf = Bitfield.from_bools(atom_mask)
-        sel = Selection(bf, [bf.indices()] if bf.any() else [], "atom", dynamic)
+        sel = Selection(bf, [bf.indices()] if bf.any() else [], "atom",
+                        dynamic, mask_fn)
         return self._clip_to_context(sel)
 
     def _clip_to_context(self, sel: Selection) -> Selection:
@@ -532,14 +561,21 @@ class _Compiler:
         if self.context is None:
             return sel
         m = sel.mask & self.context.mask
+        # per-frame masks intersect the (static) context on device
+        mfn = None
+        if sel.mask_fn is not None:
+            ctx_bools = jnp.asarray(self.context.mask.to_bools())
+            inner = sel.mask_fn
+            mfn = lambda x, b, i: inner(x, b, i) & ctx_bools  # noqa: E731
         if sel.level == "residue":
             structures = [
                 s[np.isin(s, m.indices())] for s in sel.structures
             ]
             structures = [s for s in structures if s.size]
-            return Selection(m, structures, sel.level, sel.dynamic)
+            return Selection(m, structures, sel.level, sel.dynamic, mfn)
         idx = m.indices()
-        return Selection(m, [idx] if idx.size else [], sel.level, sel.dynamic)
+        return Selection(m, [idx] if idx.size else [], sel.level,
+                         sel.dynamic, mfn)
 
     def position_of(self, v, node) -> Any:
         """Coerce an argument to a (3,) position (traced).
@@ -552,6 +588,13 @@ class _Compiler:
             gi = self._resolve_atom_index(v, node)
             return x[gi]
         if isinstance(v, Selection):
+            if v.dynamic and v.mask_fn is not None:
+                # per-frame COM position for a dynamic selection
+                w = v.mask_fn(
+                    x, self._trace_basis, self._trace_inv
+                ).astype(jnp.float32) * jnp.asarray(self.masses)
+                return com_ops.com(x, w, self._trace_basis, self._trace_inv)
+            self.static_warn(v, "position")
             idx = v.mask.indices()
             w = np.zeros(self.n, np.float32)
             w[idx] = self.masses[idx]
@@ -590,6 +633,72 @@ class _Compiler:
         idx = sel.mask.indices()
         w[idx] = self.masses[idx] if masses else 1.0
         return w
+
+    def dyn_weights(self, sel: Selection, masses=True):
+        """(n,) per-frame f32 weights (traced). Dynamic selections with a
+        mask_fn recompute against the CURRENT frame — the is_dynamic
+        re-evaluation of viamd.cpp:1510 inside property eval; static
+        selections embed their compile-time mask as a constant."""
+        if sel.dynamic and sel.mask_fn is not None:
+            m = sel.mask_fn(
+                self._trace_x, self._trace_basis, self._trace_inv
+            ).astype(jnp.float32)
+            return m * jnp.asarray(self.masses) if masses else m
+        return jnp.asarray(self.dense_weights(sel, masses))
+
+    def static_warn(self, sel: Selection, what: str):
+        """Record that a dynamic selection is consumed by a static-only
+        path (reference-frame freeze)."""
+        if sel.dynamic:
+            msg = (f"{what}: dynamic selection evaluated on the reference "
+                   "frame (static path)")
+            if msg not in self.warnings:
+                self.warnings.append(msg)
+
+
+def _compose_mask_fns(op: str, a: Selection, b: Selection):
+    """Per-frame mask for a boolean combination of selections. Built when
+    at least one side recomputes per frame; the static side participates
+    as a constant dense mask."""
+    if a.mask_fn is None and b.mask_fn is None:
+        return None
+
+    def side(s: Selection):
+        if s.mask_fn is not None:
+            return s.mask_fn
+        const = jnp.asarray(s.mask.to_bools())
+        return lambda x, bs, i: const
+
+    fa, fb = side(a), side(b)
+    if op == "and":
+        return lambda x, bs, i: fa(x, bs, i) & fb(x, bs, i)
+    return lambda x, bs, i: fa(x, bs, i) | fb(x, bs, i)
+
+
+def _within_mask_traced(x, idx, cut: float, basis, inv):
+    """(n,) bool: atoms within `cut` of any target atom, CURRENT frame.
+
+    Dense min-image distance-to-target, chunked over the query axis via
+    lax.map so peak memory stays O(chunk·|target|) — the on-device
+    per-frame re-evaluation of within() (viamd.cpp:1510 is_dynamic)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    xt = x[idx]
+    n = x.shape[0]
+    m = int(idx.shape[0])
+    chunk = max(128, (1 << 22) // max(m, 1))
+    cut2 = jnp.float32(cut * cut)
+
+    def dist2_block(xc):
+        d = xc[:, None, :] - xt[None, :, :]
+        dd = pbc_ops.min_image(d.reshape(-1, 3), basis, inv).reshape(d.shape)
+        return jnp.min(jnp.sum(dd * dd, -1), axis=1)
+
+    if chunk >= n:
+        return dist2_block(x) <= cut2
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    d2 = jax.lax.map(dist2_block, xp.reshape(-1, chunk, 3)).reshape(-1)[:n]
+    return d2 <= cut2
 
 
 # ---------------------------------------------------------------------------
@@ -912,12 +1021,15 @@ def _chains(c: _Compiler, node, args):
 
 @builtin("within")
 def _within(c: _Compiler, node, args):
-    """within(cutoff, sel): atoms within cutoff Å of sel (reference frame).
+    """within(cutoff, sel): atoms within cutoff Å of sel.
 
-    Marked dynamic: the reference re-evaluates such selections per frame when
-    used as display filters (viamd.cpp:1510 is_dynamic); as a *structure
-    context* it must be static, so we evaluate on the reference frame and
-    warn.
+    Dynamic (viamd.cpp:1510 is_dynamic): the static mask below is the
+    reference-frame evaluation (structure decomposition, filters at the
+    ref frame); when the TARGET selection is static, a per-frame traced
+    mask_fn is attached so property consumers (count/com/rdf/
+    distance_min/max) re-evaluate against each frame's coordinates.
+    Structure contexts reject dynamic selections with a typed error
+    (_eval_InExpr).
     """
     if len(args) != 2:
         raise ScriptError("within(cutoff, selection)", node.line, node.col)
@@ -948,22 +1060,37 @@ def _within(c: _Compiler, node, args):
         hits = tree.query_ball_point(xw, r=cut, return_length=True)
         mask = np.asarray(hits) > 0
     else:
-        from viamd_tpu.ops.pbc import min_image
-
+        # pure NumPy: this reference-frame evaluation runs INSIDE the
+        # compile-time probe trace, where any jnp op would be staged as a
+        # tracer (omnistaging) and poison the host-side mask
         mask = np.zeros(c.n, bool)
-        xs = jnp.asarray(x[idx])
-        bj, ij = jnp.asarray(c.basis0), jnp.asarray(c.inv_basis0)
+        xs = x[idx].astype(np.float64)
+        B = np.asarray(c.basis0, np.float64)
+        Iv = np.asarray(c.inv_basis0, np.float64)
+        periodic = bool(np.abs(np.linalg.det(B)) > 1e-12)
         chunk = max(1, (1 << 24) // max(idx.size, 1))
         for beg in range(0, c.n, chunk):
-            xc = jnp.asarray(x[beg : beg + chunk])
-            d = xc[:, None, :] - xs[None, :, :]
-            dd = min_image(d.reshape(-1, 3), bj, ij).reshape(d.shape)
-            dist2 = np.asarray(jnp.min(jnp.sum(dd * dd, -1), axis=1))
+            d = x[beg : beg + chunk, None, :].astype(np.float64) - xs[None]
+            if periodic:
+                f = d @ Iv  # row-vector convention (ops.pbc.cellmul)
+                f -= np.round(f)
+                d = f @ B
+            dist2 = (d * d).sum(-1).min(axis=1)
             mask[beg : beg + chunk] = dist2 <= cut * cut
-    c.warnings.append(
-        "within(): evaluated on the reference frame (static selection)"
-    )
-    return c.atom_selection(mask, dynamic=True)
+    if sel.dynamic:
+        # dynamic target: per-frame recomputation would need a per-frame
+        # candidate set (O(n²) dense) — freeze the target and warn
+        c.warnings.append(
+            "within(): dynamic target selection — target evaluated on the "
+            "reference frame"
+        )
+        mfn = None
+    else:
+        tgt_idx = idx.copy()
+        mfn = lambda xx, bb, ii: _within_mask_traced(  # noqa: E731
+            xx, tgt_idx, cut, bb, ii
+        )
+    return c.atom_selection(mask, dynamic=True, mask_fn=mfn)
 
 
 def _axis_sel(axis):
@@ -976,7 +1103,12 @@ def _axis_sel(axis):
         v = c.x0[:, axis]
         lo = r.beg if r.beg is not None else -np.inf
         hi = r.end if r.end is not None else np.inf
-        return c.atom_selection((v >= lo) & (v <= hi), dynamic=True)
+        flo, fhi = jnp.float32(lo), jnp.float32(hi)
+        mfn = lambda xx, bb, ii: (  # noqa: E731 — per-frame axis range
+            (xx[:, axis] >= flo) & (xx[:, axis] <= fhi)
+        )
+        return c.atom_selection((v >= lo) & (v <= hi), dynamic=True,
+                                mask_fn=mfn)
 
     return fn
 
@@ -989,6 +1121,12 @@ BUILTINS["z"] = _axis_sel(2)
 @builtin("count")
 def _count(c: _Compiler, node, args):
     sel = c._as_selection(args[0] if args else None, node)
+    if sel.dynamic and sel.mask_fn is not None:
+        # per-frame count — e.g. count(within(5, resname("LIG"))) as a
+        # genuine time series (viamd.cpp:1510 is_dynamic semantics)
+        m = sel.mask_fn(c._trace_x, c._trace_basis, c._trace_inv)
+        return DynValue(jnp.sum(m.astype(jnp.float32)))
+    c.static_warn(sel, "count")
     return DynValue(jnp.float32(sel.mask.popcount()))
 
 
@@ -1058,8 +1196,8 @@ def _distance_min(c: _Compiler, node, args):
     _require_atoms("distance_min", node, a, bsel)
     dmin, _ = geom_ops.distance_min_max(
         c._trace_x,
-        jnp.asarray(c.dense_weights(a, masses=False)),
-        jnp.asarray(c.dense_weights(bsel, masses=False)),
+        c.dyn_weights(a, masses=False),
+        c.dyn_weights(bsel, masses=False),
         c._trace_basis, c._trace_inv,
     )
     return DynValue(dmin, unit="Å")
@@ -1072,8 +1210,8 @@ def _distance_max(c: _Compiler, node, args):
     _require_atoms("distance_max", node, a, bsel)
     _, dmax = geom_ops.distance_min_max(
         c._trace_x,
-        jnp.asarray(c.dense_weights(a, masses=False)),
-        jnp.asarray(c.dense_weights(bsel, masses=False)),
+        c.dyn_weights(a, masses=False),
+        c.dyn_weights(bsel, masses=False),
         c._trace_basis, c._trace_inv,
     )
     return DynValue(dmax, unit="Å")
@@ -1084,6 +1222,8 @@ def _distance_pair(c: _Compiler, node, args):
     a = c._as_selection(args[0], node)
     bsel = c._as_selection(args[1], node)
     _require_atoms("distance_pair", node, a, bsel)
+    c.static_warn(a, "distance_pair")
+    c.static_warn(bsel, "distance_pair")
     ia = a.mask.indices()
     ib_ = bsel.mask.indices()
     if ia.size * ib_.size > 65536:
@@ -1160,11 +1300,10 @@ def _com(c: _Compiler, node, args):
                 c._trace_x[ii], ww, c._trace_basis, c._trace_inv
             )
         )(jnp.asarray(idx), jnp.asarray(w))
+        c.static_warn(sel, "com (structure context)")
         return DynValue(coms, unit="Å", is_coord=True)
-    w = c.dense_weights(sel)
-    p = com_ops.com(
-        c._trace_x, jnp.asarray(w), c._trace_basis, c._trace_inv
-    )
+    w = c.dyn_weights(sel)  # per-frame mass weights for dynamic selections
+    p = com_ops.com(c._trace_x, w, c._trace_basis, c._trace_inv)
     return DynValue(p, unit="Å", is_coord=True)
 
 
@@ -1173,6 +1312,7 @@ def _plane(c: _Compiler, node, args):
     """Best-fit plane of a selection → (nx, ny, nz, d) coefficients."""
     sel = c._as_selection(args[0], node)
     _require_atoms("plane", node, sel)
+    c.static_warn(sel, "plane")
     w = jnp.asarray(c.dense_weights(sel))
     x, b, ib = c._trace_x, c._trace_basis, c._trace_inv
     cm, vals, vecs = cov_ops.principal_axes(x, w, b, ib)
@@ -1185,6 +1325,7 @@ def _plane(c: _Compiler, node, args):
 def _rmsd(c: _Compiler, node, args):
     sel = c._as_selection(args[0], node)
     _require_atoms("rmsd", node, sel)
+    c.static_warn(sel, "rmsd")
     structs = (
         c.context.structures
         if c.context is not None and c.context.n_structures > 1
@@ -1206,6 +1347,7 @@ def _rmsd(c: _Compiler, node, args):
 def _shape_weights(c: _Compiler, node, args):
     sel = c._as_selection(args[0], node)
     _require_atoms("shape_weights", node, sel)
+    c.static_warn(sel, "shape_weights")
     structs = sel.structures if sel.n_structures > 1 else None
     if c.context is not None and c.context.n_structures > 1:
         structs = c.context.structures
@@ -1229,6 +1371,33 @@ def _rdf(c: _Compiler, node, args):
     a = c._as_selection(args[0], node)
     bsel = c._as_selection(args[1], node)
     cutoff = float(args[2])
+    if (a.dynamic and a.mask_fn is not None) or (
+        bsel.dynamic and bsel.mask_fn is not None
+    ):
+        # per-frame selections: dense masked histogram with PER-FRAME
+        # normalization (selection sizes vary frame to frame, so each
+        # frame contributes H_f/(Na_f·Nb_f) and the spec counts become 1 —
+        # rdf_normalize then yields the frame-averaged g(r)). The
+        # cell-list kernels need static gather indices, so dynamic rdf
+        # rides the dense path; it is exact for any cell.
+        wa_t = c.dyn_weights(a, masses=False)
+        wb_t = c.dyn_weights(bsel, masses=False)
+        dense = (
+            rdf_ops.pair_dist_histogram
+            if jax.default_backend() == "tpu"
+            else rdf_ops.pair_dist_histogram_scatter
+        )
+        hist = dense(
+            c._trace_x, wa_t, wb_t,
+            c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
+        )
+        na, nb = jnp.sum(wa_t), jnp.sum(wb_t)
+        hist = hist / jnp.maximum(na * nb, 1.0)
+        spec = AccumSpec(
+            kind="distribution", nbins=RDF_BINS, r_min=0.0, r_max=cutoff,
+            x_unit="Å", count_a=1.0, count_b=1.0,
+        )
+        return AccumValue(hist, spec)
     wa = c.dense_weights(a, masses=False)
     wb = c.dense_weights(bsel, masses=False)
     # Large periodic systems route through the O(n·k) cell-list kernel
@@ -1368,6 +1537,8 @@ def _sdf(c: _Compiler, node, args):
     ref_sel = c._as_selection(args[0], node)
     target = c._as_selection(args[1], node)
     extent = float(args[2])
+    c.static_warn(ref_sel, "sdf (reference structures)")
+    c.static_warn(target, "sdf (target)")
     structs = ref_sel.structures
     idx, w, refc = sdf_ops.make_structure_inputs(
         [np.asarray(s) for s in structs], c.masses, c.x0

@@ -39,6 +39,15 @@ class Selection:
     structures: list  # list[np.ndarray]
     level: str = "atom"  # 'atom' | 'residue' | 'chain' | 'system'
     dynamic: bool = False  # contains within/positional predicates
+    # Per-frame mask recomputation for dynamic selections: a traced
+    # (x, basis, inv_basis) -> (n,) bool function built at compile time.
+    # Present when the dynamic predicate supports on-device re-evaluation
+    # (within with a static target, x/y/z ranges, boolean combinations);
+    # consumers that can take dense per-frame weights (count/com/rdf/
+    # distance_min/max) use it, mirroring the reference's is_dynamic
+    # re-evaluation (viamd.cpp:1510). The static `mask` stays the
+    # reference-frame evaluation for structure decomposition.
+    mask_fn: Optional[Any] = None
 
     @property
     def n_structures(self) -> int:
@@ -46,7 +55,8 @@ class Selection:
 
     def single(self) -> "Selection":
         """Collapse to a single flat structure."""
-        return Selection(self.mask, [self.mask.indices()], "atom", self.dynamic)
+        return Selection(self.mask, [self.mask.indices()], "atom",
+                         self.dynamic, self.mask_fn)
 
     def packed(self, masses: Optional[np.ndarray] = None):
         """(S, K) padded idx + weight arrays for vmapped per-structure ops."""
