@@ -644,6 +644,70 @@ class TestVlxRealSchema:
                 rsp["magnetic_transition_dipoles"] = rng.randn(S, 3)
         return C
 
+    def test_parse_molecularorbitals_writer_layout(self, tmp_path):
+        """The FLAT layout VeloxChem's own MolecularOrbitals.write_hdf5
+        produces (public VeloxChem source, veloxchem/molecularorbitals.py):
+        root datasets alpha_orbitals / alpha_energies / alpha_occupations
+        (+ beta_* when unrestricted) with nuclear_charges + basis_set
+        stored for checksum validation — no scf/ group, no geometry
+        beyond charges. Written with raw h5py (not io/vlx.py's writer)."""
+        import h5py
+
+        from viamd_tpu.io.vlx import load_vlx_h5
+
+        rng = np.random.RandomState(11)
+        p = str(tmp_path / "mos.h5")
+        C = rng.randn(7, 7)
+        Cb = rng.randn(7, 7)
+        with h5py.File(p, "w") as f:
+            f.create_dataset("alpha_orbitals", data=C)
+            f.create_dataset("alpha_energies",
+                             data=np.linspace(-20.0, 2.0, 7))
+            f.create_dataset("alpha_occupations",
+                             data=np.array([2.0] * 5 + [0.0] * 2))
+            f.create_dataset("beta_orbitals", data=Cb)
+            f.create_dataset("beta_energies",
+                             data=np.linspace(-19.0, 2.5, 7))
+            f.create_dataset("nuclear_charges",
+                             data=np.array([8.0, 1.0, 1.0]))
+            f.create_dataset("basis_set", data=np.bytes_("STO-3G"))
+            # geometry rides alongside in viamd-consumable checkpoints
+            f.create_dataset("atom_coordinates", data=np.array(
+                [[0.0, 0.0, 0.226], [0.0, 1.443, -0.904],
+                 [0.0, -1.443, -0.904]], np.float64))
+        qm = load_vlx_h5(p)
+        np.testing.assert_allclose(qm.mo_coeffs, C.astype(np.float32))
+        assert qm.beta_coeffs is not None
+        np.testing.assert_allclose(
+            qm.beta_coeffs, Cb.astype(np.float32)
+        )
+        assert qm.n_occupied == 5
+        assert qm.scf_type == "unrestricted"
+
+    def test_parse_scfdriver_checkpoint_spellings(self, tmp_path):
+        """ScfDriver-style checkpoint spellings (C_alpha / E_alpha — the
+        VeloxChem scf checkpoint convention) parse to the same data."""
+        import h5py
+
+        from viamd_tpu.io.vlx import load_vlx_h5
+
+        rng = np.random.RandomState(12)
+        p = str(tmp_path / "scf.h5")
+        C = rng.randn(7, 7)
+        with h5py.File(p, "w") as f:
+            f.create_dataset("C_alpha", data=C)
+            f.create_dataset("E_alpha", data=np.linspace(-20.0, 2.0, 7))
+            f.create_dataset("nuclear_charges",
+                             data=np.array([8.0, 1.0, 1.0]))
+            f.create_dataset("basis_set", data=np.bytes_("STO-3G"))
+            f.create_dataset("atom_coordinates", data=np.array(
+                [[0.0, 0.0, 0.226], [0.0, 1.443, -0.904],
+                 [0.0, -1.443, -0.904]], np.float64))
+            f.create_dataset("molecular_charge", data=0.0)
+        qm = load_vlx_h5(p)
+        np.testing.assert_allclose(qm.mo_coeffs, C.astype(np.float32))
+        assert qm.n_occupied == 5  # (8+1+1 electrons)//2, charge 0
+
     def test_parse_real_layout(self, tmp_path):
         pytest.importorskip("h5py")
         from viamd_tpu.io.vlx import HARTREE_EV, load_vlx_h5
