@@ -1005,6 +1005,25 @@ class TestPallasRDF:
             )
         )
         np.testing.assert_allclose(hab, dense_ab, atol=1e-2)
+        # XLA cell-list basis mode (pair_dist_histogram_cl): the non-Pallas
+        # backend route for skewed cells — same fractional binning +
+        # single-round min-image, must also match dense exactly
+        hx = np.asarray(
+            rdf.pair_dist_histogram_cl(
+                jnp.asarray(x), idx_a, idx_a, boxd, 128, rmax,
+                dims, cap, cap, radius=1,
+                basis=jnp.asarray(B), inv_basis=jnp.asarray(inv),
+            )
+        )
+        np.testing.assert_allclose(hx, dense_s, atol=1e-2)
+        hx_ab = np.asarray(
+            rdf.pair_dist_histogram_cl(
+                jnp.asarray(x), idx_a, idx_b, boxd, 128, rmax,
+                dims, cap, cap_b, radius=1,
+                basis=jnp.asarray(B), inv_basis=jnp.asarray(inv),
+            )
+        )
+        np.testing.assert_allclose(hx_ab, dense_ab, atol=1e-2)
 
     def test_slab_sharded_matches_dense(self):
         """Multi-chip slab sharding (pair_dist_histogram_pl_sharded): each

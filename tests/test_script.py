@@ -184,7 +184,10 @@ class TestCompile:
     def test_rdf_triclinic_compiler_route(self, monkeypatch):
         """The compiler's triclinic Pallas RDF branch (normally TPU-only)
         driven in interpret mode via VIAMD_TPU_PALLAS_INTERPRET: must
-        match the dense-path compile of the same script."""
+        match the non-Pallas compile of the same script (which on CPU now
+        routes through the XLA triclinic cell list — its parity against
+        the dense path is pinned kernel-level in
+        test_ops.py::test_triclinic_matches_dense)."""
         import jax.numpy as jnp
 
         from tests.conftest import make_water_box

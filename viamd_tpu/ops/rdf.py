@@ -265,8 +265,10 @@ def pair_dist_histogram_cl(
     cap_b: int,
     block: int = 64,
     radius: int = 2,
+    basis: jnp.ndarray | None = None,  # (3,3) triclinic cell basis
+    inv_basis: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Cell-list pair-distance histogram (orthorhombic) → (nbins,).
+    """Cell-list pair-distance histogram (orthorhombic or triclinic) → (nbins,).
 
     Cell-major packed-tile formulation (the TPU-fast shape): each selection
     subset gets its own cell list; coordinates pack into dense per-cell
@@ -276,15 +278,33 @@ def pair_dist_histogram_cl(
     the naive formulation). The compare-CDF histogram then runs as a scan
     over cell blocks with everything fused.
 
+    With `basis`/`inv_basis` the cell is TRICLINIC: atoms bin uniformly in
+    FRACTIONAL space (the grid sized by ops.neighbors.choose_grid_triclinic
+    so a radius-r stencil still covers the cutoff ball), tiles carry
+    fractional coordinates, and distances apply a single-round fractional
+    min-image before mapping back through the basis — the same semantics
+    as the Pallas triclinic kernel and ops.pbc.min_image for reduced cells.
+    This is the non-Pallas backend's escape from the O(n²) dense fallback
+    for skewed production cells (rhombic dodecahedron etc.).
+
     Both (i,j) and (j,i) count when both selections cover them (the
     symmetric convention of the dense kernel). Self pairs excluded by
     global-id comparison. Atoms beyond a cell's capacity are dropped —
     capacities are sized host-side with headroom (ops.neighbors.choose_grid).
     """
     from viamd_tpu.ops.neighbors import build_cell_list
+    from viamd_tpu.ops.pbc import cellmul
 
-    xa = x[idx_a]
-    xb = x[idx_b]
+    tri = basis is not None
+    if tri:
+        frac = cellmul(x, inv_basis)
+        frac = frac - jnp.floor(frac)
+        xa = frac[idx_a]
+        xb = frac[idx_b]
+        box = jnp.ones(3, x.dtype)
+    else:
+        xa = x[idx_a]
+        xb = x[idx_b]
     cl_a = build_cell_list(xa, box, dims, cap_a)
     cl_b = build_cell_list(xb, box, dims, cap_b)
     dx, dy, dz = dims
@@ -330,7 +350,11 @@ def pair_dist_histogram_cl(
         bw = jax.lax.dynamic_slice(nb_w, (c0, 0), (block, C))
         bid = jax.lax.dynamic_slice(nb_gid, (c0, 0), (block, C))
         d = ax[:, :, None, :] - bx[:, None, :, :]  # (CB, Ka, C, 3)
-        d = d - box * jnp.round(d / box)
+        if tri:
+            d = d - jnp.round(d)  # fractional single-round min-image
+            d = cellmul(d, basis)  # back to cartesian (exact f32 FMAs)
+        else:
+            d = d - box * jnp.round(d / box)
         dist2 = jnp.sum(d * d, axis=-1)
         w = aw[:, :, None] * bw[:, None, :]
         w = jnp.where(aid[:, :, None] == bid[:, None, :], 0.0, w)

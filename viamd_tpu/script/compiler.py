@@ -1413,12 +1413,12 @@ def _rdf(c: _Compiler, node, args):
         c.sys.cell.is_periodic
         and not c.sys.cell.is_orthorhombic
         and c.n >= 4096
-        and pl_route
-        and RDF_BINS % 128 == 0
     ):
-        # TRICLINIC cell-list path (Pallas only): fractional-space binning
-        # + in-kernel single-round fractional min-image (same semantics as
-        # the dense path's ops.pbc.min_image). Without this, skewed
+        # TRICLINIC cell-list path: fractional-space binning + single-round
+        # fractional min-image (same semantics as the dense path's
+        # ops.pbc.min_image). TPU routes through the Pallas kernel; other
+        # backends use the XLA cell-list scan with the same fractional
+        # math (pair_dist_histogram_cl basis mode) — without this, skewed
         # boxes — rhombic dodecahedron / truncated octahedron, the most
         # common production cells — fell back to the O(n²) dense pair
         # histogram.
@@ -1504,6 +1504,8 @@ def _rdf(c: _Compiler, node, args):
                 c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
                 box, RDF_BINS, cutoff, dims, cap_a, cap_b,
                 radius=radius,
+                basis=c._trace_basis if tri else None,
+                inv_basis=c._trace_inv if tri else None,
             )
     else:
         # dense all-pairs: TPU rides the compare-CDF formulation (no
