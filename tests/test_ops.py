@@ -300,6 +300,20 @@ class TestRDF:
             dense = np.asarray(rdf.pair_dist_histogram(*args, tile=64))
             got = np.asarray(rdf.pair_dist_histogram_scatter(*args, tile=64))
             np.testing.assert_allclose(got, dense, atol=1e-2)
+            # selection-compacted variant (the config-#1 CPU fast path):
+            # overlapping selections (wa∩wb ≠ ∅) must keep self-pair
+            # exclusion and weights through the gather
+            idx_a = jnp.asarray(np.nonzero(wa)[0].astype(np.int32))
+            idx_b = jnp.asarray(np.nonzero(wb)[0].astype(np.int32))
+            got_idx = np.asarray(
+                rdf.pair_dist_histogram_scatter_idx(
+                    jnp.asarray(x), idx_a, idx_b,
+                    jnp.asarray(wa[np.asarray(idx_a)]),
+                    jnp.asarray(wb[np.asarray(idx_b)]),
+                    basis, inv, 16, 4.0, tile=64,
+                )
+            )
+            np.testing.assert_allclose(got_idx, dense, atol=1e-2)
 
     def test_celllist_matches_dense(self):
         from viamd_tpu.ops.neighbors import choose_grid

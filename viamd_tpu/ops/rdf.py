@@ -118,6 +118,67 @@ def pair_dist_histogram_scatter(
     return hist
 
 
+def pair_dist_histogram_scatter_idx(
+    x: jnp.ndarray,
+    idx_a: jnp.ndarray,  # (na,) static global indices of the A selection
+    idx_b: jnp.ndarray,  # (nb,) static global indices of the B selection
+    w_a: jnp.ndarray,  # (na,) weights at idx_a
+    w_b: jnp.ndarray,  # (nb,) weights at idx_b
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+    nbins: int,
+    r_max: float,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Selection-compacted `pair_dist_histogram_scatter`.
+
+    The dense scatter variant pays n² distance rows no matter how sparse
+    the selections are; the reference's own 1ALA-500 default script
+    (rdf(element('C'), element('H')), main.cpp:513-530) selects 192+128
+    of 448 atoms — an 8× pair-count cut. Gather each selection once
+    (host-static index lists, the compiler already has them) and run the
+    same min-image → bin → scatter-add over the (na, nb) block, tiled on
+    the A side. Self pairs excluded by global-id comparison, so
+    overlapping selections keep the dense path's semantics.
+    """
+    na = int(idx_a.shape[0])
+    if na == 0 or int(idx_b.shape[0]) == 0:
+        return jnp.zeros(nbins, jnp.float32)
+    xa = x[idx_a]
+    xb = x[idx_b]
+    tile = min(tile, max(na, 1))
+    n_pad = -(-na // tile) * tile
+    pad = n_pad - na
+    xap = jnp.pad(xa, ((0, pad), (0, 0)))
+    wap = jnp.pad(w_a.astype(jnp.float32), (0, pad))
+    iap = jnp.pad(idx_a, (0, pad), constant_values=-1)
+    wb = w_b.astype(jnp.float32)
+    inv_bin = nbins / r_max
+
+    def row_tile(carry, i0):
+        xr = jax.lax.dynamic_slice(xap, (i0, 0), (tile, 3))
+        wr = jax.lax.dynamic_slice(wap, (i0,), (tile,))
+        ir = jax.lax.dynamic_slice(iap, (i0,), (tile,))
+        d = xr[:, None, :] - xb[None, :, :]
+        d = min_image(d, basis, inv_basis)
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 0.0))
+        w = wr[:, None] * wb[None, :]
+        w = jnp.where(ir[:, None] == idx_b[None, :], 0.0, w)
+        bins = jnp.where(
+            dist < r_max, (dist * inv_bin).astype(jnp.int32), nbins
+        )
+        hist = jnp.zeros(nbins + 1, jnp.float32).at[bins.ravel()].add(
+            w.ravel()
+        )
+        return carry + hist[:nbins], None
+
+    starts = jnp.arange(0, n_pad, tile, dtype=jnp.int32)
+    hist, _ = jax.lax.scan(
+        row_tile, jnp.zeros(nbins, jnp.float32), starts
+    )
+    return hist
+
+
 def stencil_offsets(radius: int, symmetric: bool = False) -> list:
     """Cell-offset stencil. `symmetric`: self-cell first + the lexicographic
     upper half — each unordered CELL pair appears exactly once (pairs within

@@ -1509,17 +1509,23 @@ def _rdf(c: _Compiler, node, args):
             )
     else:
         # dense all-pairs: TPU rides the compare-CDF formulation (no
-        # native scatter); host backends scatter-add — ~50× at the
-        # 1ALA-500 regime (BASELINE config #1 runs the script on CPU)
-        dense = (
-            rdf_ops.pair_dist_histogram
-            if jax.default_backend() == "tpu"
-            else rdf_ops.pair_dist_histogram_scatter
-        )
-        hist = dense(
-            c._trace_x, jnp.asarray(wa), jnp.asarray(wb),
-            c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
-        )
+        # native scatter); host backends scatter-add over the
+        # selection-compacted (na, nb) block — ~50× at the 1ALA-500
+        # regime (BASELINE config #1 runs the script on CPU), plus the
+        # sparse-selection pair cut (192×128 of 448² for the reference
+        # default script)
+        if jax.default_backend() == "tpu":
+            hist = rdf_ops.pair_dist_histogram(
+                c._trace_x, jnp.asarray(wa), jnp.asarray(wb),
+                c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
+            )
+        else:
+            hist = rdf_ops.pair_dist_histogram_scatter_idx(
+                c._trace_x, jnp.asarray(idx_a), jnp.asarray(idx_b),
+                jnp.asarray(np.asarray(wa)[np.asarray(idx_a)]),
+                jnp.asarray(np.asarray(wb)[np.asarray(idx_b)]),
+                c._trace_basis, c._trace_inv, RDF_BINS, cutoff,
+            )
     spec = AccumSpec(
         kind="distribution",
         nbins=RDF_BINS,
