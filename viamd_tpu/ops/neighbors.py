@@ -169,13 +169,19 @@ def _grouped_sort_groups(n: int, cell_bits: int, idx_bits: int,
     multi-chip path).
 
     OFF BY DEFAULT (opt in with VIAMD_TPU_GROUPED_SORT=1): measured on
-    the v5e (tools/exp_groupsort.py, docs/PERF.md round-3 ledger), the
+    the v5e (tools/exp_groupsort.py, docs/PERF.md round-3/5 ledger), the
     batched (G, n/G) single-operand sort alone is 4.4-5.6x faster than
     the argsort it replaces (1.7 vs 9.5 ms at 333k / 4.2 vs 17.4 at
-    667k), but the Gx per-group boundary searchsorted (+9/+23 ms) and
-    the 3-gather grouped table build (+13/+23 ms vs 1 gather) cost more
-    than the sort win at config-#4 selection sizes — the build is
-    gather-bound, not sort-bound, on this backend."""
+    667k). The r5 G-way compare-select table build removed the 3-gather
+    overhead (grouped build 23.4 -> 16.9 ms at 333k), but the Gx
+    per-group boundary searchsorted alone (+9/+23/+34 ms at
+    333k/667k-rdf/667k-sdf grids — log2(m) chained (G, ncells)-row
+    gather steps) still exceeds the whole argsort build (11.6/19.3/20.5
+    ms full builds, r5 re-measure) — the build stays gather-bound, not
+    sort-bound, on this backend. A spatial-slab two-pass variant (coarse
+    cx sort, per-slab fine sort, starts by reshape) prices out the same
+    way: its two extra (~n)-row gathers at the measured ~1.9e8 rows/s
+    (tools/exp_gather2.py) cost more than the sort savings."""
     import os
 
     if os.environ.get("VIAMD_TPU_GROUPED_SORT", "0") != "1":
@@ -242,12 +248,19 @@ def _build_cell_list_grouped(
         axis=2,
     )
     g_own = jnp.minimum(g_own, G - 1)
-    # flat-index gathers (take_along_axis is ~30x slower on this backend)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (ncells, capacity), 0)
-    own_prefix = prefix.reshape(-1)[c_iota * (G + 1) + g_own]
-    # starts_g is (G, ncells+1): entry [g_own, c]
-    own_start = starts_g.reshape(-1)[g_own * (ncells + 1) + c_iota]
-    src = g_own * m + own_start + (slot - own_prefix)
+    # Select own_prefix/own_start by a G-way compare-select instead of the
+    # r3 flat-index gathers: each gather charged ncells·capacity ROWS
+    # (~2.2 ms apiece at config-#4 scale — gathers are row-priced on this
+    # backend), while G compare+selects per slot are pure VPU and fuse
+    # into the surrounding elementwise graph. comb folds the group's
+    # whole src contribution (g·m + starts_g − prefix) into ONE selected
+    # value so only a single select chain is needed.
+    goffs = jax.lax.broadcasted_iota(jnp.int32, (G, ncells), 0) * m
+    comb = (goffs + starts_g[:, :-1] - prefix.T[:-1]).T  # (ncells, G)
+    own_comb = jnp.zeros((ncells, capacity), jnp.int32)
+    for g in range(G):
+        own_comb = jnp.where(g_own == g, comb[:, g : g + 1], own_comb)
+    src = own_comb + slot
     valid = slot < count[:, None]
     table = order_g[jnp.clip(src, 0, G * m - 1)]
     dropped = jnp.sum(jnp.maximum(count - capacity, 0))

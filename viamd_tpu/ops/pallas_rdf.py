@@ -493,9 +493,11 @@ def _pair_dist_histogram_impl(
     if ka is None:
         # ka=8 halves the per-block A quantization waste (ceil(occ/ka)·ka)
         # at the occupancies the radius-1 grids produce — measured ~5%
-        # whole-RDF win at λ≈33 (tools/exp_ka.py); at high caps the extra
-        # pass launches win back, so keep ka=16 beyond 64
-        ka = 8 if cap_a <= 64 else 16
+        # whole-RDF win at λ≈33 (tools/exp_ka.py) and −8% at the 1M
+        # config whose cap_a=65 used to flip to ka=16 (30.5→28.0 ms,
+        # r5 A/B); at high caps the extra pass launches win back, so
+        # keep ka=16 beyond 96
+        ka = 8 if cap_a <= 96 else 16
     n_pass = -(-cap_a // ka)
     cap_a_pad = n_pass * ka
     G = LANES // ka
@@ -536,6 +538,31 @@ def _pair_dist_histogram_impl(
         # ride as exact f32 VALUES (not bitcasts — int32 bit patterns are
         # f32 denormals, which this hardware flushes to zero in fused
         # copies), exact below 2^24 entries.
+        # Sorted-payload form (the ops/sdf.py pattern): permute the packed
+        # atoms into cell order ONCE (n rows), then index by segment
+        # position — the (ncells·cap)-row cl.table build gather is never
+        # consumed and DCEs away. vs t4 = p4[cl.table]: two (ncells·cap)-
+        # row gathers → one n-row + one (ncells·cap)-row; gathers price
+        # per ROW at ~1.9e8 rows/s at this scale (tools/exp_gather2.py),
+        # so this saves ~2 ms at the 1M config.
+        ncells_t = cl.table.shape[0]
+        slot_t = jax.lax.broadcasted_iota(jnp.int32, (ncells_t, cap), 1)
+        valid = slot_t < (cl.starts[1:] - cl.starts[:-1])[:, None]
+        if cl.order is not None:
+            n_t = cl.order.shape[0]
+            pos = jnp.minimum(cl.starts[:-1][:, None] + slot_t, n_t - 1)
+            if pack_ids:
+                p4 = jnp.concatenate(
+                    [xs, idx.astype(jnp.float32)[:, None]], 1
+                )
+                t4 = p4[cl.order][pos]
+                gid = t4[..., 3].astype(jnp.int32)
+                gid = jnp.where(valid, gid, inval)
+                return t4[..., :3], gid, valid
+            os_ = cl.order[pos]
+            gid = jnp.where(valid, idx[os_], inval)
+            return xs[os_], gid, valid
+        # grouped cell list: no globally-sorted order — table route
         if pack_ids:
             p4 = jnp.concatenate([xs, idx.astype(jnp.float32)[:, None]], 1)
             t4 = p4[cl.table[:, :cap]]
