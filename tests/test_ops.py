@@ -483,6 +483,73 @@ class TestSDF:
             )
             assert 0.0 < cl_s.sum() <= cl_c.sum() + 1e-3
 
+    def test_pairs_matches_dense(self):
+        """Sort-free (S, n_t) bounding-sphere pairs route
+        (sdf_accumulate_pairs — the few-structure large-system fast
+        path, no cell list at all) == the dense path, orthorhombic and
+        triclinic, incl. capacity-drop semantics."""
+        from viamd_tpu.core.unitcell import UnitCell
+        from viamd_tpu.ops import sdf as sdf_ops
+
+        rng = np.random.RandomState(11)
+        L = 24.0
+        n = 600
+        extent, dims = 5.0, 16
+        cells = [
+            UnitCell.from_lengths_angles(L, L, L, 90, 90, 90),
+            UnitCell.from_lengths_angles(L, L, L, 90, 90, 60),
+        ]
+        for cell in cells:
+            B = np.asarray(cell.basis, np.float32)
+            x = (rng.uniform(0, 1, (n, 3)) @ B).astype(np.float32)
+            structs = [
+                np.arange(i * 5, i * 5 + 5, dtype=np.int32) for i in range(4)
+            ]
+            idx, w, refc = sdf_ops.make_structure_inputs(
+                structs, np.ones(n, np.float32), x
+            )
+            tw = (rng.rand(n) < 0.5).astype(np.float32)
+            idx_t = np.nonzero(tw)[0].astype(np.int32)
+            basis = jnp.asarray(B)
+            inv = jnp.asarray(
+                np.linalg.inv(B.astype(np.float64)), jnp.float32
+            )
+            dense = np.asarray(
+                sdf_ops.sdf_accumulate(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, basis, inv,
+                )
+            )
+            cnt0 = sdf_ops.sdf_frame0_ball_count(
+                x[idx_t], x, np.asarray(idx), np.asarray(w),
+                np.diag(B).copy(), extent, dims,
+                basis=None if cell.is_orthorhombic else B,
+            )
+            cap = sdf_ops.sdf_pair_capacity(
+                len(structs), int(idx_t.size), np.diag(B).copy(),
+                extent, dims, per_struct_count=cnt0,
+            )
+            got = np.asarray(
+                sdf_ops.sdf_accumulate_pairs(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, basis, inv,
+                    jnp.asarray(idx_t), cap,
+                )
+            )
+            np.testing.assert_allclose(got, dense, atol=1e-3, rtol=1e-3)
+            # tiny capacity still runs; drops points (documented semantics)
+            small = np.asarray(
+                sdf_ops.sdf_accumulate_pairs(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, basis, inv,
+                    jnp.asarray(idx_t), 16,
+                )
+            )
+            assert 0.0 < small.sum() <= got.sum() + 1e-3
+
     def test_celllist_triclinic_matches_dense(self):
         """Fractional-space SDF cell list on a 60° triclinic cell: must
         match the dense (all-pairs) path exactly — skewed cells

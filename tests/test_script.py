@@ -424,6 +424,47 @@ class TestEvaluate:
         assert np.isfinite(vol).all()
         assert vol.sum() > 0
 
+    def test_sdf_pairs_compiler_route(self):
+        """Large periodic system + few structures → the compiler routes
+        sdf through the sort-free pairs path (sdf_accumulate_pairs);
+        the routed compile must match the dense all-pairs oracle."""
+        import jax.numpy as jnp
+
+        from tests.conftest import make_water_box
+        from viamd_tpu.ops import pbc as pbc_ops
+        from viamd_tpu.ops import sdf as sdf_ops
+
+        sys_, _ = make_water_box(n_waters=3000, box=45.0, n_frames=1)
+        assert sys_.natoms >= 8192
+        src = "v = sdf(residue(1:16), element('H'), 4.0);\n"
+        x = jnp.asarray(sys_.coords())
+        basis = jnp.asarray(np.asarray(sys_.cell.basis, np.float32))
+        inv = pbc_ops.inv_basis_of(basis)
+
+        cs_pairs = compile_script(src, sys_)
+        _, a_pairs = cs_pairs.frame_fn(x, basis, inv)
+
+        el = np.asarray(sys_.element)
+        idx_t = np.nonzero(el == 1)[0].astype(np.int32)
+        res = np.asarray(sys_.atom_res_idx)
+        structs = [
+            np.nonzero(res == i)[0].astype(np.int32) for i in range(16)
+        ]
+        idx, w, refc = sdf_ops.make_structure_inputs(
+            structs, np.asarray(sys_.mass), np.asarray(sys_.coords())
+        )
+        tw = np.zeros(sys_.natoms, np.float32)
+        tw[idx_t] = 1.0
+        dense = np.asarray(
+            sdf_ops.sdf_accumulate(
+                x, jnp.asarray(tw), jnp.asarray(idx), jnp.asarray(w),
+                jnp.asarray(refc), 4.0, 64, basis, inv,
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_pairs["v"]), dense, atol=1e-3, rtol=1e-3
+        )
+
     def test_rdf_normalization(self, water):
         sys, traj = water
         cs = compile_script(

@@ -232,6 +232,202 @@ def sdf_accumulate_cl(
     return splat_trilinear(pf, wf, (dims, dims, dims), origin, voxel)
 
 
+def sdf_accumulate_pairs(
+    x: jnp.ndarray,
+    target_w: jnp.ndarray,
+    struct_idx: jnp.ndarray,
+    struct_w: jnp.ndarray,
+    ref_centered: jnp.ndarray,
+    extent: float,
+    dims: int,
+    basis: jnp.ndarray,
+    inv_basis: jnp.ndarray,
+    idx_t: jnp.ndarray,  # (n_t,) static target indices
+    pair_cap: int,  # per-structure candidate capacity
+) -> jnp.ndarray:
+    """Sort-free SDF for FEW structures over MANY targets.
+
+    The cell-list route pays an O(n_t log² n_t) argsort to bin ALL
+    targets, then reads back only the ~0.1% inside the structures'
+    coverage balls (config #4: a 10.6 ms 667k-atom sort to find ~12k
+    candidates). With few structures the direct (S, n_t) bounding-sphere
+    test is pure fused VPU work (~0.6 ms at 64×667k at the measured
+    compare rate) and feeds a per-structure two-level rank-select
+    compaction (the ops/sdf.py pre-splat pattern, vectorized over S)
+    straight into the splat — no cell list at all. The compiler routes
+    here when S·n_t is small enough that the pair test beats the sort
+    (docs/PERF.md r5); the cell-list route remains for many-structure
+    selections.
+
+    Coverage: any target mapping into the ±extent cube (+½-voxel tent
+    support) lies within √3·(extent+½ voxel) of the structure COM in
+    minimum-image metric — same ball the cell-list stencil covers.
+    Per-structure candidates beyond `pair_cap` drop farthest-ordered-
+    by-index (capacity sized host-side with a Poisson tail + frame-0
+    measured floor, the same semantics as the cell capacities).
+    """
+    from viamd_tpu.ops.density import splat_trilinear
+    from viamd_tpu.ops.pbc import min_image
+
+    xt = x[idx_t]
+    twt = target_w[idx_t]
+    n_t = xt.shape[0]
+    S = struct_idx.shape[0]
+    if n_t == 0 or S == 0:
+        return jnp.zeros((dims, dims, dims), jnp.float32)
+    R, c = sdf_reference_frames(
+        x, struct_idx, struct_w, ref_centered, basis, inv_basis
+    )
+    voxel_w = 2.0 * extent / dims
+    sup = 1.7320508 * (extent + 0.5 * voxel_w) + 1e-4
+
+    # (S, n_t) min-image distance² WITHOUT materializing (S, n_t, 3):
+    # per-axis cart diffs → fractional rounds → corrected diffs, all
+    # fused elementwise (zero basis → inv=0 → round(0)=0 → identity)
+    dk = [xt[:, k][None, :] - c[:, k][:, None] for k in range(3)]
+    f = [
+        dk[0] * inv_basis[0, a] + dk[1] * inv_basis[1, a]
+        + dk[2] * inv_basis[2, a]
+        for a in range(3)
+    ]
+    r = [jnp.round(fa) for fa in f]
+    d2 = jnp.zeros((S, n_t), jnp.float32)
+    for a in range(3):
+        corr = r[0] * basis[0, a] + r[1] * basis[1, a] + r[2] * basis[2, a]
+        da = dk[a] - corr
+        d2 = d2 + da * da
+    m = (twt[None, :] > 0.0) & (d2 < sup * sup)  # (S, n_t)
+
+    # per-structure rank select: src[s, j] = index of the (j+1)-th
+    # masked target (two-level: per-128-lane-row cumsum + block prefix,
+    # then broadcast compare-counts — jnp.searchsorted's binary search
+    # is gather-bound and ~4× slower on this backend)
+    C = pair_cap
+    npad = -(-n_t // 128) * 128
+    m2 = jnp.pad(
+        m.astype(jnp.int32), ((0, 0), (0, npad - n_t))
+    ).reshape(S, -1, 128)
+    rs = jnp.cumsum(m2, axis=2)  # (S, nb, 128)
+    blk = jnp.cumsum(rs[:, :, 127], axis=1)  # (S, nb) inclusive
+    nb = blk.shape[1]
+    j1 = jnp.arange(1, C + 1, dtype=jnp.int32)
+    b = jnp.sum(
+        (blk[:, None, :] < j1[None, :, None]).astype(jnp.int32), axis=2
+    )  # (S, C) block holding the j-th hit
+    b = jnp.minimum(b, nb - 1)
+    srow = (
+        jax.lax.broadcasted_iota(jnp.int32, (S, C), 0) * nb + b
+    ).reshape(-1)
+    rows = rs.reshape(S * nb, 128)[srow].reshape(S, C, 128)
+    blkb = blk.reshape(-1)[srow].reshape(S, C)
+    r_in = j1[None, :] - (blkb - rows[:, :, 127])  # rank within block
+    lane = jnp.sum((rows < r_in[:, :, None]).astype(jnp.int32), axis=2)
+    src = jnp.minimum(b * 128 + jnp.minimum(lane, 127), n_t - 1)
+    keep = j1[None, :] <= blk[:, -1][:, None]
+
+    xt4 = jnp.concatenate([xt, twt[:, None]], 1)
+    cd = xt4[src]  # (S, C, 4) — S·C row gather
+    w = jnp.where(keep, cd[..., 3], 0.0)
+    dd = cd[..., :3] - c[:, None, :]
+    dd = min_image(dd, basis, inv_basis)
+    d0, d1, d2_ = dd[..., 0], dd[..., 1], dd[..., 2]
+    p = jnp.stack(
+        [
+            R[:, 0, 0, None] * d0 + R[:, 0, 1, None] * d1
+            + R[:, 0, 2, None] * d2_,
+            R[:, 1, 0, None] * d0 + R[:, 1, 1, None] * d1
+            + R[:, 1, 2, None] * d2_,
+            R[:, 2, 0, None] * d0 + R[:, 2, 1, None] * d1
+            + R[:, 2, 2, None] * d2_,
+        ],
+        axis=-1,
+    )
+    origin = jnp.full((3,), -extent, jnp.float32)
+    voxel = jnp.full((3,), voxel_w, jnp.float32)
+    return splat_trilinear(
+        p.reshape(-1, 3), w.reshape(-1), (dims, dims, dims), origin, voxel
+    )
+
+
+def sdf_pair_capacity(
+    n_structures: int,
+    n_targets: int,
+    box: "np.ndarray",
+    extent: float,
+    dims: int,
+    tail: float = 5.0,
+    per_struct_count: "int | None" = None,
+) -> int:
+    """Host-side per-structure candidate capacity for the pairs route.
+
+    Uniform floor: expected in-ball count = bulk target density ×
+    coverage-ball volume; `per_struct_count` (frame-0 measured MAX
+    in-ball count over structures) floors clustered selections with
+    1.5× + tail·√count drift margin. Snapped to 128 lanes.
+    """
+    import math
+
+    b = np.asarray(box, np.float64)
+    vol = float(np.prod(b))
+    voxel_w = 2.0 * extent / dims
+    sup = 1.7320508 * (extent + 0.5 * voxel_w)
+    lam = (
+        n_targets / max(vol, 1e-30) * (4.0 / 3.0) * math.pi * sup**3
+        if vol > 0
+        else float(n_targets)
+    )
+    cap = int(math.ceil(lam + tail * math.sqrt(max(lam, 1.0)) + 8.0))
+    if per_struct_count is not None:
+        cnt = int(per_struct_count)
+        cap = max(
+            cap,
+            int(math.ceil(1.5 * cnt + tail * math.sqrt(max(cnt, 1.0)))),
+        )
+    cap = min(cap, max(int(n_targets), 1))
+    return -(-cap // 128) * 128
+
+
+def sdf_frame0_ball_count(
+    target_xyz: "np.ndarray",  # (n_t, 3) frame-0 target coords
+    x0: "np.ndarray",
+    struct_idx: "np.ndarray",
+    struct_w: "np.ndarray",
+    box: "np.ndarray",
+    extent: float,
+    dims: int,
+    basis: "np.ndarray | None" = None,
+) -> int:
+    """Frame-0 measured MAX per-structure in-coverage-ball target count
+    (host NumPy, chunked over structures) — sizes sdf_pair_capacity for
+    clustered target selections."""
+    w = np.asarray(struct_w, np.float64)
+    idx = np.asarray(struct_idx)
+    xs = np.asarray(x0, np.float64)[idx]  # (S, K, 3)
+    com = (xs * w[..., None]).sum(1) / np.maximum(
+        w.sum(1, keepdims=True), 1e-30
+    )
+    voxel_w = 2.0 * extent / dims
+    sup = 1.7320508 * (extent + 0.5 * voxel_w) + 1e-4
+    t = np.asarray(target_xyz, np.float64)
+    if basis is not None:
+        B = np.asarray(basis, np.float64)
+        inv = np.linalg.inv(B)
+    best = 0
+    for s0 in range(0, com.shape[0], 8):
+        d = t[None, :, :] - com[s0 : s0 + 8, None, :]
+        if basis is not None:
+            f = d @ inv
+            f -= np.round(f)
+            d = f @ B
+        else:
+            b = np.asarray(box, np.float64)
+            if np.all(b > 0):
+                d -= b * np.round(d / b)
+        cnt = (np.sum(d * d, axis=-1) < sup * sup).sum(axis=1)
+        best = max(best, int(cnt.max()) if cnt.size else 0)
+    return best
+
+
 def sdf_compact_capacity(
     n_structures: int,
     n_targets: int,

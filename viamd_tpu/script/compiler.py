@@ -1566,11 +1566,55 @@ def _sdf(c: _Compiler, node, args):
     }
     c.vis["sdf"].append(vis_rec)
     tw = c.dense_weights(target, masses=False)
-    # Large orthorhombic systems gather only candidate targets around each
-    # structure from a cell list (√3·extent coverage ball).
+    # Large systems: few structures over many targets route through the
+    # sort-free (S, n_t) bounding-sphere pair test (ops.sdf
+    # sdf_accumulate_pairs — replaces a 10.6 ms 667k-atom cell-list sort
+    # with ~0.6 ms of fused VPU compares at config #4, docs/PERF.md r5);
+    # many-structure selections keep the cell-list route, whose sort
+    # amortizes over structures.
     use_cl = False
     tri_basis = None
     idx_t = target.mask.indices()
+    use_pairs = (
+        c.sys.cell.is_periodic
+        and c.n >= 8192
+        and idx_t.size > 0
+        and len(structs) > 0
+        and len(structs) * int(idx_t.size) <= 150_000_000
+    )
+    if use_pairs:
+        ortho = c.sys.cell.is_orthorhombic
+        if ortho:
+            box_np = c.sys.cell.extent()
+            B0p = None
+        else:
+            B0p = np.asarray(c.sys.cell.basis, np.float64)
+            det = abs(np.linalg.det(B0p))
+            box_np = np.full(3, det ** (1.0 / 3.0))
+        cnt0 = sdf_ops.sdf_frame0_ball_count(
+            np.asarray(c.x0)[np.asarray(idx_t)], np.asarray(c.x0),
+            np.asarray(idx), np.asarray(w), box_np, extent, SDF_DIMS,
+            basis=B0p,
+        )
+        pair_cap = sdf_ops.sdf_pair_capacity(
+            len(structs), int(idx_t.size), box_np, extent, SDF_DIMS,
+            per_struct_count=cnt0,
+        )
+        grid = sdf_ops.sdf_accumulate_pairs(
+            c._trace_x, jnp.asarray(tw),
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+            extent, SDF_DIMS, c._trace_basis, c._trace_inv,
+            jnp.asarray(idx_t), pair_cap,
+        )
+        spec = AccumSpec(
+            kind="volume",
+            dims=SDF_DIMS,
+            extent=extent,
+            x_unit="Å",
+            n_structures=len(structs),
+            vis=vis_rec,
+        )
+        return AccumValue(grid, spec)
     if c.sys.cell.is_periodic and c.n >= 8192:
         from viamd_tpu.ops.neighbors import (
             choose_grid_r, choose_grid_triclinic,
