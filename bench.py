@@ -35,7 +35,11 @@ import time
 
 N_WATERS = 33_334  # 100,002 atoms
 N_FRAMES = 128
-CHUNK = 64  # frames per fused launch (CHUNK=128 measured 117.7 vs 119.9 f/s)
+# frames per fused launch. The r1-era A/B (CHUNK=128: 117.7 vs 119.9 f/s)
+# predates the r3-r5 kernel work; at ~3 ms/frame the ~31 ms tunnel RTT
+# per dispatch is ~10% of the run, so fewer launches now matter —
+# override for A/Bs with VIAMD_TPU_BENCH_CHUNK.
+CHUNK = int(__import__("os").environ.get("VIAMD_TPU_BENCH_CHUNK", "64"))
 BASELINE_FRAMES_PER_S = 5000.0
 
 

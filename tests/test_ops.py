@@ -539,6 +539,25 @@ class TestSDF:
                 )
             )
             np.testing.assert_allclose(got, dense, atol=1e-3, rtol=1e-3)
+            # with the global pre-splat compaction (the shipped config)
+            ccap = sdf_ops.sdf_compact_capacity(
+                len(structs), int(idx_t.size), np.diag(B).copy(),
+                extent, dims,
+                support_count=sdf_ops.sdf_frame0_support_count(
+                    x[idx_t], x, np.asarray(idx), np.asarray(w),
+                    np.asarray(refc), np.diag(B).copy(), extent, dims,
+                    basis=None if cell.is_orthorhombic else B,
+                ),
+            )
+            got_c = np.asarray(
+                sdf_ops.sdf_accumulate_pairs(
+                    jnp.asarray(x), jnp.asarray(tw),
+                    jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
+                    extent, dims, basis, inv,
+                    jnp.asarray(idx_t), cap, compact_cap=ccap,
+                )
+            )
+            np.testing.assert_allclose(got_c, dense, atol=1e-3, rtol=1e-3)
             # tiny capacity still runs; drops points (documented semantics)
             small = np.asarray(
                 sdf_ops.sdf_accumulate_pairs(

@@ -203,33 +203,40 @@ def sdf_accumulate_cl(
     voxel = jnp.full((3,), voxel_w, jnp.float32)
     pf = p.reshape(-1, 3)
     wf = w.reshape(-1)
-    n_slots = pf.shape[0]
-    if compact_cap is not None and compact_cap < n_slots:
-        # keep only slots whose tent support touches the grid: |p|∞ within
-        # extent + ½ voxel (the dense splat zeroes everything else anyway)
-        sup = extent + 0.5 * voxel_w
-        m = (wf > 0.0) & (jnp.max(jnp.abs(pf), axis=-1) < sup)
-        # src[j] = index of the (j+1)-th masked slot, via a two-level
-        # rank select: per-128-lane-row cumsum + block prefix, then
-        # broadcast compare-COUNTS at both levels (jnp.searchsorted's
-        # binary search costs ~4× this on the tunneled backend —
-        # tools/exp_compact.py); overflow beyond the total clamps with
-        # weight forced to 0 (Poisson-capped, see sdf_compact_capacity)
-        npad = -(-n_slots // 128) * 128
-        m2 = jnp.pad(m.astype(jnp.int32), (0, npad - n_slots)).reshape(-1, 128)
-        rs = jnp.cumsum(m2, axis=1)
-        blk = jnp.cumsum(rs[:, -1])  # (nb,) inclusive block prefix
-        j1 = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
-        b = jnp.sum((blk[None, :] < j1[:, None]).astype(jnp.int32), axis=1)
-        b = jnp.minimum(b, blk.shape[0] - 1)
-        rows = rs[b]  # (M, 128)
-        r = j1 - (blk[b] - rows[:, -1])  # rank within block, 1-based
-        lane = jnp.sum((rows < r[:, None]).astype(jnp.int32), axis=1)
-        src = jnp.minimum(b * 128 + jnp.minimum(lane, 127), n_slots - 1)
-        keep = j1 <= blk[-1]
-        pf = pf[src]
-        wf = jnp.where(keep, wf[src], 0.0)
+    pf, wf = _compact_support(pf, wf, extent, voxel_w, compact_cap)
     return splat_trilinear(pf, wf, (dims, dims, dims), origin, voxel)
+
+
+def _compact_support(pf, wf, extent, voxel_w, compact_cap):
+    """Pre-splat compaction: pack slots whose tent support touches the
+    grid (|p|∞ < extent + ½ voxel — the dense splat zeroes everything
+    else anyway) into `compact_cap` static slots.
+
+    src[j] = index of the (j+1)-th masked slot, via a two-level rank
+    select: per-128-lane-row cumsum + block prefix, then broadcast
+    compare-COUNTS at both levels (jnp.searchsorted's binary search
+    costs ~4× this on the tunneled backend — tools/exp_compact.py);
+    overflow beyond the total clamps with weight forced to 0
+    (Poisson-capped, see sdf_compact_capacity). No-op when the cap
+    doesn't cut the slot count."""
+    n_slots = pf.shape[0]
+    if compact_cap is None or compact_cap >= n_slots:
+        return pf, wf
+    sup = extent + 0.5 * voxel_w
+    m = (wf > 0.0) & (jnp.max(jnp.abs(pf), axis=-1) < sup)
+    npad = -(-n_slots // 128) * 128
+    m2 = jnp.pad(m.astype(jnp.int32), (0, npad - n_slots)).reshape(-1, 128)
+    rs = jnp.cumsum(m2, axis=1)
+    blk = jnp.cumsum(rs[:, -1])  # (nb,) inclusive block prefix
+    j1 = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
+    b = jnp.sum((blk[None, :] < j1[:, None]).astype(jnp.int32), axis=1)
+    b = jnp.minimum(b, blk.shape[0] - 1)
+    rows = rs[b]  # (M, 128)
+    r = j1 - (blk[b] - rows[:, -1])  # rank within block, 1-based
+    lane = jnp.sum((rows < r[:, None]).astype(jnp.int32), axis=1)
+    src = jnp.minimum(b * 128 + jnp.minimum(lane, 127), n_slots - 1)
+    keep = j1 <= blk[-1]
+    return pf[src], jnp.where(keep, wf[src], 0.0)
 
 
 def sdf_accumulate_pairs(
@@ -244,6 +251,7 @@ def sdf_accumulate_pairs(
     inv_basis: jnp.ndarray,
     idx_t: jnp.ndarray,  # (n_t,) static target indices
     pair_cap: int,  # per-structure candidate capacity
+    compact_cap: "int | None" = None,  # global pre-splat compaction
 ) -> jnp.ndarray:
     """Sort-free SDF for FEW structures over MANY targets.
 
@@ -344,9 +352,10 @@ def sdf_accumulate_pairs(
     )
     origin = jnp.full((3,), -extent, jnp.float32)
     voxel = jnp.full((3,), voxel_w, jnp.float32)
-    return splat_trilinear(
-        p.reshape(-1, 3), w.reshape(-1), (dims, dims, dims), origin, voxel
+    pf, wf = _compact_support(
+        p.reshape(-1, 3), w.reshape(-1), extent, voxel_w, compact_cap
     )
+    return splat_trilinear(pf, wf, (dims, dims, dims), origin, voxel)
 
 
 def sdf_pair_capacity(

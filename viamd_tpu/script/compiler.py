@@ -1600,11 +1600,23 @@ def _sdf(c: _Compiler, node, args):
             len(structs), int(idx_t.size), box_np, extent, SDF_DIMS,
             per_struct_count=cnt0,
         )
+        # global pre-splat compaction on top of the per-structure ball
+        # caps: only ~37% of the coverage ball lands in the ±extent cube,
+        # and splat HBM traffic scales with slot count
+        support0 = sdf_ops.sdf_frame0_support_count(
+            np.asarray(c.x0)[np.asarray(idx_t)], np.asarray(c.x0),
+            np.asarray(idx), np.asarray(w), np.asarray(refc),
+            box_np, extent, SDF_DIMS, basis=B0p,
+        )
+        compact_cap = sdf_ops.sdf_compact_capacity(
+            len(structs), int(idx_t.size), box_np, extent, SDF_DIMS,
+            support_count=support0,
+        )
         grid = sdf_ops.sdf_accumulate_pairs(
             c._trace_x, jnp.asarray(tw),
             jnp.asarray(idx), jnp.asarray(w), jnp.asarray(refc),
             extent, SDF_DIMS, c._trace_basis, c._trace_inv,
-            jnp.asarray(idx_t), pair_cap,
+            jnp.asarray(idx_t), pair_cap, compact_cap=compact_cap,
         )
         spec = AccumSpec(
             kind="volume",
