@@ -548,7 +548,12 @@ def _pair_dist_histogram_impl(
         ncells_t = cl.table.shape[0]
         slot_t = jax.lax.broadcasted_iota(jnp.int32, (ncells_t, cap), 1)
         valid = slot_t < (cl.starts[1:] - cl.starts[:-1])[:, None]
-        if cl.order is not None:
+        # the sorted-payload form materializes an extra (n, 4) permuted
+        # copy (n·16 B); at the 100M-atom design scale that ~0.5 GB broke
+        # the slab-streaming memory budget (r5: RESOURCE_EXHAUSTED at the
+        # 33M-O selection) — beyond 8M selected atoms keep the slot-table
+        # route, whose saving (~2.6 ms at 333k) is noise at that scale
+        if cl.order is not None and xs.shape[0] <= 8_000_000:
             n_t = cl.order.shape[0]
             pos = jnp.minimum(cl.starts[:-1][:, None] + slot_t, n_t - 1)
             if pack_ids:
@@ -639,48 +644,40 @@ def _pair_dist_histogram_impl(
         x0_dyn = jnp.minimum(k_dev * w_sh, dx_ - w_sh)
         g_row = x0_dyn + jnp.arange(w_sh)
         row_ok = (g_row >= k_dev * w_sh) & (g_row < (k_dev + 1) * w_sh)
-        slabs = [(None, w_sh)]
-    elif slab_rows is None or slab_rows >= dx_:
-        slabs = [(0, dx_)]
-    else:
-        sr = max(int(slab_rows), 2 * radius + 1)
-        slabs = [(x0, min(sr, dx_ - x0)) for x0 in range(0, dx_, sr)]
 
-    total = jnp.zeros(nbins, jnp.float32)
-    for x0, w in slabs:
+    def _slab_partial(x0, w, row_ok_, a_xyz_d, a_gid_d, counts_d,
+                      b_xyz_d, b_gid_d):
+        """One slab window's histogram contribution.
+
+        `x0` int → static slicing (XLA folds the w == dx_ case to the
+        original full-grid path); traced → dynamic_slice with `row_ok_`
+        masking rows outside the requested window (the clamped window
+        can overlap a neighbour's rows — counts→0, gid→−1, coords→A_SENT
+        so those cells contribute nothing)."""
+        tot = jnp.zeros(nbins, jnp.float32)
         ncells_s = w * yz
-        if x0 is None:  # sharded dynamic slab
-            sl_s = a_xyz.shape[1]
+        if not isinstance(x0, int):  # dynamic slab (sharded / fori)
+            sl_s = a_xyz_d.shape[1]
             a_xyz_s = jax.lax.dynamic_slice_in_dim(
-                a_xyz.reshape(dx_, yz, sl_s, 3), x0_dyn, w, 0
+                a_xyz_d.reshape(dx_, yz, sl_s, 3), x0, w, 0
             )
             a_gid_s = jax.lax.dynamic_slice_in_dim(
-                a_gid.reshape(dx_, yz, sl_s), x0_dyn, w, 0
+                a_gid_d.reshape(dx_, yz, sl_s), x0, w, 0
             )
             counts_s = jax.lax.dynamic_slice_in_dim(
-                counts_full.reshape(dx_, yz), x0_dyn, w, 0
+                counts_d.reshape(dx_, yz), x0, w, 0
             )
-            a_gid_s = jnp.where(row_ok[:, None, None], a_gid_s, -1)
+            a_gid_s = jnp.where(row_ok_[:, None, None], a_gid_s, -1)
             # no-id classes read validity from coordinates — mask the
             # overlapping neighbor rows there too, not just in the ids
             a_xyz_s = jnp.where(
-                row_ok[:, None, None, None], a_xyz_s, A_SENT
+                row_ok_[:, None, None, None], a_xyz_s, A_SENT
             )
-            counts_s = jnp.where(row_ok[:, None], counts_s, 0)
+            counts_s = jnp.where(row_ok_[:, None], counts_s, 0)
             a_xyz_s = a_xyz_s.reshape(ncells_s, sl_s, 3)
             a_gid_s = a_gid_s.reshape(ncells_s, sl_s)
             counts_s = counts_s.reshape(-1)
-            b_xyz_d, b_gid_d = b_xyz, b_gid
-            x0 = x0_dyn  # planes() slices dynamically
-        elif len(slabs) > 1:
-            # sequence slabs: tie this slab's table reads to the running
-            # histogram so XLA cannot hoist every slab's plane build to
-            # the front (which would defeat the live-memory bound)
-            total, a_xyz_d, a_gid_d, b_xyz_d, b_gid_d, counts_d = (
-                jax.lax.optimization_barrier(
-                    (total, a_xyz, a_gid, b_xyz, b_gid, counts_full)
-                )
-            )
+        elif w < dx_:
             sl_s = a_xyz_d.shape[1]
             a_xyz_s = a_xyz_d.reshape(dx_, yz, sl_s, 3)[x0 : x0 + w]
             a_xyz_s = a_xyz_s.reshape(ncells_s, sl_s, 3)
@@ -688,8 +685,7 @@ def _pair_dist_histogram_impl(
             a_gid_s = a_gid_s.reshape(ncells_s, sl_s)
             counts_s = counts_d.reshape(dx_, yz)[x0 : x0 + w].reshape(-1)
         else:
-            a_xyz_s, a_gid_s, counts_s = a_xyz, a_gid, counts_full
-            b_xyz_d, b_gid_d = b_xyz, b_gid
+            a_xyz_s, a_gid_s, counts_s = a_xyz_d, a_gid_d, counts_d
 
         nblocks = -(-ncells_s // G)
         nblocks = -(-nblocks // M) * M
@@ -891,7 +887,7 @@ def _pair_dist_histogram_impl(
                         *((bxp, byp, bzp, bidp) if k_ids
                           else (bxp, byp, bzp)),
                     )
-                    total = total + jnp.sum(partial_hists, axis=0).reshape(
+                    tot = tot + jnp.sum(partial_hists, axis=0).reshape(
                         nbins
                     )
                 continue
@@ -928,9 +924,54 @@ def _pair_dist_histogram_impl(
                     *(a_cols[p] if k_ids else a_cols[p][:3]),
                     *((bxp, byp, bzp, bidp) if k_ids else (bxp, byp, bzp)),
                 )
-                total = total.at[16 * g_lo :].add(
+                tot = tot.at[16 * g_lo :].add(
                     jnp.sum(partial_hists, axis=(0, 2))
                 )
+        return tot
+
+    if slab_shard is not None:
+        total = _slab_partial(
+            x0_dyn, w_sh, row_ok, a_xyz, a_gid, counts_full, b_xyz, b_gid
+        )
+    elif slab_rows is None or slab_rows >= dx_:
+        total = _slab_partial(
+            0, dx_, None, a_xyz, a_gid, counts_full, b_xyz, b_gid
+        )
+    else:
+        sr = max(int(slab_rows), 2 * radius + 1)
+        nslabs = -(-dx_ // sr)
+        total = jnp.zeros(nbins, jnp.float32)
+        if nslabs <= 4:
+            # few slabs: python-unrolled, optimization_barrier-sequenced
+            # so XLA cannot hoist every slab's plane build to the front
+            # (which would defeat the live-memory bound)
+            for i in range(nslabs):
+                x0s = i * sr
+                ws = min(sr, dx_ - x0s)
+                (total, a_d, g_d, b_d, bg_d, c_d) = (
+                    jax.lax.optimization_barrier(
+                        (total, a_xyz, a_gid, b_xyz, b_gid, counts_full)
+                    )
+                )
+                total = total + _slab_partial(
+                    x0s, ws, None, a_d, g_d, c_d, b_d, bg_d
+                )
+        else:
+            # many slabs (the 100M-atom design scale): a fori_loop over
+            # ONE dynamic slab body — the python-unrolled form emitted
+            # nslabs × n_pass × n_class pallas_calls in one HLO, which
+            # crashed the remote compile helper at the 100³-cell grid
+            # (r5); the loop form bounds both compile size and live
+            # memory to a single slab
+            def slab_body(i, tot_c):
+                x0d = jnp.minimum(i * sr, dx_ - sr)
+                g_row = x0d + jnp.arange(sr)
+                rok = (g_row >= i * sr) & (g_row < (i + 1) * sr)
+                return tot_c + _slab_partial(
+                    x0d, sr, rok, a_xyz, a_gid, counts_full, b_xyz, b_gid
+                )
+
+            total = jax.lax.fori_loop(0, nslabs, slab_body, total)
     return total * 2.0 if symmetric else total
 
 

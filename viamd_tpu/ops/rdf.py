@@ -251,15 +251,33 @@ def neighborhood_planes(
     if offsets is None:
         offsets = stencil_offsets(radius)
     dynamic = not isinstance(x0, int)
+    # Dynamic (traced x0) windows extract an x-HALO FIRST — one
+    # x0-dependent roll + static slice covering rows x0−r..x0+w+r−1
+    # (wrapped) — and take each x-offset as a static slice of that
+    # window. The per-offset form (roll the FULL grid, then
+    # dynamic_slice) is x0-INDEPENDENT in its roll, so inside a
+    # fori_loop slab sweep XLA hoists all S full-grid rolled copies out
+    # of the loop — ~11.5 GB at the 100M-atom grid, the r5 OOM. The
+    # halo roll depends on x0 and cannot hoist; only one full-size
+    # transient lives per channel.
+    halo = None
+    r_h = max((abs(o[0]) for o in offsets), default=0)
+    if dynamic and w + 2 * r_h <= dx:
+        halo = jnp.roll(a4, r_h - x0, axis=0)[: w + 2 * r_h]
     parts = []
     for ox, oy, oz in offsets:
-        rolled = jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))
-        win = (
-            jax.lax.dynamic_slice_in_dim(rolled, x0, w, axis=0)
-            if dynamic  # traced slab start (shard_map slab sharding);
-            # NB dynamic_slice clamps x0 to dx-w — callers mask A rows
-            else rolled[x0 : x0 + w]
-        )
+        if halo is not None:
+            win = halo[r_h + ox : r_h + ox + w]
+            if (oy, oz) != (0, 0):
+                win = jnp.roll(win, (-oy, -oz), axis=(1, 2))
+        else:
+            rolled = jnp.roll(a4, (-ox, -oy, -oz), axis=(0, 1, 2))
+            win = (
+                jax.lax.dynamic_slice_in_dim(rolled, x0, w, axis=0)
+                if dynamic  # traced slab start; NB dynamic_slice clamps
+                # x0 to dx-w — callers mask A rows
+                else rolled[x0 : x0 + w]
+            )
         if wrap_shift is not None:
             gax, mag = wrap_shift
             off_g = (ox, oy, oz)[gax]
@@ -297,7 +315,7 @@ def choose_slab_rows(
     n_offsets: int,
     cap_b: int,
     radius: int,
-    budget: int = 2 << 30,
+    budget: "int | None" = None,
 ) -> "int | None":
     """Slab width for pair_dist_histogram_pl's slab streaming, or None.
 
@@ -305,9 +323,16 @@ def choose_slab_rows(
     (x, y, z, id as f32); when that exceeds `budget` the cell grid
     streams in leading-axis slabs sized to fit. Shared by the compiler's
     rdf path and tools/bench_scale so they measure the same config.
+    Default budget 2 GiB, overridable with VIAMD_TPU_SLAB_BUDGET_MB
+    (design-scale memory tuning, tools/bench_scale.py --big).
     """
     import math
+    import os
 
+    if budget is None:
+        budget = (
+            int(os.environ.get("VIAMD_TPU_SLAB_BUDGET_MB", "2048")) << 20
+        )
     plane_bytes = math.prod(int(d) for d in dims) * n_offsets * cap_b * 16
     if plane_bytes <= budget:
         return None
