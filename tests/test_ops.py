@@ -968,6 +968,39 @@ class TestPallasRDF:
                 )
             )
             np.testing.assert_allclose(hslab, dense, atol=1e-2)
+    def test_fori_slab_mode_matches_dense(self):
+        """fori-loop slab mode (>4 slabs — the 100M design-scale path:
+        one dynamic halo-windowed slab body instead of an unrolled
+        sweep; r5): must match the dense reference exactly, including
+        the clamped+row-masked tail slab."""
+        from viamd_tpu.ops import pallas_rdf
+        from viamd_tpu.ops.neighbors import choose_grid_r
+
+        rng = np.random.RandomState(21)
+        L, n = 24.0, 1500
+        rmax, nbins = 1.5, 128
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        wa = np.ones(n, np.float32)
+        basis, inv = ortho_cell(L)
+        dense = np.asarray(
+            rdf.pair_dist_histogram(
+                jnp.asarray(x), jnp.asarray(wa), jnp.asarray(wa),
+                basis, inv, nbins, rmax, tile=64,
+            )
+        )
+        idx = jnp.asarray(np.arange(n, dtype=np.int32))
+        boxj = jnp.asarray([L, L, L], jnp.float32)
+        dims, cap = choose_grid_r(np.array([L] * 3), rmax, n, radius=1)
+        assert dims[0] >= 13  # ceil(dx/3) > 4 → the fori path
+        for sr in (3, 5):  # 16/3 → 6 slabs (clamped tail), 16/5 → 4→...
+            h = np.asarray(
+                pallas_rdf.pair_dist_histogram_pl(
+                    jnp.asarray(x), idx, idx, boxj, nbins, rmax,
+                    dims, cap, cap, radius=1, symmetric=True,
+                    interpret=True, slab_rows=sr,
+                )
+            )
+            np.testing.assert_allclose(h, dense, atol=1e-2)
 
     def test_out_of_box_atoms_match_dense(self):
         """Atoms outside [0, L) — negative, beyond L, exactly at L — must
