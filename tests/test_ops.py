@@ -569,6 +569,45 @@ class TestSDF:
             )
             assert 0.0 < small.sum() <= got.sum() + 1e-3
 
+    def test_pairs_rank_select_saturated_blocks(self):
+        """The MXU-triangle rank select (in-block prefix = 0/1 mask row
+        @ upper-triangular ones, bf16 operands / f32 accumulation) is
+        exact even when whole 128-lane blocks saturate (counts == 128,
+        near bf16's 256-integer ceiling): a dense system where EVERY
+        target is inside every structure's ball must match the dense
+        path bit-for-bit in slot selection."""
+        from viamd_tpu.ops import sdf as sdf_ops
+
+        rng = np.random.RandomState(5)
+        L = 8.0  # tiny box: every pairwise min-image distance < sup
+        n = 640  # 5 full 128-lane blocks, all saturated
+        extent, dims = 8.0, 8
+        x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+        structs = [np.arange(i * 4, i * 4 + 4, dtype=np.int32)
+                   for i in range(3)]
+        idx, w, refc = sdf_ops.make_structure_inputs(
+            structs, np.ones(n, np.float32), x
+        )
+        tw = np.ones(n, np.float32)
+        idx_t = np.arange(n, dtype=np.int32)
+        basis = jnp.diag(jnp.full(3, L, jnp.float32))
+        inv = jnp.diag(jnp.full(3, 1.0 / L, jnp.float32))
+        dense = np.asarray(
+            sdf_ops.sdf_accumulate(
+                jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                jnp.asarray(w), jnp.asarray(refc), extent, dims, basis, inv,
+            )
+        )
+        got = np.asarray(
+            sdf_ops.sdf_accumulate_pairs(
+                jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx),
+                jnp.asarray(w), jnp.asarray(refc), extent, dims, basis,
+                inv, jnp.asarray(idx_t), n,  # cap == n: nothing dropped
+            )
+        )
+        np.testing.assert_allclose(got, dense, atol=1e-3, rtol=1e-3)
+        assert got.sum() > 0
+
     def test_celllist_triclinic_matches_dense(self):
         """Fractional-space SDF cell list on a 60° triclinic cell: must
         match the dense (all-pairs) path exactly — skewed cells

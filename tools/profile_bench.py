@@ -139,7 +139,35 @@ def main():
             cl_dims, cl_cap, stencil, idx_t=idx_t, compact_cap=ccap,
         )
 
-    timed("sdf FULL 64^3 (shipped)", lambda xx: loop(sdf_full, xx)(), x)
+    timed("sdf FULL 64^3 (cell-list)", lambda xx: loop(sdf_full, xx)(), x)
+
+    # --- SDF pairs route (what the compiler ships at this scale:
+    # S*n_t = 64*66,668 <= 1.5e8 routes sort-free) --------------------
+    x_np = np.asarray(x)
+    cnt0 = sdf_ops.sdf_frame0_ball_count(
+        x_np[np.asarray(idx_t)], x_np, np.asarray(idx_s),
+        np.asarray(w_s), box_np, extent, 64,
+    )
+    pair_cap = sdf_ops.sdf_pair_capacity(
+        64, int(idx_t.size), box_np, extent, 64, per_struct_count=cnt0,
+    )
+    support0 = sdf_ops.sdf_frame0_support_count(
+        x_np[np.asarray(idx_t)], x_np, np.asarray(idx_s),
+        np.asarray(w_s), np.asarray(refc), box_np, extent, 64,
+    )
+    ccap_p = sdf_ops.sdf_compact_capacity(
+        64, int(idx_t.size), box_np, extent, 64, support_count=support0,
+    )
+    print(f"sdf pairs pair_cap={pair_cap} compact_cap={ccap_p}", flush=True)
+
+    def sdf_pairs(xx):
+        return sdf_ops.sdf_accumulate_pairs(
+            xx, tw, idx_s, w_s, refc, extent, 64,
+            jnp.diag(box), jnp.diag(1.0 / box), idx_t, pair_cap,
+            compact_cap=ccap_p,
+        )
+
+    timed("sdf FULL 64^3 (pairs, shipped)", lambda xx: loop(sdf_pairs, xx)(), x)
 
     # --- shape weights -----------------------------------------------------
     wall = jnp.ones((n,), jnp.float32)

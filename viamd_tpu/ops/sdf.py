@@ -225,13 +225,24 @@ def _compact_support(pf, wf, extent, voxel_w, compact_cap):
     sup = extent + 0.5 * voxel_w
     m = (wf > 0.0) & (jnp.max(jnp.abs(pf), axis=-1) < sup)
     npad = -(-n_slots // 128) * 128
-    m2 = jnp.pad(m.astype(jnp.int32), (0, npad - n_slots)).reshape(-1, 128)
-    rs = jnp.cumsum(m2, axis=1)
-    blk = jnp.cumsum(rs[:, -1])  # (nb,) inclusive block prefix
-    j1 = jnp.arange(1, compact_cap + 1, dtype=jnp.int32)
+    # In-block lane prefix via an MXU triangle matmul on only the
+    # gathered rows (see sdf_accumulate_pairs: a full lane-axis cumsum
+    # materializes nb×128 ints just to feed an M-row gather; the 0/1
+    # mask is bf16-exact with f32 accumulation).
+    mbf = jnp.pad(
+        m.astype(jnp.bfloat16), (0, npad - n_slots)
+    ).reshape(-1, 128)
+    blk = jnp.cumsum(jnp.sum(mbf.astype(jnp.float32), axis=1))  # (nb,)
+    j1 = jnp.arange(1, compact_cap + 1, dtype=jnp.float32)
     b = jnp.sum((blk[None, :] < j1[:, None]).astype(jnp.int32), axis=1)
     b = jnp.minimum(b, blk.shape[0] - 1)
-    rows = rs[b]  # (M, 128)
+    tri = jnp.asarray(
+        np.triu(np.ones((128, 128), np.float32)), jnp.bfloat16
+    )
+    rows = jax.lax.dot_general(
+        mbf[b], tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (M, 128) inclusive lane prefix
     r = j1 - (blk[b] - rows[:, -1])  # rank within block, 1-based
     lane = jnp.sum((rows < r[:, None]).astype(jnp.int32), axis=1)
     src = jnp.minimum(b * 128 + jnp.minimum(lane, 127), n_slots - 1)
@@ -307,18 +318,24 @@ def sdf_accumulate_pairs(
     m = (twt[None, :] > 0.0) & (d2 < sup * sup)  # (S, n_t)
 
     # per-structure rank select: src[s, j] = index of the (j+1)-th
-    # masked target (two-level: per-128-lane-row cumsum + block prefix,
+    # masked target (two-level: block prefix + in-block lane prefix,
     # then broadcast compare-counts — jnp.searchsorted's binary search
-    # is gather-bound and ~4× slower on this backend)
+    # is gather-bound and ~4× slower on this backend). The in-block
+    # lane prefix is an MXU upper-triangle matmul on ONLY the gathered
+    # mask rows — a full (S, nb, 128) lane-axis cumsum would have to
+    # materialize 17 MB just to feed a 24k-row gather, and measured
+    # 0.53 ms/frame slower at the headline config (tools/exp_sdfpairs.py
+    # stages). The 0/1 mask rides bf16 (exact: integer counts ≤ 128 ≪
+    # bf16's 256 integer range) with f32 MXU accumulation.
     C = pair_cap
     npad = -(-n_t // 128) * 128
-    m2 = jnp.pad(
-        m.astype(jnp.int32), ((0, 0), (0, npad - n_t))
+    mbf = jnp.pad(
+        m.astype(jnp.bfloat16), ((0, 0), (0, npad - n_t))
     ).reshape(S, -1, 128)
-    rs = jnp.cumsum(m2, axis=2)  # (S, nb, 128)
-    blk = jnp.cumsum(rs[:, :, 127], axis=1)  # (S, nb) inclusive
+    bs = jnp.sum(mbf.astype(jnp.float32), axis=2)  # (S, nb) block sums
+    blk = jnp.cumsum(bs, axis=1)  # (S, nb) inclusive (exact f32 ints)
     nb = blk.shape[1]
-    j1 = jnp.arange(1, C + 1, dtype=jnp.int32)
+    j1 = jnp.arange(1, C + 1, dtype=jnp.float32)
     b = jnp.sum(
         (blk[:, None, :] < j1[None, :, None]).astype(jnp.int32), axis=2
     )  # (S, C) block holding the j-th hit
@@ -326,7 +343,14 @@ def sdf_accumulate_pairs(
     srow = (
         jax.lax.broadcasted_iota(jnp.int32, (S, C), 0) * nb + b
     ).reshape(-1)
-    rows = rs.reshape(S * nb, 128)[srow].reshape(S, C, 128)
+    rows_m = mbf.reshape(S * nb, 128)[srow]  # (S·C, 128) bf16
+    tri = jnp.asarray(
+        np.triu(np.ones((128, 128), np.float32)), jnp.bfloat16
+    )  # tri[k, l] = 1 for k ≤ l ⇒ (row @ tri)[l] = inclusive prefix
+    rows = jax.lax.dot_general(
+        rows_m, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(S, C, 128)
     blkb = blk.reshape(-1)[srow].reshape(S, C)
     r_in = j1[None, :] - (blkb - rows[:, :, 127])  # rank within block
     lane = jnp.sum((rows < r_in[:, :, None]).astype(jnp.int32), axis=2)
